@@ -1,0 +1,898 @@
+"""Relational operator battery (SURVEY.md sections 2.2-2.8).
+
+The reference implements only record-at-a-time projections/filters
+(reference etl_pipeline.py, etl_infrastructure.py); every operator
+class it *lacks* (joins, aggregations, windows, sorts, set ops,
+grouping sets, pivot) is declared here as an idiomatic DataFrame/SQL
+plan so Catalyst handles pushdown, pruning, join selection, partial
+aggregation and AQE. Every query has a DuckDB oracle.
+
+Float-aggregate parity recipe: all monetary/quantity columns in the
+fixtures are exactly 2-decimal, so SUMs are computed over
+DECIMAL(12,2) casts -- exact integer arithmetic, order-independent,
+bit-identical across engines -- and only then cast to DOUBLE for the
+output column. AVGs are exact-decimal-sum / count. Never round a
+double sum: summation order differs across engines and rounding at a
+boundary flips the hash.
+
+Scale notes are in each docstring: the plans are written so the same
+code is the right plan at 100 TB (filters before joins, broadcast for
+bounded dims, partial aggregation via groupBy, no collect in any
+transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..sources.tables import load_table, register_views
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dec(col: str | Column) -> Column:
+    """Lossless decimal view of a 2-decimal double column (exact sums)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("decimal(12,2)")
+
+
+def _dsum(expr: Column) -> Column:
+    """Exact decimal sum rendered as double (cross-engine stable)."""
+    return F.sum(expr).cast("double")
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY 2.4)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)      AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)      AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*)       AS avg_disc,
+           count(*)                                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan filter + 8-agg groupBy. Partial aggregation is "
+    "map-side (|flags| x |statuses| groups), so the shuffle moves only "
+    "O(groups x partitions) rows at any scale.",
+    tags=("agg", "filter"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - disc)
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(_dec("l_quantity")).alias("sum_qty"),
+            _dsum(_dec("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(disc_price * (F.lit(1) + tax)).alias("sum_charge"),
+            (_dsum(_dec("l_quantity")) / n).alias("avg_qty"),
+            (_dsum(_dec("l_extendedprice")) / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT c_mktsegment,
+           count(DISTINCT c_nationkey) AS n_nations,
+           count(*)                    AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="Distinct aggregation: Spark expands to a two-phase plan (distinct "
+    "keys first), still fully shuffle-parallel.",
+    tags=("agg",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            (_dsum(_dec("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           count(*)                        AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Hierarchical subtotals; Spark plans rollup as Expand + a single "
+    "aggregate pass (one shuffle regardless of grouping-set count).",
+    tags=("agg", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(_dsum(_dec("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT coalesce(o_orderstatus, '(all)')   AS orderstatus,
+           coalesce(o_orderpriority, '(all)') AS orderpriority,
+           count(*)                           AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(_dec("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("orderpriority"),
+            "n",
+            "total",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+           coalesce(l_linestatus, '(all)') AS linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+               coalesce(l_linestatus, '(all)') AS linestatus,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+           round(quantile_cont(l_quantity, 0.90), 4) AS q90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact continuous percentile (sort-based). At 100 TB use "
+    "percentile_approx (t-digest, mergeable, bounded memory) -- exposed by "
+    "agg_approx below with a rows-only check.",
+    tags=("agg", "percentile"),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(l_quantity, 0.50)"), 4).alias("q50"),
+            F.round(F.expr("percentile(l_quantity, 0.90)"), 4).alias("q90"),
+        )
+    )
+
+
+@query(
+    "agg_approx",
+    None,  # approximate results differ across engines by design -> rows-only
+    doc="Sketch aggregates: HyperLogLog++ distinct + t-digest-style quantile. "
+    "These are THE 100 TB aggregation path (mergeable, fixed memory); "
+    "values are engine-specific so the oracle is rows-only.",
+    tags=("agg", "approx"),
+)
+def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.round(F.percentile_approx("l_extendedprice", 0.5), 0).alias("approx_median_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY 2.3 -- absent in the reference, all Spark built-ins)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1996-06-30'
+    GROUP BY l_orderkey, orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter first (customer/BUILDING), then "
+    "fact joins, then top-k. Catalyst pushes both date filters into the "
+    "parquet scans; AQE turns the filtered customer side into a broadcast "
+    "join at low SF and a shuffled hash join at high SF. Deterministic "
+    "top-k: revenue is exact decimal, ties broken by l_orderkey.",
+    tags=("join", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-06-30"))
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(_dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(*)                                          AS n_items
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      JOIN orders   ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY r_name, n_name
+    """,
+    doc="Five-way star join. nation/region are bounded dims -> explicit "
+    "broadcast() so the fact table never shuffles for them; only the "
+    "lineitem-orders equi-join shuffles on orderkey at scale.",
+    tags=("join", "broadcast"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    reg = F.broadcast(_t(spark, sf_dir, "region"))
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    """,
+    doc="left_semi join == EXISTS: emits each left row at most once, no "
+    "right-side columns materialized (half the shuffle of an inner join).",
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="left_anti join == NOT EXISTS (customers with no orders).",
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_range_nonequi",
+    """
+    SELECT b.bucket_name,
+           count(*)                     AS n_parts,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
+    FROM part p
+    JOIN (VALUES ('small', 1, 10), ('medium', 11, 25), ('large', 26, 50))
+         AS b(bucket_name, lo, hi)
+      ON p.p_size BETWEEN b.lo AND b.hi
+    GROUP BY b.bucket_name
+    """,
+    doc="Non-equi (range/theta) join: the bucket dim is tiny and constant, "
+    "so Spark plans BroadcastNestedLoopJoin -- the correct physical "
+    "strategy for band joins against a bounded dimension at any scale.",
+    tags=("join", "range"),
+)
+def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("small", 1, 10), ("medium", 11, 25), ("large", 26, 50)],
+        "bucket_name string, lo int, hi int",
+    )
+    return (
+        part.join(
+            F.broadcast(buckets),
+            (part.p_size >= buckets.lo) & (part.p_size <= buckets.hi),
+        )
+        .groupBy("bucket_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (_dsum(_dec("p_retailprice")) / F.count(F.lit(1))).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    """
+    SELECT r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Snowflake dim rollup with explicit broadcast hints: zero shuffle on "
+    "the customer side until the final 5-group aggregation.",
+    tags=("join", "broadcast"),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    reg = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        cust.join(nat, cust.c_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), _dsum(_dec("c_acctbal")).alias("total_bal"))
+    )
+
+
+@query(
+    "join_left_groupby",
+    """
+    SELECT c_custkey,
+           count(o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS spend
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    doc="Outer join preserving unmatched left rows (count=0 customers).",
+    tags=("join", "outer"),
+)
+def join_left_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0)).cast("double").alias("spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (SURVEY 2.5 -- absent in the reference)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="Cumulative frame per customer. Spark shuffles once on the partition "
+    "key then sorts within partitions -- the minimal plan for any window.",
+    tags=("window",),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        )
+    )
+
+
+@query(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+    doc="Top-k per group via row_number -- the scalable alternative to "
+    "sort+limit per key (no global sort; one shuffle on the group key).",
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_lag_delta",
+    """
+    SELECT event_id, user_id,
+           round(value - coalesce(lag(value) OVER w, 0), 2) AS delta_value,
+           coalesce(lead(event_type) OVER w, 'none')        AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="lag/lead analytics over the events stream table (batch form; the "
+    "streaming form is in streaming_queries). Subtraction operands are "
+    "identical raw doubles in both engines, so round() is safe here.",
+    tags=("window", "events"),
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias(
+            "delta_value"
+        ),
+        F.coalesce(F.lead("event_type").over(w), F.lit("none")).alias("next_type"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k (SURVEY 2.6)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sort_topk",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    doc="Global top-k: Spark plans TakeOrderedAndProject -- per-partition "
+    "heap + driver merge of k rows, never a full global sort.",
+    tags=("sort", "topk"),
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Projections / filters (SURVEY 2.2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-07-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="Pure scan+filter+project: all four predicates and the 4-column "
+    "projection push into the parquet reader (verify: PushedFilters / "
+    "ReadSchema in .explain).",
+    tags=("scan", "filter", "pushdown"),
+)
+def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+@query(
+    "case_when_bands",
+    """
+    SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END        AS qty_band,
+           count(*)                    AS n,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM lineitem GROUP BY qty_band
+    """,
+    tags=("filter", "conditional"),
+)
+def case_when_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+        .alias("qty_band")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(band)
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(_dec("l_extendedprice")).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY 2.7)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_ops",
+    """
+    SELECT 'union' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer
+        UNION SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'intersect' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except' AS op, k FROM (
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier)
+    """,
+    doc="UNION (distinct) / INTERSECT / EXCEPT in one tagged result.",
+    tags=("setop",),
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (
+        c.union(s).distinct().select(F.lit("union").alias("op"), "k")
+        .unionByName(c.intersect(s).select(F.lit("intersect").alias("op"), "k"))
+        .unionByName(c.subtract(s).select(F.lit("except").alias("op"), "k"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS status_O,
+           CAST(sum(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS status_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Pivot with explicit value list (never let Spark scan for pivot "
+    "values at scale -- that is an extra job over the full table).",
+    tags=("agg", "pivot"),
+)
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .select(
+            "l_returnflag",
+            F.col("O").alias("status_O"),
+            F.col("F").alias("status_F"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function battery (SURVEY 2.8, F1-F12 analogs on driver fixtures)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           string_split(p_name, ' ')[1]                    AS first_word,
+           CAST(length(p_name) AS BIGINT)                  AS name_len,
+           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS BIGINT) AS brand_num,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')           AS size_padded,
+           concat_ws('-', p_brand, p_type)                 AS brand_type
+    FROM part
+    """,
+    doc="String battery: upper/split/length/regexp_extract/lpad/concat_ws "
+    "(reference F1-F3, F7-F9 analogs -- etl_infrastructure.py:143-146, "
+    "etl_pipeline.py:284-314). All JVM-side, whole-stage codegen.",
+    tags=("scalar", "string"),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("long").alias("brand_num"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d')                        AS order_date,
+           CAST(year(o_orderdate) AS BIGINT)                        AS y,
+           CAST(month(o_orderdate) AS BIGINT)                       AS m,
+           CAST(quarter(o_orderdate) AS BIGINT)                     AS q,
+           CAST(weekofyear(o_orderdate) AS BIGINT)                  AS iso_week,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')   AS month_start,
+           strftime(o_orderdate + INTERVAL 7 DAY, '%Y-%m-%d')       AS plus_week
+    FROM orders
+    """,
+    doc="Date battery (reference F12 upgrade: real date math instead of the "
+    "hardcoded ISO strings at etl_infrastructure.py:215-216). Output as "
+    "formatted strings so the oracle compare is timezone-proof.",
+    tags=("scalar", "date"),
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS"), "yyyy-MM-dd").alias(
+            "plus_week"
+        ),
+    )
+
+
+@query(
+    "math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1)                    AS price_r1,
+           CAST(floor(l_discount * 100) AS BIGINT)      AS disc_pct_floor,
+           CAST(ceil(l_tax * 100) AS BIGINT)            AS tax_pct_ceil,
+           round(abs(l_quantity - 25.0), 2)             AS qty_dev,
+           round(sqrt(l_extendedprice), 6)              AS price_sqrt,
+           CAST(l_partkey % 7 AS BIGINT)                AS pk_mod
+    FROM lineitem
+    """,
+    doc="Math battery (reference F4/F5 coercion analogs). Row-level math on "
+    "identical raw doubles is bit-stable across engines; sqrt is IEEE "
+    "correctly-rounded. Transcendentals (ln/exp) are libm-dependent and "
+    "deliberately excluded from oracle-compared outputs.",
+    tags=("scalar", "math"),
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("disc_pct_floor"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
+        F.round(F.abs(F.col("l_quantity") - 25.0), 2).alias("qty_dev"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        (F.col("l_partkey") % 7).cast("long").alias("pk_mod"),
+    )
+
+
+@query(
+    "try_cast_quarantine",
+    """
+    SELECT props,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL
+                THEN 'quarantine' ELSE 'ok' END AS route
+    FROM events WHERE event_id < 200
+    """,
+    doc="Lenient-coercion + quarantine routing (reference P7/F5: "
+    "etl_pipeline.py:17-30 returns None on failure and drops; here the "
+    "failure is preserved as a routed row -- Spark analog of "
+    "badRecordsPath). JSON extraction maps the reference's json.load reads.",
+    tags=("filter", "quarantine", "json"),
+)
+def try_cast_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    k = F.get_json_object("props", "$.k").try_cast("long")
+    return ev.select(
+        "props",
+        k.alias("k_val"),
+        F.when(k.isNull(), "quarantine").otherwise("ok").alias("route"),
+    )
+
+
+@query(
+    "higher_order_array_fns",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(list_transform(string_split(text, ' ')[1:10],
+                                               t -> upper(t)),
+                                t -> length(t) > 4)) AS BIGINT)   AS n_long_tokens,
+           array_to_string(list_sort(list_filter(string_split(text, ' ')[1:10],
+                                                 t -> length(t) > 4)), ',') AS long_tokens
+    FROM documents WHERE doc_id < 100
+    """,
+    doc="Higher-order array functions (reference F1 bullet-split analog, "
+    "etl_infrastructure.py:143-146): split -> slice -> transform -> filter "
+    "-> sort -> join, all codegen'd, no Python UDF.",
+    tags=("scalar", "array", "hof"),
+)
+def higher_order_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = F.slice(F.split(F.col("text"), " "), 1, 10)
+    long_toks = F.filter(toks, lambda t: F.length(t) > 4)
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.transform(toks, F.upper), lambda t: F.length(t) > 4))
+        .cast("long")
+        .alias("n_long_tokens"),
+        F.array_join(F.array_sort(long_toks), ",").alias("long_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship: the reference's one real query (weekly calendar, SURVEY 3.2)
+# transplanted onto the star schema.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "flagship_weekly_calendar",
+    """
+    SELECT CAST(weekofyear(o_orderdate) AS BIGINT)            AS week,
+           count(*)                                           AS n_items,
+           count(DISTINCT l_orderkey)                         AS n_orders,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           string_agg(DISTINCT o_orderpriority, ','
+                      ORDER BY o_orderpriority)               AS priorities
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(o_orderdate) = 1997
+    GROUP BY week
+    ORDER BY week
+    """,
+    doc="The reference's calendar query (etl_pipeline.py:63-147): flatten -> "
+    "format -> groupBy(week) -> collect -> sort, on driver data. "
+    "collect_set is sorted before joining because intra-group order was "
+    "nondeterministic in the reference too (thread completion, "
+    "etl_pipeline.py:39-41).",
+    tags=("flagship", "agg", "join"),
+)
+def flagship_weekly_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.weekofyear("o_orderdate").cast("long").alias("week"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            _dsum(revenue).alias("revenue"),
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+        )
+        .orderBy("week")
+    )

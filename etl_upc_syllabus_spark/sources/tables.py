@@ -1,0 +1,54 @@
+"""Parquet star-schema source (driver fixtures, TESTDATA.md).
+
+Maps the reference's recursive-glob file scan (S1,
+reference etl_pipeline.py:32-50) onto Spark's format-aware parquet
+source: Catalyst gets predicate pushdown, column pruning and
+partition pruning for free; at 100 TB the same ``spark.read.parquet``
+call fans out over the cluster with one task per row-group split.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor --
+# region/nation are bounded by geography; the others grow with SF.
+BROADCAST_DIMS = ("region", "nation")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # The events fixture stores ts as TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects. Read nanos as long and truncate to
+        # microseconds -- the same truncation DuckDB applies, so oracle
+        # comparisons agree.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so SQL-form queries can run against them."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
