@@ -1,0 +1,217 @@
+"""Deduplication operators for LLM-data pipelines: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard (SURVEY.md north star).
+
+All operators are DataFrame compositions -- explode / groupBy / join,
+no Python UDFs -- so they distribute over arbitrarily many executors:
+
+- **exact**: hash-groupBy on normalized text. One shuffle on the hash;
+  at 100 TB pre-partition the corpus by the hash prefix and dedup
+  becomes per-partition-local.
+- **MinHash + LSH**: shingle -> K salted-min-hashes -> B bands ->
+  band-bucket self-join -> exact-Jaccard verification of candidates
+  only. The band join is the scale path: candidate pairs are
+  O(collisions), never O(n^2).
+- **SimHash**: bitwise-majority signature; near-dups share most bits,
+  so banding the signature gives the same bucket-join scale path.
+- **n-gram Jaccard (exact)**: all-pairs with array_intersect -- the
+  small-N / verification path, quadratic by construction; kept for
+  oracle-checkable ground truth and for verifying LSH candidates.
+
+Portability: the hash family is salted md5 rendered as hex strings
+(min over *strings* is a valid MinHash); md5 is identical in Spark,
+DuckDB, and Python, which makes every signature oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from .textanalysis import norm_text, tokens
+
+HEX = "0123456789abcdef"
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Group identical normalized texts: (text_hash, keeper_id, n_copies).
+
+    The keeper is the minimum id (deterministic). Reference analog: the
+    reference never dedups (one PDF == one record); this is the added
+    pipeline op.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(norm_text(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def survivors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The deduplicated corpus: first row (min id) per normalized text."""
+    w = W.partitionBy(F.md5(norm_text(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def token_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per document: (id, shingle), exploded.
+
+    Exploded long-form keeps the op shuffle-friendly: shingle tables
+    partition by shingle for the LSH band join.
+    """
+    toks = tokens(text_col)
+    # docs with < k tokens yield no shingles (matches the oracle's
+    # range(1, len-k+2), which is empty there); the filter also keeps
+    # element_at in bounds under ANSI mode
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+    )
+    return (
+        df.filter(F.size(toks) >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingle)).alias("shingle"),
+        )
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """Banded MinHash signatures: (id, band, band_hash).
+
+    hash_j(s) = md5(j || ':' || s); the signature element is the
+    lexicographic min -- a valid MinHash permutation per salt j. A
+    band's hash is md5 of its member hashes joined in j order.
+    """
+    j = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
+    hashed = shingles.select("id", j, "shingle").select(
+        "id",
+        "j",
+        F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    sig = hashed.groupBy("id", "j").agg(F.min("h").alias("mh"))
+    return (
+        sig.withColumn("band", (F.col("j") / band_size).cast("long"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda x: x["mh"]
+                    ),
+                    "|",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Distinct id pairs (a < b) sharing at least one LSH band bucket."""
+    left = signatures.select(
+        F.col("id").alias("a"), F.col("band").alias("band_l"), F.col("band_hash").alias("bh_l")
+    )
+    right = signatures.select(
+        F.col("id").alias("b"), F.col("band").alias("band_r"), F.col("band_hash").alias("bh_r")
+    )
+    return (
+        left.join(
+            right,
+            (F.col("band_l") == F.col("band_r"))
+            & (F.col("bh_l") == F.col("bh_r"))
+            & (F.col("a") < F.col("b")),
+        )
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs: (a, b, jaccard).
+
+    Set sizes and intersection counts are exact integers; the final
+    division is the only float op (cross-engine stable).
+    """
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sh_a = shingles.select(F.col("id").alias("a"), "shingle")
+    sh_b = shingles.select(F.col("id").alias("b2"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        pairs.join(sh_a, "a")
+        .join(sh_b, (F.col("b") == F.col("b2")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("id").alias("a"), F.col("n").alias("n_a")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_allpairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2, threshold: float = 0.0
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via array_intersect (a < b).
+
+    Quadratic: this is the ground-truth / small-N path. The scale path
+    is minhash_signatures + lsh_candidate_pairs + jaccard_verify.
+    """
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    shingle_set = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
+    )
+    base = df.filter(F.size(toks) >= k).select(F.col(id_col).alias("id"), shingle_set.alias("sh"))
+    a = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash over distinct tokens: (id, simhash) with simhash as a
+    `bits`-length '0'/'1' string (portable; band it for bucketing).
+
+    bit_j(token) = bit j of the 32-bit value of md5(token)[:8];
+    signature bit j = majority vote over tokens.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("t")
+    )
+    hv = F.expr(
+        "aggregate(sequence(1, 8), CAST(0 AS BIGINT), "
+        f"(acc, i) -> acc * 16 + CAST(locate(substr(md5(t), i, 1), '{HEX}') AS BIGINT) - 1)"
+    )
+    tok = tok.select("id", hv.alias("hv"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    bitv = tok.select("id", "hv", j).select(
+        "id",
+        "j",
+        (2 * F.expr("(hv div CAST(pow(2, j) AS BIGINT)) % 2") - 1).alias("contrib"),
+    )
+    per_bit = bitv.groupBy("id", "j").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "s"))),
+                lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
+            ),
+            "",
+        ).alias("simhash")
+    )

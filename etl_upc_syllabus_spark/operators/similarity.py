@@ -1,0 +1,138 @@
+"""Approximate-nearest-neighbor search over embedding columns
+(SURVEY.md north star: similarity search for LLM-data pipelines).
+
+Two paths, same output shape (query_id, cand_id, cosine, rank):
+
+- **brute force**: broadcast the (small) query set against the full
+  corpus; dot products as zip_with/aggregate column expressions --
+  JVM-side, no Python. Exact baseline; linear in corpus size, so it
+  scales to 100 TB only when the query set is small (which is the
+  common re-ranking / eval case).
+- **random-hyperplane LSH**: 8 deterministic hyperplanes bucket every
+  vector into a 256-way signature; queries only compare against
+  same-bucket candidates. The bucket join is an equi-join on the
+  signature -- shuffle-partitioned, no quadratic blowup. Recall is
+  tunable via planes/bands; this is the 100 TB path.
+
+Hyperplane weights derive from md5 (deterministic, reproducible in
+the DuckDB oracle); cosine values are rounded to 6 decimals *before*
+ranking so rank order is identical across engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+N_PLANES = 8
+PLANE_MOD = 2001  # w = (hv % 2001 - 1000) / 1000  in [-1, 1]
+
+
+def plane_weight(p: int, i: int) -> float:
+    """Deterministic pseudo-random hyperplane weight (md5-derived).
+
+    Mirrored exactly by the DuckDB oracle (strpos-Horner over md5 hex).
+    """
+    hv = int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:8], 16)
+    return (hv % PLANE_MOD - (PLANE_MOD - 1) // 2) / 1000.0
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_pred: Column | None = None,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    query_pred selects the query subset (default vec_id < 10). The
+    query side is broadcast, so the corpus is scanned exactly once
+    with no shuffle -- the right plan when |queries| << |corpus|.
+    """
+    query_pred = query_pred if query_pred is not None else (F.col(id_col) < 10)
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"))
+    sim = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec_col: Column | str, dim: int, n_planes: int = N_PLANES) -> Column:
+    """LSH bucket signature: concatenated sign bits of `n_planes`
+    deterministic hyperplane projections ('10110101'-style string)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(plane_weight(p, i)) for i in range(1, dim + 1)])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, w_: x.cast("double") * w_),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    query_pred: Column | None = None,
+    k: int = 3,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The bucket equi-join replaces the cross join -- at 100 TB this is
+    a plain shuffled hash join on the signature string, with per-bucket
+    fan-in ~ corpus/256 per band.
+    """
+    query_pred = query_pred if query_pred is not None else (F.col(id_col) < 50)
+    bucketed = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(vec_col, dim).alias("bucket"),
+    )
+    q = bucketed.filter(query_pred).select(
+        F.col("id").alias("query_id"), F.col("v").alias("q_emb"), "bucket"
+    )
+    c = bucketed.select(F.col("id").alias("cand_id"), F.col("v").alias("c_emb"), "bucket")
+    sim = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

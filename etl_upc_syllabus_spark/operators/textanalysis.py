@@ -1,0 +1,123 @@
+"""Text-analysis operators for LLM-data pipelines (SURVEY.md north star).
+
+All column builders here are pure ``pyspark.sql.functions`` expression
+trees -- JVM-side, whole-stage-codegen, no Python UDFs -- so they run
+at full scan speed over 100 TB of documents. Every derived value is
+integer/exact arithmetic or deterministic double math so the DuckDB
+oracles in ``plans.text_queries`` hash-match.
+
+The reference has no text analytics at all (it parses PDFs into
+records, reference etl_infrastructure.py); this module is part of the
+blueprint's added LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Constants shared with the DuckDB oracle SQL (plans/_fragments.py).
+PUNCT_CLASS = "[.,;:!?]"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for")
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # tiny deterministic marker lists; argmax with fixed tie-break order
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "les", "et", "une"),
+    "zh": ("de_zh", "shi", "le_zh"),  # placeholder markers (ASCII corpus)
+}
+LANG_ORDER = ("en", "es", "de", "fr", "zh")  # tie-break priority
+
+
+def norm_text(col: Column | str) -> Column:
+    """Whitespace-collapsed, lowercased, trimmed text (dedup canonical form)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(norm_text(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count; 0 for empty/whitespace-only text."""
+    n = norm_text(col)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " "))).cast("long")
+
+
+def _in_list(t: Column, words: tuple[str, ...]) -> Column:
+    return t.isin(*words)
+
+
+def marker_hits(col: Column | str, words: tuple[str, ...]) -> Column:
+    """How many tokens are in the given marker/stopword list."""
+    return F.size(F.filter(tokens(col), lambda t: _in_list(t, words))).cast("long")
+
+
+def punct_count(col: Column | str) -> Column:
+    n = norm_text(col)
+    return (F.length(n) - F.length(F.regexp_replace(n, PUNCT_CLASS, ""))).cast("long")
+
+
+def quality_metrics(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring feature set (length / punctuation / stopword ratios).
+
+    The classic pre-training quality heuristics (Gopher/C4-style rules):
+    all exact-integer counts divided as doubles, so cross-engine stable.
+    """
+    n = norm_text(col)
+    n_chars = F.length(n).cast("long")
+    n_toks = token_count(col)
+    # single-space-joined => total token chars = n_chars - (n_toks - 1)
+    avg_token_len = (n_chars - (n_toks - 1)).cast("double") / n_toks
+    punct_ratio = punct_count(col).cast("double") / n_chars
+    stop_ratio = marker_hits(col, STOPWORDS).cast("double") / n_toks
+    # no rounding: operands are identical doubles in every engine and the
+    # expression is evaluated left-associatively in both, so the raw double
+    # is bit-identical -- while round() would diverge on half-boundaries
+    # (Spark HALF_UP vs DuckDB half-even).
+    score = (
+        0.4 * stop_ratio
+        + 0.3 * F.least(avg_token_len / 8.0, F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_toks,
+        "avg_token_len": avg_token_len,
+        "punct_ratio": punct_ratio,
+        "stop_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """N-gram/stopword-heuristic language ID: argmax of marker hits with a
+    deterministic tie-break (LANG_ORDER). Pure column expressions."""
+    hits = {lang: marker_hits(col, words) for lang, words in LANG_MARKERS.items()}
+    expr = F.lit(LANG_ORDER[-1])
+    # build the CASE chain in reverse so earlier languages win ties
+    for lang in reversed(LANG_ORDER[:-1]):
+        later = LANG_ORDER[LANG_ORDER.index(lang) + 1 :]
+        cond = None
+        for other in later:
+            c = hits[lang] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def char_shingles(col: Column | str, k: int = 8, stride: int = 4) -> Column:
+    """Character k-gram shingles at the given stride over normalized text."""
+    n = norm_text(col)
+    starts = F.sequence(F.lit(1), F.greatest(F.length(n) - (k - 1), F.lit(1)), F.lit(stride))
+    return F.transform(starts, lambda i: F.substr(n, i, F.lit(k)))
+
+
+def fingerprint(col: Column | str, k: int = 8, stride: int = 4) -> Column:
+    """Winnowing-style document fingerprint: min md5 over strided character
+    k-gram shingles (rolling-hash family; deterministic, portable)."""
+    shingles = char_shingles(col, k, stride)
+    return F.array_min(F.transform(shingles, F.md5))

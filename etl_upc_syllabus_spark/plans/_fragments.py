@@ -1,0 +1,103 @@
+"""Shared DuckDB SQL fragments mirroring the Spark operators exactly.
+
+Single source of truth for the word lists / constants lives in
+``operators.textanalysis`` and ``operators.similarity``; this module
+renders their DuckDB-side equivalents so both engines stay in sync.
+"""
+
+from __future__ import annotations
+
+from ..operators.similarity import N_PLANES, PLANE_MOD
+from ..operators.textanalysis import LANG_MARKERS, LANG_ORDER, PUNCT_CLASS, STOPWORDS
+
+HEX = "0123456789abcdef"
+
+# normalized text (whitespace-collapsed lower trim) -- mirrors norm_text()
+NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def hex8_value(expr: str) -> str:
+    """BIGINT value of the first 8 hex chars of md5-ish string `expr`.
+
+    Mirrors the Spark Horner aggregate in operators.dedup / the Python
+    int(md5[:8], 16) in operators.similarity.plane_weight.
+    """
+    terms = []
+    for pos in range(1, 9):
+        mult = 16 ** (8 - pos)
+        terms.append(f"(strpos('{HEX}', substr({expr}, {pos}, 1)) - 1) * {mult}")
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---- text analysis fragments -------------------------------------------
+
+TOKENS = f"string_split({NORM}, ' ')"
+
+N_TOKENS = f"CASE WHEN length({NORM}) = 0 THEN 0 ELSE CAST(len({TOKENS}) AS BIGINT) END"
+
+N_PUNCT = (
+    f"CAST(length({NORM}) - length(regexp_replace({NORM}, '{PUNCT_CLASS}', '', 'g')) AS BIGINT)"
+)
+
+N_STOP = (
+    f"CAST(len(list_filter({TOKENS}, t -> t IN ({sql_list(STOPWORDS)}))) AS BIGINT)"
+)
+
+
+def lang_hits(lang: str) -> str:
+    return (
+        f"CAST(len(list_filter({TOKENS}, t -> t IN ({sql_list(LANG_MARKERS[lang])}))) AS BIGINT)"
+    )
+
+
+def lang_case() -> str:
+    """CASE chain equivalent to operators.textanalysis.lang_id."""
+    clauses = []
+    for idx, lang in enumerate(LANG_ORDER[:-1]):
+        later = LANG_ORDER[idx + 1 :]
+        cond = " AND ".join(f"{lang}_hits >= {o}_hits" for o in later)
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{LANG_ORDER[-1]}' END"
+
+
+# ---- dedup fragments -----------------------------------------------------
+
+
+def shingle_cte(k: int) -> str:
+    """Per-doc distinct k-token shingles (long form) over documents.
+
+    Mirrors operators.dedup.token_shingles: docs with < k tokens yield
+    no rows.
+    """
+    cat = " || ' ' || ".join(f"tk[i + {j}]" for j in range(k))
+    return f"""
+    tok AS (SELECT doc_id, {TOKENS} AS tk FROM documents),
+    sh AS (SELECT DISTINCT doc_id, {cat} AS shingle
+           FROM tok, UNNEST(range(1, len(tk) - {k - 1} + 1)) r(i)
+           WHERE len(tk) >= {k})
+    """
+
+
+# ---- similarity fragments -------------------------------------------------
+
+
+def plane_weights_cte(dim: int) -> str:
+    """Deterministic hyperplane weights mirroring plane_weight(p, i)."""
+    hv = hex8_value("md5(p::VARCHAR || '_' || i::VARCHAR)")
+    half = (PLANE_MOD - 1) // 2
+    return f"""
+    w AS (SELECT p, i, ({hv} % {PLANE_MOD} - {half}) / 1000.0 AS wt
+          FROM UNNEST(range(0, {N_PLANES})) rp(p), UNNEST(range(1, {dim} + 1)) ri(i))
+    """
+
+
+def dims_cte() -> str:
+    """Embedding exploded to (vec_id, i, x) with double elements."""
+    return """
+    dims AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(i))
+    """

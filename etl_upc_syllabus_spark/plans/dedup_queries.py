@@ -1,1 +1,149 @@
-"""Placeholder -- populated in a later milestone."""
+"""Deduplication queries over the documents table (LLM-pipeline surface).
+
+Binds ``operators.dedup`` to the documents fixture with DuckDB oracles.
+The fixture has no planted duplicates, so pair-producing queries verify
+the machinery (hash-identical empty-or-sparse results count); semantic
+catch-the-dup behavior is proven by tests/test_dedup.py on planted
+corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..sources.tables import load_table
+from . import _fragments as fr
+from .registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT md5({fr.NORM}) AS text_hash,
+           min(doc_id)    AS keeper_id,
+           count(*)       AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on normalized text, min-id keeper. One "
+    "shuffle on the hash; at 100 TB this is the cheapest dedup pass and "
+    "runs first in any pipeline.",
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "dedup_minhash_bands",
+    f"""
+    WITH {fr.shingle_cte(3)},
+    mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || shingle)) AS h
+           FROM sh, UNNEST(range(0, 16)) rj(j)
+           GROUP BY doc_id, j)
+    SELECT doc_id,
+           CAST(j // 4 AS BIGINT)                 AS band,
+           md5(string_agg(h, '|' ORDER BY j))     AS band_hash
+    FROM mh GROUP BY doc_id, j // 4
+    """,
+    doc="Banded MinHash signatures (K=16 salted-md5 min-hashes, 4 bands x 4 "
+    "rows). The signature table is the scale artifact: near-dup search "
+    "becomes an equi-join on (band, band_hash) instead of O(n^2) pairs.",
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    return dd.minhash_signatures(sh).select(
+        F.col("id").alias("doc_id"), "band", "band_hash"
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {fr.shingle_cte(3)},
+    mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || shingle)) AS h
+           FROM sh, UNNEST(range(0, 16)) rj(j)
+           GROUP BY doc_id, j),
+    sig AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
+            FROM mh GROUP BY doc_id, j // 4),
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM sig l JOIN sig r ON l.band = r.band AND l.bh = r.bh
+                                   AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS n_inter
+              FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b)
+    SELECT c.a, c.b,
+           CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (na.n + nb.n - coalesce(i.n_inter, 0)) AS jaccard
+    FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+                JOIN sizes na ON na.doc_id = c.a
+                JOIN sizes nb ON nb.doc_id = c.b
+    """,
+    doc="Full MinHash+LSH near-dup pipeline: shingle -> banded signatures -> "
+    "bucket-join candidates -> exact-Jaccard verification of candidates "
+    "only. Candidate count is O(band collisions), never O(n^2) -- the "
+    "100 TB near-dedup path.",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    sig = dd.minhash_signatures(sh)
+    pairs = dd.lsh_candidate_pairs(sig)
+    return dd.jaccard_verify(pairs, sh)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH tok AS (SELECT doc_id, {fr.TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(tk)),
+                                              i -> tk[i] || ' ' || tk[i + 1])) AS sh
+          FROM tok WHERE len(tk) >= 2)
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.02
+    """,
+    doc="Exact all-pairs bigram Jaccard (threshold 0.02): the quadratic "
+    "ground-truth path, kept for verification. At scale use "
+    "dedup_minhash_lsh; this one is O(n^2) by construction.",
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_allpairs(_docs(spark, sf_dir), "doc_id", "text", k=2, threshold=0.02)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (SELECT DISTINCT doc_id, t
+                 FROM (SELECT doc_id, unnest({fr.TOKENS}) AS t FROM documents)),
+    hv AS (SELECT doc_id, {fr.hex8_value("md5(t)")} AS hv FROM tok),
+    bits AS (SELECT doc_id, j,
+                    CASE WHEN (hv // (2 ** j)::BIGINT) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+             FROM hv, UNNEST(range(0, 32)) rj(j)),
+    per AS (SELECT doc_id, j, sum(contrib) AS s FROM bits GROUP BY doc_id, j)
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM per GROUP BY doc_id
+    """,
+    doc="SimHash signatures (32-bit majority over md5-derived token bits, "
+    "rendered as a bit-string). Near-dups differ in few bits; band the "
+    "string for the same LSH bucket-join scale path as MinHash.",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_signatures(_docs(spark, sf_dir), "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )

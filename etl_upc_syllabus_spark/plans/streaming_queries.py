@@ -1,1 +1,78 @@
-"""Placeholder -- populated in a later milestone."""
+"""Streaming queries: genuine Structured Streaming pipelines executed
+to completion against the events fixture, oracle-checked via the
+batch-equivalent SQL (stream/batch symmetry of the DataFrame API).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import load_table
+from ..streaming import events as ev
+from .registry import query
+
+
+@query(
+    "stream_window_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming tumbling-window aggregation run end-to-end: "
+    "file stream -> window(ts, 10 min) x event_type -> memory sink "
+    "(complete mode). Epoch-aligned windows match DuckDB time_bucket. "
+    "At scale: add a watermark + append sink; state stays bounded and "
+    "partitioned by (window, type).",
+    tags=("streaming", "window"),
+)
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.stream_windowed_counts(spark, sf_dir)
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="dropDuplicatesWithinWatermark over a real stream: first sighting "
+    "of each (user_id, event_type) is emitted; the 1 h watermark bounds "
+    "dedup state. The batch oracle is SELECT DISTINCT keys.",
+    tags=("streaming", "dedup"),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.stream_dedup_keys(spark, sf_dir)
+
+
+@query(
+    "stream_sessionization",
+    """
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marks)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')                      AS session_start,
+           strftime(max(ts) + INTERVAL 5 MINUTE, '%Y-%m-%d %H:%M:%S.%f')  AS session_end,
+           count(*)                                                       AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="session_window(ts, 5 min) per user (batch mode -- the operator is "
+    "stream-capable unchanged). Oracle derives sessions via the classic "
+    "lag/gap/cumsum construction; Spark merges events while the next "
+    "arrives strictly within gap, i.e. a new session starts at diff >= "
+    "gap, and session end = last event + gap.",
+    tags=("streaming", "session"),
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sessionized(load_table(spark, sf_dir, "events"))

@@ -1,1 +1,130 @@
-"""Placeholder -- populated in a later milestone."""
+"""Text-analysis queries over the documents table (LLM-pipeline surface).
+
+Each query binds an operator from ``operators.textanalysis`` to the
+documents fixture with a DuckDB oracle built from the shared fragments
+(same constants, same arithmetic shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import textanalysis as ta
+from ..sources.tables import load_table
+from . import _fragments as fr
+from .registry import query
+
+
+@query(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           {fr.N_TOKENS}                        AS n_tokens,
+           CAST(length({fr.NORM}) AS BIGINT)    AS n_chars_norm
+    FROM documents
+    """,
+    doc="Whitespace token counting (the BPE-ish regex variant is in "
+    "text_quality_score's punct handling). Pure codegen'd expressions -- "
+    "scan-speed at any corpus size.",
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ta.token_count("text").alias("n_tokens"),
+        F.length(ta.norm_text("text")).cast("long").alias("n_chars_norm"),
+    )
+
+
+@query(
+    "text_quality_score",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length({fr.NORM}) AS BIGINT) AS n_chars,
+             {fr.N_TOKENS}                     AS n_tokens,
+             {fr.N_PUNCT}                      AS n_punct,
+             {fr.N_STOP}                       AS n_stop
+      FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_punct AS DOUBLE) / n_chars                   AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens                   AS stop_ratio,
+           0.4 * (CAST(n_stop AS DOUBLE) / n_tokens)
+             + 0.3 * least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 8.0, 1.0)
+             + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS quality_score
+    FROM m
+    """,
+    doc="Gopher/C4-style quality heuristics: length, punctuation ratio, "
+    "stopword ratio, composite score. All counts are exact integers; "
+    "ratios are single double divisions (cross-engine stable).",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = ta.quality_metrics("text")
+    return d.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        m["avg_token_len"].alias("avg_token_len"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stop_ratio"].alias("stop_ratio"),
+        m["quality_score"].alias("quality_score"),
+    )
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {fr.lang_hits("en")} AS en_hits,
+             {fr.lang_hits("es")} AS es_hits,
+             {fr.lang_hits("de")} AS de_hits,
+             {fr.lang_hits("fr")} AS fr_hits,
+             {fr.lang_hits("zh")} AS zh_hits
+      FROM documents)
+    SELECT doc_id, lang AS labeled_lang, en_hits, es_hits, de_hits, fr_hits, zh_hits,
+           {fr.lang_case()} AS predicted_lang
+    FROM h
+    """,
+    doc="Stopword-marker language ID: per-language hit counts + argmax with "
+    "deterministic tie-break. The synthetic corpus is English-vocab for "
+    "all labels, so predictions skew 'en' -- the oracle verifies the "
+    "operator, not the corpus labels.",
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[
+            ta.marker_hits("text", ta.LANG_MARKERS[lang]).alias(f"{lang}_hits")
+            for lang in ta.LANG_ORDER
+        ],
+        ta.lang_id("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_aggregate(
+             list_transform(range(1, greatest(length({fr.NORM}) - 7, 1) + 1, 4),
+                            i -> md5(substr({fr.NORM}, i, 8))),
+             'min') AS fingerprint
+    FROM documents
+    """,
+    doc="Winnowing-style rolling fingerprint: min md5 over strided char "
+    "8-grams. Used for fast near-dup prefiltering at scale (fingerprint "
+    "equality ==> high overlap candidate).",
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ta.fingerprint("text").alias("fingerprint"))

@@ -1,0 +1,88 @@
+"""Semantic tests: the dedup operators must actually catch planted
+duplicates (the driver fixtures have none, so oracle parity alone
+would not prove catch-the-dup behavior)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_upc_syllabus_spark.operators import dedup as dd
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the tall fence and the birds sing in the morning sun"
+)
+NEAR = BASE.replace("morning sun", "evening moon")  # ~2-token edit
+OTHER = (
+    "completely different content about spark query engines and their "
+    "catalyst optimizer rules for predicate pushdown and column pruning"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, "  THE  quick brown fox jumps over the lazy dog while the cat watches "
+            "from the tall fence and the birds sing in the morning sun  "),  # normalized dup
+        (4, NEAR),  # near dup of 1
+        (5, OTHER),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized(corpus):
+    res = {r["keeper_id"]: r["n_copies"] for r in dd.exact_dedup(corpus, "doc_id", "text").collect()}
+    assert res[1] == 3  # 1, 2 and whitespace/case variant 3
+    assert res[4] == 1 and res[5] == 1
+
+
+def test_survivors_keep_min_id(corpus):
+    ids = sorted(r["doc_id"] for r in dd.survivors(corpus, "doc_id", "text").collect())
+    assert ids == [1, 4, 5]
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    sh = dd.token_shingles(corpus, "doc_id", "text", k=3)
+    sig = dd.minhash_signatures(sh)
+    pairs = dd.jaccard_verify(dd.lsh_candidate_pairs(sig), sh)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
+    # exact + normalized dups collide on every band (jaccard 1.0)
+    assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0 and got[(2, 3)] == 1.0
+    # near-dup pair is caught with high (not 1.0) jaccard
+    near = [p for p in got if 4 in p and p != (4, 5)]
+    assert near, f"near-dup pair not caught: {got}"
+    assert all(0.5 < got[p] < 1.0 for p in near)
+    # unrelated doc never pairs
+    assert not any(5 in p for p in got)
+
+
+def test_ngram_jaccard_ground_truth(corpus):
+    res = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_allpairs(corpus, "doc_id", "text", k=3, threshold=0.5).collect()
+    }
+    assert res[(1, 2)] == 1.0
+    assert (1, 4) in res and res[(1, 4)] < 1.0
+    assert not any(5 in p for p in res)
+
+
+def test_simhash_near_dups_close_in_hamming(corpus):
+    sigs = {r["id"]: r["simhash"] for r in dd.simhash_signatures(corpus, "doc_id", "text").collect()}
+    assert all(len(s) == 32 for s in sigs.values())
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(sigs[a], sigs[b]))
+
+    assert ham(1, 2) == 0 and ham(1, 3) == 0  # identical token sets
+    assert ham(1, 4) <= 8  # near dup: few bits differ
+    assert ham(1, 5) > ham(1, 4)  # unrelated doc is farther
+
+
+def test_fingerprint_identical_for_dups(spark, corpus):
+    from etl_upc_syllabus_spark.operators.textanalysis import fingerprint
+
+    fp = {r["doc_id"]: r["fp"] for r in corpus.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fp[1] == fp[2] == fp[3]
+    assert fp[1] != fp[5]
