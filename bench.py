@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality_score",
     "similarity_topk_bruteforce",
+    "stream_window_counts",
+    "syllabus_calendar",
 ]
 
 

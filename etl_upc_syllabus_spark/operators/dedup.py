@@ -59,20 +59,23 @@ def token_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Dat
     Exploded long-form keeps the op shuffle-friendly: shingle tables
     partition by shingle for the LSH band join.
     """
-    toks = tokens(text_col)
+    # Materialize the token array ONCE per row before the shingle lambda:
+    # element_at inside transform() would otherwise re-evaluate the whole
+    # tokenize expression (regex + split) per shingle element -- Catalyst
+    # does no common-subexpression elimination across lambda boundaries,
+    # which measured ~900x re-tokenization per document.
+    tk = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
     # docs with < k tokens yield no shingles (matches the oracle's
     # range(1, len-k+2), which is empty there); the filter also keeps
     # element_at in bounds under ANSI mode
+    toks = F.col("tk")
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     shingle = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
     )
     return (
-        df.filter(F.size(toks) >= k)
-        .select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(shingle)).alias("shingle"),
-        )
+        tk.filter(F.size(toks) >= k)
+        .select("id", F.explode(F.array_distinct(shingle)).alias("shingle"))
     )
 
 
@@ -84,27 +87,27 @@ def minhash_signatures(
     hash_j(s) = md5(j || ':' || s); the signature element is the
     lexicographic min -- a valid MinHash permutation per salt j. A
     band's hash is md5 of its member hashes joined in j order.
+
+    Plan shape: all K min-hashes are computed as K aggregate columns in
+    ONE groupBy(id) -- partial aggregation makes the shuffle carry only
+    |docs| x K strings, never the exploded (shingle x K) rows. Bands are
+    then unpivoted row-wise (stack), still shuffle-free.
     """
-    j = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("j")
-    hashed = shingles.select("id", j, "shingle").select(
-        "id",
-        "j",
-        F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("shingle"))).alias("h"),
+    mins = shingles.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
     )
-    sig = hashed.groupBy("id", "j").agg(F.min("h").alias("mh"))
-    return (
-        sig.withColumn("band", (F.col("j") / band_size).cast("long"))
-        .groupBy("id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda x: x["mh"]
-                    ),
-                    "|",
-                )
-            ).alias("band_hash")
-        )
+    n_bands = num_hashes // band_size
+    band_cols = []
+    for b in range(n_bands):
+        members = [f"h{b * band_size + r}" for r in range(band_size)]
+        band_cols.append(F.md5(F.concat_ws("|", *members)).alias(f"b{b}"))
+    banded = mins.select("id", *band_cols)
+    stack = ", ".join(f"CAST({b} AS BIGINT), b{b}" for b in range(n_bands))
+    return banded.select(
+        "id", F.expr(f"stack({n_bands}, {stack}) AS (band, band_hash)")
     )
 
 
@@ -167,12 +170,15 @@ def ngram_jaccard_allpairs(
     Quadratic: this is the ground-truth / small-N path. The scale path
     is minhash_signatures + lsh_candidate_pairs + jaccard_verify.
     """
-    toks = tokens(text_col)
+    tk = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk")).filter(
+        F.size("tk") >= k
+    )
+    toks = F.col("tk")
     idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
     shingle_set = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
     )
-    base = df.filter(F.size(toks) >= k).select(F.col(id_col).alias("id"), shingle_set.alias("sh"))
+    base = tk.select("id", shingle_set.alias("sh"))
     a = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -1,0 +1,103 @@
+"""Driver-contract queries for the syllabus document pipeline.
+
+There are no syllabus tables in the driver fixtures, so these queries
+build a deterministic in-memory raw-document corpus, run the FULL
+distributed pipeline (Arrow parse stage -> quarantine -> calendar
+aggregation), and are checked against hand-computed golden VALUES
+oracles -- the strongest possible check for a parser: the expected
+output is written down, not derived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline import assemble
+from ..pipeline.schema import RAW_DOC_SCHEMA
+from .registry import query
+
+
+def _raw_docs(spark: SparkSession) -> DataFrame:
+    def doc(filename, name, assessments):
+        pages = [
+            "Sílabo de Curso\nI. INFORMACIÓN GENERAL\n"
+            f"Nombre del Curso : {name}\n"
+            "Cuerpo académico : Ana Pérez, Luis Díaz\n"
+            "Créditos : 4\nSemanas : 16\n"
+            "II. MISIÓN Y VISIÓN DE LA UPC\n..."
+        ]
+        units_table = [
+            ["Unidad n. 1: Fundamentos", "", "", "", ""],
+            ["COMPETENCIA (S): base", "", "", "", ""],
+            ["LOGRO DE LA UNIDAD: domina lo", "", "", "", ""],
+            ["básico", "", "", "", ""],  # split row -> merged by C1 repair
+            ["SEMANA", "TEMARIO", "ACTIVIDADES", "EVALUACIONES", "BIBLIOGRAFÍA"],
+            ["Semana 1 - 16", "• t1 • t2", "• a1", "• e1", "• b1"],
+        ]
+        assessments_table = [
+            ["TIPO", "COMPETENCIA", "PESO", "SEMANA", "OBSERVACIÓN", "RECUPERABLE"]
+        ] + [[n, "g1", w, wk, "", rec] for (n, w, wk, rec) in assessments]
+        return (filename, pages, units_table, assessments_table)
+
+    rows = [
+        doc(
+            "UG-202520_1AEL0244-8281.pdf",
+            "Matemática Básica",
+            (("PRÁCTICA PC - 1", "15%", "4", "Sí"), ("EXAMEN FINAL - 1", "85%", "16", "No")),
+        ),
+        doc(
+            "UG-202520_1AEL0321-9001.pdf",
+            "Física I",
+            (("PRÁCTICA PC - 1", "50%", "4", "Sí"), ("EXAMEN FINAL - 1", "50%", "15", "No")),
+        ),
+        ("bad-filename.pdf", ["I. INFORMACIÓN GENERAL"], [], []),
+        (
+            "UG-202520_1AEL0999-2222.pdf",
+            ["I. INFORMACIÓN GENERAL"],
+            [["no es una unidad", "x", "y", "z", "w"]],
+            [],
+        ),
+    ]
+    return spark.createDataFrame(rows, RAW_DOC_SCHEMA)
+
+
+@query(
+    "syllabus_calendar",
+    """
+    SELECT * FROM (VALUES
+      (4,  '•1AEL0244: PRÁCTICA PC  (15.0%)'),
+      (4,  '•1AEL0321: PRÁCTICA PC  (50.0%)'),
+      (15, '•1AEL0321: EXAMEN FINAL  (50.0%)'),
+      (16, '•1AEL0244: EXAMEN FINAL  (85.0%)')
+    ) AS t(week, line)
+    """,
+    doc="Reference parity end-to-end: raw documents (with a split table row "
+    "exercising the C1 repair state machine, etl_pipeline.py:178-219) -> "
+    "Arrow parse stage -> quarantine -> the reference's weekly-calendar "
+    "query (etl_pipeline.py:63-147) -> exploded (week, line) rows against "
+    "a hand-computed golden.",
+    tags=("pipeline", "parity", "flagship"),
+)
+def syllabus_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    good, _ = assemble.split_quarantine(assemble.parse_documents(_raw_docs(spark)))
+    cal = assemble.weekly_calendar(good)
+    return cal.select("week", F.explode("lines").alias("line"))
+
+
+@query(
+    "syllabus_quarantine_counts",
+    """
+    SELECT * FROM (VALUES ('good', CAST(2 AS BIGINT)), ('quarantine', CAST(2 AS BIGINT)))
+      AS t(route, n)
+    """,
+    doc="P7 quarantine routing: bad filename (P1 reject) and unit-grammar "
+    "violation (C1 reject) are preserved as quarantine rows, not dropped "
+    "(reference log-and-None, etl_pipeline.py:28-30).",
+    tags=("pipeline", "quarantine"),
+)
+def syllabus_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    good, bad = assemble.split_quarantine(assemble.parse_documents(_raw_docs(spark)))
+    return good.select(F.lit("good").alias("route")).union(
+        bad.select(F.lit("quarantine").alias("route"))
+    ).groupBy("route").agg(F.count(F.lit(1)).alias("n"))

@@ -63,6 +63,7 @@ def _load_all() -> None:
     """Import every module that registers specs (idempotent)."""
     from . import dedup_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
+    from . import pipeline_queries  # noqa: F401
     from . import relational  # noqa: F401
     from . import similarity_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
