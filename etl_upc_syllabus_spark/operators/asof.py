@@ -1,0 +1,59 @@
+"""As-of (point-in-time) join -- an operator Spark lacks natively
+(SURVEY.md 2.3 'absent joins').
+
+Composition strategy (preferred over applyInPandas/merge_asof): tag and
+union both sides, sort within the key partition by (ts, side-tag), and
+carry the last left-side row forward with last(..., ignorenulls) over
+an unbounded-preceding frame. One shuffle on the key, no Python.
+
+At 100 TB this is the right shape: the union is narrow, the single
+window shuffle partitions by the join key, and skewed keys can be
+salted before the window (each salt sees a contiguous ts subrange) --
+versus merge_asof-in-pandas which caps each key at one task's memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right_ts <= left_ts within the same `on` key (ties: right wins --
+    'at or before' semantics, matching DuckDB ASOF JOIN).
+
+    Returns all left columns plus the requested right columns
+    (null when no right row precedes).
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt = (
+        right.select(
+            F.col(on),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    merged = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        W.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried: list[Column] = [
+        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_cols
+    ]
+    return (
+        merged.select("*", *carried)
+        .filter(F.col("_side") == 1)
+        .drop("_side", "_ts", *[f"_r_{c}" for c in right_cols])
+    )

@@ -1,0 +1,242 @@
+"""Extended operator coverage: as-of join, range window frames,
+from_json, document chunking (UDTF shape), embedding-cosine near-dup,
+grouped-map applyInPandas, and the Arrow scalar-UDF seam
+(SURVEY.md 2.3 absent-joins, 2.5 frames, 2.8 json, 2.10 UDF surface).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from ..functions.text import chunk_starts
+from ..operators.asof import asof_join
+from ..operators.similarity import _dot, _norm, hyperplane_bucket
+from ..operators.textanalysis import norm_text
+from ..sources.tables import load_table
+from . import _fragments as fr
+from .registry import query
+
+
+@query(
+    "join_asof",
+    """
+    SELECT p.event_id, p.user_id,
+           coalesce(c.event_id, -1) AS last_click_id,
+           coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    doc="As-of join (absent in both the reference and native Spark): for "
+    "each purchase, the user's most recent click at-or-before it. "
+    "Composed as union + tag-sort + last(ignorenulls) over an unbounded "
+    "frame -- one shuffle on the key, no Python (operators/asof.py). "
+    "Oracle uses DuckDB's native ASOF JOIN.",
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", right_cols=["event_id", "ts"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce("asof_event_id", F.lit(-1)).alias("last_click_id"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("asof_ts"), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_last_hour,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS val_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE window frame (value-based, vs the ROWS frames elsewhere): "
+    "per-user trailing-hour event count and exact-decimal value sum, "
+    "ordered by epoch microseconds so the frame bound is integer-exact.",
+    tags=("window", "range-frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("val_last_hour"),
+    )
+
+
+@query(
+    "json_struct_extract",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(length(props) AS BIGINT)                         AS props_len
+    FROM events
+    """,
+    doc="Schema-on-read JSON: from_json with an explicit struct schema "
+    "(never schema inference on a 100 TB column). The reference's "
+    "json.load reads (etl_infrastructure.py:162-165) upgraded to "
+    "columnar extraction.",
+    tags=("scalar", "json"),
+)
+def json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        F.length("props").cast("long").alias("props_len"),
+    )
+
+
+@query(
+    "text_chunking",
+    f"""
+    SELECT doc_id,
+           CAST((i - 1) // 100 AS BIGINT) AS chunk_idx,
+           substr({fr.NORM}, i, 120)      AS chunk
+    FROM documents,
+         UNNEST(range(1, greatest(length({fr.NORM}) - 119, 1) + 1, 100)) r(i)
+    """,
+    doc="Doc->chunks fan-out (the UDTF shape of an LLM-pipeline chunker) "
+    "expressed relationally: sequence + posexplode of overlapping "
+    "120-char windows at stride 100 -- no Python UDTF needed, so it "
+    "stays in whole-stage codegen.",
+    tags=("text", "chunking", "udtf"),
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", norm_text("text").alias("norm")
+    )
+    starts = chunk_starts(F.length("norm"), width=120, stride=100)
+    return d.select(
+        "doc_id", "norm", F.posexplode(starts).alias("chunk_idx", "i")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.substr("norm", F.col("i"), F.lit(120)).alias("chunk"),
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH {fr.plane_weights_cte(64)},
+    {fr.dims_cte()},
+    proj AS (SELECT vec_id, p, sum(x * wt) AS dot
+             FROM dims JOIN w USING (i) GROUP BY vec_id, p),
+    sig AS (SELECT vec_id,
+                   string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+            FROM proj GROUP BY vec_id),
+    cand AS (SELECT a.vec_id AS a, b.vec_id AS b
+             FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY vec_id),
+    dots AS (SELECT cand.a, cand.b, sum(da.x * db.x) AS dot
+             FROM cand JOIN dims da ON da.vec_id = cand.a
+                       JOIN dims db ON db.vec_id = cand.b AND db.i = da.i
+             GROUP BY 1, 2)
+    SELECT d.a, d.b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine,
+           d.dot / (na.nrm * nb.nrm) >= 0.95   AS is_dup
+    FROM dots d JOIN norms na ON na.vec_id = d.a
+                JOIN norms nb ON nb.vec_id = d.b
+    """,
+    doc="Embedding-cosine near-dup (the semantic-dedup pass of an LLM data "
+    "pipeline): LSH-bucketed candidate pairs (equi-join on the 8-plane "
+    "signature -- never O(n^2)) with exact cosine verification and a "
+    "0.95 duplicate threshold.",
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        hyperplane_bucket("embedding", dim=64).alias("bucket"),
+    )
+    a = bucketed.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
+    b = bucketed.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cos, 6).alias("cosine"),
+            (cos >= 0.95).alias("is_dup"),
+        )
+    )
+
+
+@query(
+    "grouped_map_rank",
+    """
+    SELECT event_id, user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS BIGINT) AS rnk
+    FROM events
+    """,
+    doc="applyInPandas grouped-map (SURVEY 2.10 UDAF/grouped seam): "
+    "per-user pandas DataFrame in, ranked DataFrame out, via Arrow. "
+    "Deliberately integer-exact output so the Python path is fully "
+    "oracle-checkable. The hot-path equivalent stays JVM-side "
+    "(window_topk_per_group); this query exists to exercise the seam.",
+    tags=("udf", "grouped-map", "pandas"),
+)
+def grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        pdf["rnk"] = range(1, len(pdf) + 1)
+        return pdf[["event_id", "user_id", "rnk"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        rank_group, schema="event_id long, user_id long, rnk long"
+    )
+
+
+@query(
+    "pandas_udf_scalar",
+    f"""
+    SELECT doc_id, {fr.N_TOKENS} AS n_tokens_udf FROM documents
+    """,
+    doc="Arrow scalar pandas_udf seam (SURVEY 2.10): vectorized token "
+    "count in Python, oracle-checked against the SQL tokenizer. The "
+    "production tokenizer is the JVM expression (text_token_count); "
+    "this exercises the Arrow batch path the PDF/multimodal stages use.",
+    tags=("udf", "pandas", "arrow"),
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    @F.pandas_udf(T.LongType())
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        normed = texts.fillna("").map(lambda s: re.sub(r"\s+", " ", s.lower()).strip())
+        return normed.map(lambda s: len(s.split(" ")) if s else 0)
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_tokens("text").alias("n_tokens_udf"))

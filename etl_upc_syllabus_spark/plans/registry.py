@@ -62,6 +62,7 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 def _load_all() -> None:
     """Import every module that registers specs (idempotent)."""
     from . import dedup_queries  # noqa: F401
+    from . import extended_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
     from . import pipeline_queries  # noqa: F401
     from . import relational  # noqa: F401
