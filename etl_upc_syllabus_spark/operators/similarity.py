@@ -103,6 +103,94 @@ def hyperplane_bucket(vec_col: Column | str, dim: int, n_planes: int = N_PLANES)
     return F.concat(*bits)
 
 
+def _sqdist(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_ivf_clusters(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid -> (id, v, cluster). Distances are rounded to 6 decimals
+    before the argmin rank so assignment is engine-stable.
+
+    centroids: (cid, c_emb). Production derives them with k-means
+    (spark.ml KMeans); for deterministic oracle-checked runs the caller
+    may pass any fixed set (e.g. the first n corpus vectors).
+    """
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    d = F.round(_sqdist("v", "c_emb"), 6)
+    w = W.partitionBy("id").orderBy(F.col("dist"), F.col("cid"))
+    return (
+        e.join(F.broadcast(centroids))
+        .select("id", "v", "cid", d.alias("dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "v", F.col("cid").alias("cluster"))
+    )
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    query_pred: Column | None = None,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into inverted lists
+    (cluster -> vectors); each query probes only its `nprobe` nearest
+    lists. At 100 TB the inverted lists are a partitioned table and a
+    probe is an equi-join on cluster id touching |corpus| * nprobe / K
+    vectors -- the classic IVF trade of recall for fan-in.
+
+    Centroids here are the first `n_centroids` corpus vectors
+    (deterministic, oracle-reproducible); swap in spark.ml KMeans fits
+    for production recall.
+    """
+    query_pred = query_pred if query_pred is not None else (
+        (F.col(id_col) >= 10) & (F.col(id_col) < 20)
+    )
+    centroids = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb")
+    )
+    assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col)
+
+    # queries probe their nprobe nearest centroids
+    q = emb.filter(query_pred).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+    dq = F.round(_sqdist("q_emb", "c_emb"), 6)
+    wq = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("cid"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select("query_id", "q_emb", "cid", dq.alias("dist"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_emb", F.col("cid").alias("cluster"))
+    )
+
+    cand = probes.join(
+        assigned.select(F.col("id").alias("cand_id"), F.col("v").alias("c_emb2"), "cluster"),
+        "cluster",
+    ).filter(F.col("query_id") != F.col("cand_id"))
+    sim = F.round(_dot("q_emb", "c_emb2") / (_norm("q_emb") * _norm("c_emb2")), 6)
+    wr = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        cand.select("query_id", "cand_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -14,6 +14,25 @@ from ..sources.tables import load_table
 from . import _fragments as fr
 from .registry import query
 
+# shared CTEs for the IVF oracle: squared distances to the 8 fixed
+# centroids (first corpus vectors), rounded before argmin for
+# engine-stable assignment
+_IVF_CTES = f"""
+    {fr.dims_cte()},
+    cdims AS (SELECT vec_id AS cid, i, x AS cx FROM dims WHERE vec_id < 8),
+    dist AS (SELECT d.vec_id, c.cid, round(sum((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+             FROM dims d JOIN cdims c ON c.i = d.i
+             GROUP BY d.vec_id, c.cid),
+    assigned AS (SELECT vec_id, cid AS cluster FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn FROM dist) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS rn
+                 FROM dist WHERE vec_id >= 10 AND vec_id < 20) WHERE rn <= 2),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY vec_id)
+"""
+
 
 @query(
     "similarity_topk_bruteforce",
@@ -41,6 +60,38 @@ from .registry import query
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_bruteforce(emb, k=5)
+
+
+@query(
+    "similarity_topk_ivf",
+    f"""
+    WITH {_IVF_CTES},
+    cand AS (SELECT p.query_id, a.vec_id AS cand_id
+             FROM probes p JOIN assigned a ON a.cluster = p.cluster
+             WHERE p.query_id != a.vec_id),
+    dots AS (SELECT c.query_id, c.cand_id, sum(dq.x * dc.x) AS dot
+             FROM cand c JOIN dims dq ON dq.vec_id = c.query_id
+                         JOIN dims dc ON dc.vec_id = c.cand_id AND dc.i = dq.i
+             GROUP BY 1, 2),
+    sims AS (SELECT query_id, cand_id, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON nq.vec_id = query_id
+                       JOIN norms nc ON nc.vec_id = cand_id),
+    ranked AS (SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+               FROM sims)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="IVF-style ANN (the second scale path next to LSH): corpus "
+    "coarse-quantized into inverted lists by nearest centroid; each "
+    "query probes its 2 nearest lists only -- an equi-join on cluster "
+    "id touching ~corpus*nprobe/K vectors. Deterministic fixed "
+    "centroids (first 8 corpus vectors) keep it oracle-checkable; "
+    "production swaps in spark.ml KMeans fits.",
+    tags=("similarity", "ann", "ivf"),
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_ivf(emb, n_centroids=8, nprobe=2, k=3)
 
 
 @query(

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.tables import load_table
 from ..streaming import events as ev
+from ..streaming.stateful import stream_user_totals
 from .registry import query
 
 
@@ -33,6 +34,30 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_sliding_window",
+    """
+    WITH starts AS (
+      SELECT event_type, ts, time_bucket(INTERVAL '5 minutes', ts) AS s1 FROM events),
+    exploded AS (
+      SELECT event_type, s1 AS ws FROM starts
+      UNION ALL
+      SELECT event_type, s1 - INTERVAL 5 MINUTE AS ws FROM starts)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n
+    FROM exploded GROUP BY 1, 2
+    """,
+    doc="Sliding windows (10 min width, 5 min slide) over a real stream: "
+    "every event belongs to exactly width/slide = 2 windows. Oracle "
+    "derives both epoch-aligned window starts per event (time_bucket and "
+    "its predecessor).",
+    tags=("streaming", "window", "sliding"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.stream_sliding_counts(spark, sf_dir)
+
+
+@query(
     "stream_dedup",
     """
     SELECT DISTINCT user_id, event_type FROM events
@@ -44,6 +69,25 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.stream_dedup_keys(spark, sf_dir)
+
+
+@query(
+    "stream_stateful_totals",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running totals kept in the state store across "
+    "micro-batches, accumulated as exact integer cents. With the "
+    "bounded fixture the final emission equals the batch groupBy -- "
+    "the oracle.",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_user_totals(spark, sf_dir)
 
 
 @query(

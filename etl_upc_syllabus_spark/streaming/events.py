@@ -69,6 +69,23 @@ def windowed_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     )
 
 
+def sliding_counts(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_stream_to_table(sliding_counts(read_events_stream(spark, sf_dir)), "complete")
+
+
 def sessionized(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     """Session windows per user: a session extends while events arrive
     within `gap` of the previous event; end = last event + gap."""
