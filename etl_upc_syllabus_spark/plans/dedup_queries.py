@@ -94,7 +94,11 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    # The shingle table feeds four consumers (signatures, sizes, both
+    # sides of the intersection join); persist it so tokenization +
+    # explode run once instead of four times. At cluster scale this is
+    # a checkpoint/cache of a few GB per TB of text -- cheap vs 4x scan.
+    sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
     sig = dd.minhash_signatures(sh)
     pairs = dd.lsh_candidate_pairs(sig)
     return dd.jaccard_verify(pairs, sh)

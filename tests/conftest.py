@@ -21,3 +21,7 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running plan/scale tests")

@@ -1,0 +1,102 @@
+"""Property-based tests (SURVEY.md section 5 item 4): JSON round-trip on
+the nested course schema and calendar-aggregate invariance under input
+row order (guards the nondeterminism the reference had via thread
+completion order, etl_pipeline.py:39-41)."""
+
+from __future__ import annotations
+
+import json
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_upc_syllabus_spark.pipeline import assemble
+from etl_upc_syllabus_spark.pipeline.schema import PARSED_COURSE_SCHEMA
+
+# text without control chars / surrogates that JSON+Arrow round-trip cleanly
+txt = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")), min_size=0, max_size=20
+)
+
+unit_st = st.fixed_dictionaries(
+    {
+        "number": st.integers(1, 20),
+        "title": txt,
+        "achievement": txt,
+        "initial_week": st.integers(1, 8),
+        "last_week": st.integers(9, 16),
+        "syllabus": st.lists(txt, max_size=3),
+        "activities": st.lists(txt, max_size=3),
+        "exams": st.lists(txt, max_size=2),
+        "bibliography": st.lists(txt, max_size=2),
+    }
+)
+
+assessment_st = st.fixed_dictionaries(
+    {
+        "name": txt,
+        "abrev": txt,
+        "weight": st.floats(0, 100, allow_nan=False).map(lambda x: round(x, 2)),
+        "week": st.integers(1, 16),
+        "is_recoverable": st.booleans(),
+    }
+)
+
+course_st = st.fixed_dictionaries(
+    {
+        "id": st.from_regex(r"[A-Z0-9]{8}", fullmatch=True),
+        "name": txt,
+        "period": st.sampled_from(["2025-1", "2025-2", "2026-1"]),
+        "faculty": st.lists(txt, max_size=3),
+        "credits": st.integers(0, 10),
+        "weeks": st.just(16),
+        "area": st.lists(txt, max_size=2),
+        "nrc": st.from_regex(r"\d{4}", fullmatch=True),
+        "units": st.lists(unit_st, max_size=2),
+        "assessments": st.lists(assessment_st, max_size=3),
+        "error": st.none(),
+    }
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(course_st, min_size=1, max_size=4))
+def test_json_roundtrip_course_schema(spark, courses):
+    """to_json(from spark rows) -> from_json -> identical rows."""
+    df = spark.createDataFrame(courses, PARSED_COURSE_SCHEMA)
+    as_json = df.select(F.to_json(F.struct(*df.columns)).alias("j"))
+    back = as_json.select(
+        F.from_json("j", PARSED_COURSE_SCHEMA).alias("c")
+    ).select("c.*")
+    a = sorted(df.toJSON().collect())
+    b = sorted(back.toJSON().collect())
+    assert [json.loads(x) for x in a] == [json.loads(x) for x in b]
+
+
+def test_calendar_invariant_under_row_order(spark):
+    """A3 determinism: the calendar aggregate is identical for any
+    permutation of the input courses."""
+    base = [
+        {
+            "id": f"C{i:07d}", "name": f"course {i}", "period": "2025-2",
+            "faculty": [], "credits": 3, "weeks": 16, "area": [], "nrc": f"{1000+i}",
+            "units": [],
+            "assessments": [
+                {"name": f"EX{i}-{j}", "abrev": str(j), "weight": 10.0 * j,
+                 "week": (i + j) % 16 + 1, "is_recoverable": False}
+                for j in range(1, 4)
+            ],
+            "error": None,
+        }
+        for i in range(20)
+    ]
+    results = []
+    for seed in (0, 1, 2):
+        shuffled = base[:]
+        random.Random(seed).shuffle(shuffled)
+        df = spark.createDataFrame(shuffled, PARSED_COURSE_SCHEMA).drop("error")
+        cal = assemble.weekly_calendar(df)
+        results.append([(r["week"], tuple(r["lines"])) for r in cal.collect()])
+    assert results[0] == results[1] == results[2]
