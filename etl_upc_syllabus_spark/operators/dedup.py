@@ -32,6 +32,39 @@ from .textanalysis import norm_text, tokens
 
 HEX = "0123456789abcdef"
 
+# MinHash permutation family: h_j(x) = (a_j * x + b_j) mod p over a
+# 31-bit Mersenne prime. One md5 per shingle gives x; the K permutations
+# are then integer-only, so the per-shingle cost is 1 hash + K mul-adds
+# instead of K md5s (~16x less hashing CPU at 100 TB). Constants are a
+# fixed Weyl-style sequence -- deterministic, shared verbatim with the
+# DuckDB oracle via plans/_fragments.py.
+MERSENNE_P = (1 << 31) - 1
+
+
+def perm_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs for the universal-hash family.
+
+    a_j, x < 2^31 keeps a_j * x + b_j < 2^62: exact in BIGINT in both
+    Spark and DuckDB (no overflow, no bigint/hugeint divergence).
+    """
+    params = []
+    for j in range(num_hashes):
+        a = (2654435761 * (j + 1) + 1) % MERSENNE_P or 1
+        b = (40503 * (j + 1) + 7) % MERSENNE_P
+        params.append((a, b))
+    return params
+
+
+def _hex8_bigint(col_name: str) -> Column:
+    """BIGINT value of the first 8 hex chars of an md5 hex-string column.
+
+    `conv(hex, 16, 10)` stays inside whole-stage codegen (a higher-order
+    `aggregate` Horner would run interpreted per shingle). DuckDB has no
+    conv; the oracle mirrors the value digit-by-digit
+    (plans/_fragments.hex8_value) -- same integer either way.
+    """
+    return F.conv(F.substring(col_name, 1, 8), 16, 10).cast("long")
+
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group identical normalized texts: (text_hash, keeper_id, n_copies).
@@ -84,19 +117,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """Banded MinHash signatures: (id, band, band_hash).
 
-    hash_j(s) = md5(j || ':' || s); the signature element is the
-    lexicographic min -- a valid MinHash permutation per salt j. A
-    band's hash is md5 of its member hashes joined in j order.
+    x(s) = first 8 hex chars of md5(s) as BIGINT, reduced mod p;
+    hash_j(s) = (a_j * x + b_j) mod p -- a universal-hash permutation
+    per j, so min over it is a valid MinHash. One md5 per shingle; the
+    K permutations are integer mul-adds (was K md5s per shingle -- ~16x
+    the hashing CPU). A band's hash is md5 of its member values joined
+    in j order.
 
     Plan shape: all K min-hashes are computed as K aggregate columns in
     ONE groupBy(id) -- partial aggregation makes the shuffle carry only
-    |docs| x K strings, never the exploded (shingle x K) rows. Bands are
+    |docs| x K bigints, never the exploded (shingle x K) rows. Bands are
     then unpivoted row-wise (stack), still shuffle-free.
     """
-    mins = shingles.groupBy("id").agg(
+    # md5 materialized before the Horner lambda (no CSE across lambdas),
+    # then x materialized before the K permutation expressions reuse it.
+    hashed = shingles.select("id", F.md5("shingle").alias("_m")).select(
+        "id", (_hex8_bigint("_m") % MERSENNE_P).alias("x")
+    )
+    mins = hashed.groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))).alias(f"h{j}")
-            for j in range(num_hashes)
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MERSENNE_P).alias(f"h{j}")
+            for j, (a, b) in enumerate(perm_params(num_hashes))
         ]
     )
     n_bands = num_hashes // band_size
@@ -134,29 +175,39 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs: (a, b, jaccard).
 
-    Set sizes and intersection counts are exact integers; the final
-    division is the only float op (cross-engine stable).
+    Shingles are first semi-joined down to the docs that appear in any
+    candidate pair -- at 100 TB that drops the corpus to the (small)
+    near-dup neighborhood before anything heavy happens -- then each
+    surviving doc's distinct shingles are collected to one array and
+    pairs are scored with array_intersect. Per-doc arrays are bounded
+    by document length, and the exploded (doc, shingle) x (doc, shingle)
+    shuffle join of the naive formulation never occurs. Counts are exact
+    integers; the final division is the only float op (cross-engine
+    stable).
     """
-    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sh_a = shingles.select(F.col("id").alias("a"), "shingle")
-    sh_b = shingles.select(F.col("id").alias("b2"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        pairs.join(sh_a, "a")
-        .join(sh_b, (F.col("b") == F.col("b2")) & (F.col("shingle") == F.col("shingle_b")))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # `pairs` feeds three subtrees (both arms of the id union + the
+    # final scoring join); without a persist each one would re-run the
+    # upstream LSH self-join.
+    pairs = pairs.persist()
+    cand_ids = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
     )
+    sets = (
+        shingles.join(cand_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_set("shingle").alias("ss"))
+    )
+    n_inter = F.size(F.array_intersect("ss_a", "ss_b"))
     return (
-        pairs.join(inter, ["a", "b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.select(F.col("id").alias("a"), F.col("n").alias("n_a")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("n_b")), "b")
+        pairs.join(sets.select(F.col("id").alias("a"), F.col("ss").alias("ss_a")), "a")
+        .join(sets.select(F.col("id").alias("b"), F.col("ss").alias("ss_b")), "b")
         .select(
             "a",
             "b",
             (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                n_inter.cast("double") / (F.size("ss_a") + F.size("ss_b") - n_inter)
             ).alias("jaccard"),
         )
     )

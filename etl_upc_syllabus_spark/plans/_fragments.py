@@ -82,6 +82,31 @@ def shingle_cte(k: int) -> str:
     """
 
 
+def minhash_ctes(num_hashes: int = 16, band_size: int = 4) -> str:
+    """Banded-MinHash CTEs over `sh` mirroring minhash_signatures():
+    one md5 per shingle -> x = hex8 % p -> K universal-hash permutations
+    (a_j*x+b_j) % p from the SAME constants (operators.dedup.perm_params),
+    min per (doc, j), band hash = md5 of the '|'-joined mins in j order.
+    Yields CTE `sig(doc_id, band, bh)`.
+    """
+    from ..operators.dedup import MERSENNE_P, perm_params
+
+    rows = ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(perm_params(num_hashes))
+    )
+    x = f"{hex8_value('md5(shingle)')} % {MERSENNE_P}"
+    return f"""
+    perm(j, a, b) AS (VALUES {rows}),
+    hv AS (SELECT doc_id, {x} AS x FROM sh),
+    mh AS (SELECT doc_id, p.j,
+                  min((CAST(p.a AS BIGINT) * x + p.b) % {MERSENNE_P}) AS h
+           FROM hv CROSS JOIN perm p GROUP BY doc_id, p.j),
+    sig AS (SELECT doc_id, CAST(j // {band_size} AS BIGINT) AS band,
+                   md5(string_agg(h::VARCHAR, '|' ORDER BY j)) AS bh
+            FROM mh GROUP BY doc_id, j // {band_size})
+    """
+
+
 # ---- similarity fragments -------------------------------------------------
 
 

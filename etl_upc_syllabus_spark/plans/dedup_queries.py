@@ -43,17 +43,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_bands",
     f"""
     WITH {fr.shingle_cte(3)},
-    mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || shingle)) AS h
-           FROM sh, UNNEST(range(0, 16)) rj(j)
-           GROUP BY doc_id, j)
-    SELECT doc_id,
-           CAST(j // 4 AS BIGINT)                 AS band,
-           md5(string_agg(h, '|' ORDER BY j))     AS band_hash
-    FROM mh GROUP BY doc_id, j // 4
+    {fr.minhash_ctes(16, 4)}
+    SELECT doc_id, band, bh AS band_hash FROM sig
     """,
-    doc="Banded MinHash signatures (K=16 salted-md5 min-hashes, 4 bands x 4 "
-    "rows). The signature table is the scale artifact: near-dup search "
-    "becomes an equi-join on (band, band_hash) instead of O(n^2) pairs.",
+    doc="Banded MinHash signatures (K=16 universal-hash mins over one md5 "
+    "per shingle, 4 bands x 4 rows). The signature table is the scale "
+    "artifact: near-dup search becomes an equi-join on (band, band_hash) "
+    "instead of O(n^2) pairs.",
     tags=("dedup", "minhash"),
 )
 def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -67,11 +63,7 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_lsh",
     f"""
     WITH {fr.shingle_cte(3)},
-    mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || shingle)) AS h
-           FROM sh, UNNEST(range(0, 16)) rj(j)
-           GROUP BY doc_id, j),
-    sig AS (SELECT doc_id, j // 4 AS band, md5(string_agg(h, '|' ORDER BY j)) AS bh
-            FROM mh GROUP BY doc_id, j // 4),
+    {fr.minhash_ctes(16, 4)},
     cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
              FROM sig l JOIN sig r ON l.band = r.band AND l.bh = r.bh
                                    AND l.doc_id < r.doc_id),
@@ -94,10 +86,10 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shingle table feeds four consumers (signatures, sizes, both
-    # sides of the intersection join); persist it so tokenization +
-    # explode run once instead of four times. At cluster scale this is
-    # a checkpoint/cache of a few GB per TB of text -- cheap vs 4x scan.
+    # The shingle table feeds two consumers (signature build + candidate
+    # verification); persist it so tokenization + explode run once. At
+    # cluster scale this is a cache of a few GB per TB of text -- cheap
+    # vs a second full scan.
     sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
     sig = dd.minhash_signatures(sh)
     pairs = dd.lsh_candidate_pairs(sig)
