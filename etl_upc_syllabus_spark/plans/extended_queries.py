@@ -240,3 +240,47 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", n_tokens("text").alias("n_tokens_udf"))
+
+
+@query(
+    "hypertable_rollup",
+    """
+    WITH b AS (SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+                      CAST(hour(ts) AS BIGINT) AS hr,
+                      value
+               FROM events)
+    SELECT coalesce(day, '(all)') AS day,
+           coalesce(hr, -1)       AS hr,
+           CAST(GROUPING(day, hr) AS BIGINT) AS lvl,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM b GROUP BY ROLLUP(day, hr)
+    """,
+    doc="Hypertable-style continuous-aggregate rollup over the events "
+    "table: (day, hour) -> (day) -> grand total in ONE pass. Spark plans "
+    "rollup as Expand + a single shuffle whose key domain is the bucket "
+    "hierarchy -- at 100 TB this replaces three separate scans, and the "
+    "day/hour buckets are what a time-partitioned layout would prune on.",
+    tags=("agg", "rollup", "timeseries"),
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        "value",
+    )
+    return (
+        ev.rollup("day", "hr")
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            F.coalesce("hr", F.lit(-1)).alias("hr"),
+            "lvl",
+            "n",
+            "total_value",
+        )
+    )
