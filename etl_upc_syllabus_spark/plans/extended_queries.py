@@ -284,3 +284,32 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "skew_salted_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Salted join (operators/skew.py): the large side is sharded into 8 "
+    "deterministic salts, the small side replicated 8 ways, so one hot "
+    "key spreads over 8 tasks instead of pinning one executor. The "
+    "oracle is the PLAIN join -- proving salting is semantics-"
+    "preserving. Use when the small side exceeds broadcast and AQE's "
+    "skew splitting can't kick in (e.g. pre-shuffled inputs).",
+    tags=("join", "skew", "scale"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(o, c, F.col("o_custkey") == F.col("c_custkey"), n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
+    )

@@ -630,6 +630,94 @@ def case_when_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_stats",
+    """
+    WITH s AS (SELECT l_returnflag,
+                      count(*) AS n,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                               * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                               * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                               * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (sxx - sx * sx / n) / (n - 1)                   AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1))             AS stddev_qty,
+           (sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+    FROM s
+    """,
+    doc="Distributed second-moment statistics (variance / stddev / "
+    "correlation) from EXACT decimal power sums, finished in float on "
+    "the tiny per-group row. Engine-native stddev()/corr() stream "
+    "doubles in partition order and drift across engines/partitionings; "
+    "exact partial sums make the result deterministic at any "
+    "parallelism -- the only way a 100 TB stats job is reproducible.",
+    tags=("agg", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x, y = _dec("l_quantity"), _dec("l_extendedprice")
+    n = F.count(F.lit(1))
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            _dsum(x).alias("sx"),
+            _dsum(y).alias("sy"),
+            _dsum(x * x).alias("sxx"),
+            _dsum(y * y).alias("syy"),
+            _dsum(x * y).alias("sxy"),
+        )
+    )
+    nn = F.col("n")
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / nn) / (nn - 1)
+    cov_num = F.col("sxy") - F.col("sx") * F.col("sy") / nn
+    var_num_x = F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    var_num_y = F.col("syy") - F.col("sy") * F.col("sy") / nn
+    return s.select(
+        "l_returnflag",
+        "n",
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("stddev_qty"),
+        (cov_num / F.sqrt(var_num_x * var_num_y)).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "window_ntile_dist",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS price_quartile,
+           percent_rank() OVER w           AS pr,
+           cume_dist() OVER w              AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window functions (ntile / percent_rank / cume_dist) "
+    "per priority class. Deterministic under parallelism because the "
+    "frame order carries the o_orderkey tie-break; one shuffle on the "
+    "partition key. The rank ratios are exact small-integer divisions, "
+    "identical in any engine.",
+    tags=("window", "rank"),
+)
+def window_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("price_quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Subquery shapes (TPC-H q4/q6/q13/q17/q18 patterns)
 # --------------------------------------------------------------------------
