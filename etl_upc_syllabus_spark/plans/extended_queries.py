@@ -313,3 +313,68 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "map_functions",
+    """
+    SELECT o_orderkey,
+           o_orderstatus             AS status,
+           upper(o_orderstatus)      AS status_upper,
+           o_orderpriority           AS priority,
+           CAST(2 AS BIGINT)         AS n_keys,
+           'priority,status'         AS keys_csv
+    FROM orders
+    """,
+    doc="MapType battery (maps are transient dicts in the reference, "
+    "SURVEY 1.2): create_map + map_from_arrays + map_concat build a "
+    "per-row map; element_at / transform_values / map_keys read it "
+    "back. The oracle computes the same values relationally -- the map "
+    "round-trip must be lossless. All JVM-side expressions; MapType "
+    "columns shuffle like any other (no UDFs).",
+    tags=("map", "functions"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = F.map_concat(
+        F.create_map(F.lit("status"), F.col("o_orderstatus")),
+        F.map_from_arrays(F.array(F.lit("priority")), F.array(F.col("o_orderpriority"))),
+    )
+    o = o.select("o_orderkey", m.alias("m"))
+    upper_m = F.transform_values("m", lambda _, v: F.upper(v))
+    return o.select(
+        "o_orderkey",
+        F.element_at("m", "status").alias("status"),
+        F.element_at(upper_m, "status").alias("status_upper"),
+        F.element_at("m", "priority").alias("priority"),
+        F.size(F.map_keys("m")).cast("bigint").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_csv"),
+    )
+
+
+@query(
+    "unpivot_melt",
+    """
+    WITH s AS (SELECT l_returnflag,
+                      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS qty,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS price,
+                      CAST(sum(CAST(l_tax AS DECIMAL(4,2))) AS DOUBLE)            AS tax
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'qty' AS measure, qty AS val FROM s
+    UNION ALL SELECT l_returnflag, 'price', price FROM s
+    UNION ALL SELECT l_returnflag, 'tax', tax FROM s
+    """,
+    doc="Unpivot/melt: wide aggregate -> long (measure, val) rows via "
+    "df.unpivot -- planned as a single Expand over the aggregated "
+    "(tiny) input, so the melt itself is shuffle-free. The inverse of "
+    "pivot_agg.",
+    tags=("unpivot", "reshape"),
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("price"),
+        F.sum(F.col("l_tax").cast("decimal(4,2)")).cast("double").alias("tax"),
+    )
+    return wide.unpivot(["l_returnflag"], ["qty", "price", "tax"], "measure", "val")
