@@ -1,0 +1,73 @@
+"""Physical-plan audit tool: prints (or tabulates) the executed plan of
+registry queries so the shuffle/join/pushdown story is inspectable.
+
+Usage:
+    python -m etl_upc_syllabus_spark.explain q5_region_revenue   # full plan
+    python -m etl_upc_syllabus_spark.explain --audit             # PLANS.md table
+
+The audit counts the plan features that decide 100 TB behavior:
+shuffle exchanges, broadcast vs sort-merge joins, whole-stage-codegen
+spans, parquet filter pushdown, and TakeOrderedAndProject (top-k
+without a global sort).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+from .plans import all_specs
+from .session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> tuple[str, str]:
+    """(tree, formatted): toString keeps one node per line for counting;
+    formatted keeps full scan metadata (PushedFilters, ReadSchema) that
+    toString truncates at 100 chars."""
+    qe = df._jdf.queryExecution()
+    sc = df.sparkSession.sparkContext
+    return qe.executedPlan().toString(), sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
+
+
+def audit_row(name: str, tree: str, formatted: str) -> dict[str, object]:
+    return {
+        "query": name,
+        "shuffles": tree.count("Exchange hashpartitioning"),
+        "broadcast_joins": tree.count("BroadcastHashJoin")
+        + tree.count("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": tree.count("SortMergeJoin"),
+        "pushed_filters": "yes" if re.search(r"PushedFilters: \[[^\]]", formatted) else "-",
+        "topk_no_sort": "yes" if "TakeOrderedAndProject" in tree else "-",
+        "python_stage": "yes"
+        if ("ArrowEvalPython" in tree or "FlatMapGroupsInPandas" in tree or "MapInPandas" in tree)
+        else "-",
+    }
+
+
+def main(argv: list[str]) -> None:
+    spark = get_spark("explain", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    specs = all_specs()
+    if argv and argv[0] != "--audit":
+        for name in argv:
+            print(f"=== {name} ===")
+            specs[name].fn(spark, SF_DIR).explain("formatted")
+        return
+    cols = (
+        "query shuffles broadcast_joins sortmerge_joins "
+        "pushed_filters topk_no_sort python_stage"
+    ).split()
+    print("| " + " | ".join(cols) + " |")
+    print("|" + "---|" * len(cols))
+    for name in sorted(specs):
+        try:
+            row = audit_row(name, *plan_of(specs[name].fn(spark, SF_DIR)))
+        except Exception as exc:  # streaming entries materialize; report, don't die
+            row = {c: "(n/a)" for c in cols} | {"query": name + f"  ({type(exc).__name__})"}
+        print("| " + " | ".join(str(row[c]) for c in cols) + " |")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
