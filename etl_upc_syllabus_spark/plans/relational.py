@@ -880,6 +880,124 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: fact-fact-dim join with selective filters on "
+    "both fact tables, grouped revenue, global top-20 "
+    "(TakeOrderedAndProject). The returnflag and date filters push to "
+    "the scans, so the join moves only qualifying rows.",
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_join",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicates spanning "
+    "both join sides. Catalyst derives the per-side implied filters "
+    "(brand IN (...), quantity in the union range) and pushes them "
+    "below the join, so the scans shrink even though the full "
+    "disjunction can only be evaluated after it.",
+    tags=("join", "filter", "disjunction"),
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(_dsum(rev).alias("revenue"))
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    """
+    WITH thr AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                          / count(*) AS ab
+                 FROM customer WHERE c_acctbal > 0.0)
+    SELECT CAST(c.c_nationkey % 5 AS BIGINT) AS cgroup,
+           count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c, thr
+    WHERE c.c_acctbal > thr.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape: scalar-subquery threshold (exact decimal "
+    "avg, broadcast as a 1-row cross join -- never a driver collect) "
+    "plus NOT EXISTS against recent orders as a left_anti join with a "
+    "pushed-down date filter, then a grouped rollup of the "
+    "rich-but-dormant customers.",
+    tags=("join", "anti", "subquery"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg((_dsum(_dec("c_acctbal")) / F.count(F.lit(1))).alias("ab"))
+    )
+    recent = o.filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).cast("bigint").alias("cgroup"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(_dec("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Set operations (SURVEY 2.7)
 # --------------------------------------------------------------------------
