@@ -47,6 +47,20 @@ def token_count(col: Column | str) -> Column:
     return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " "))).cast("long")
 
 
+# GPT-2-style pre-tokenization over normalized (lowercased) text:
+# contraction suffixes, space-prefixed letter runs, digit runs, and
+# punctuation runs. Counting these approximates BPE token counts far
+# better than whitespace words (punctuation and numbers tokenize
+# separately), and the regex dialect subset used here (alternation,
+# classes, ?) behaves identically in Java and DuckDB's RE2.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish pre-token count of the normalized text (0 when empty)."""
+    return F.regexp_count(norm_text(col), F.lit(BPE_PATTERN)).cast("long")
+
+
 def _in_list(t: Column, words: tuple[str, ...]) -> Column:
     return t.isin(*words)
 

@@ -39,6 +39,16 @@ TOKENS = f"string_split({NORM}, ' ')"
 
 N_TOKENS = f"CASE WHEN length({NORM}) = 0 THEN 0 ELSE CAST(len({TOKENS}) AS BIGINT) END"
 
+def _bpe_sql_pattern() -> str:
+    from ..operators.textanalysis import BPE_PATTERN
+
+    return BPE_PATTERN.replace("'", "''")
+
+
+N_BPE_TOKENS = (
+    f"CAST(len(regexp_extract_all({NORM}, '{_bpe_sql_pattern()}')) AS BIGINT)"
+)
+
 N_PUNCT = (
     f"CAST(length({NORM}) - length(regexp_replace({NORM}, '{PUNCT_CLASS}', '', 'g')) AS BIGINT)"
 )

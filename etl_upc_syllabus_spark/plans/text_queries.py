@@ -128,3 +128,28 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", ta.fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "text_token_count_bpe",
+    f"""
+    SELECT doc_id,
+           {fr.N_BPE_TOKENS} AS n_bpe_tokens,
+           {fr.N_TOKENS}     AS n_ws_tokens
+    FROM documents
+    """,
+    doc="BPE-ish pre-tokenization count (GPT-2-style regex: contraction "
+    "suffixes, letter runs, digit runs, punctuation runs) next to the "
+    "whitespace count -- the pair estimates tokens-per-word inflation "
+    "for training-data budgeting. regexp_count is a codegen'd JVM "
+    "expression; the oracle counts the identical RE2-compatible "
+    "pattern's matches.",
+    tags=("text", "tokens", "bpe"),
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ta.bpe_token_count("text").alias("n_bpe_tokens"),
+        ta.token_count("text").alias("n_ws_tokens"),
+    )
