@@ -57,3 +57,52 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .drop("_side", "_ts", *[f"_r_{c}" for c in right_cols])
     )
+
+
+def interval_count_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_s: int,
+) -> DataFrame:
+    """For each left row: how many right rows lie within +/- tolerance
+    of its timestamp. Returns (left_id, n_within) with 0-count rows kept.
+
+    Scale path: a naive range join is O(|L| x |R|). Instead both sides
+    are bucketed by tolerance-width time buckets -- the left row keeps
+    its own bucket, each right row is replicated into the 3 buckets it
+    could match (prev/own/next) -- turning the range join into an
+    EQUI-join on the bucket plus an exact residual range filter. Cost
+    is O(3|R|) replication and one shuffle, never a cross product; the
+    same trick AQE cannot apply automatically because the range
+    condition spans both sides.
+    """
+    tol_us = tolerance_s * 1_000_000
+    lt = left.select(
+        F.col(left_id).alias("_lid"),
+        F.unix_micros(F.col(left_ts)).alias("_lus"),
+    ).withColumn("_bucket", F.floor(F.col("_lus") / tol_us))
+    rt = right.select(F.unix_micros(F.col(right_ts)).alias("_rus")).withColumn(
+        "_bucket", F.explode(
+            F.sequence(
+                F.floor((F.col("_rus") - tol_us) / tol_us),
+                F.floor((F.col("_rus") + tol_us) / tol_us),
+            )
+        )
+    )
+    hits = (
+        lt.join(rt, "_bucket")
+        .filter(F.abs(F.col("_lus") - F.col("_rus")) <= tol_us)
+        .groupBy("_lid")
+        .agg(F.count(F.lit(1)).alias("n_within"))
+    )
+    return (
+        lt.select("_lid")
+        .join(hits, "_lid", "left")
+        .select(
+            F.col("_lid").alias(left_id),
+            F.coalesce("n_within", F.lit(0)).cast("bigint").alias("n_within"),
+        )
+    )

@@ -378,3 +378,34 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_tax").cast("decimal(4,2)")).cast("double").alias("tax"),
     )
     return wide.unpivot(["l_returnflag"], ["qty", "price", "tax"], "measure", "val")
+
+
+@query(
+    "join_interval_bucketed",
+    """
+    WITH err AS (SELECT event_id, ts FROM events WHERE event_type = 'error'),
+    clk AS (SELECT ts FROM events WHERE event_type = 'click'),
+    hits AS (SELECT e.event_id, count(*) AS n
+             FROM err e JOIN clk c
+               ON c.ts BETWEEN e.ts - INTERVAL 60 SECOND
+                           AND e.ts + INTERVAL 60 SECOND
+             GROUP BY e.event_id)
+    SELECT e.event_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_within
+    FROM err e LEFT JOIN hits h ON h.event_id = e.event_id
+    """,
+    doc="Interval join via time-bucketing (operators/asof.py "
+    "interval_count_join): clicks within +/-60 s of each error. The "
+    "range condition becomes an equi-join on tolerance-width buckets "
+    "(right side replicated x3) plus an exact residual filter -- "
+    "O(3|R|) instead of the oracle's O(|L| x |R|) range join, and it "
+    "shuffles on the bucket like any equi-join at 100 TB.",
+    tags=("join", "interval", "timeseries"),
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import interval_count_join
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error")
+    clk = ev.filter(F.col("event_type") == "click")
+    return interval_count_join(err, clk, "event_id", "ts", "ts", 60)
