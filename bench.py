@@ -35,6 +35,7 @@ HEADLINE = [
     "similarity_topk_bruteforce",
     "stream_window_counts",
     "syllabus_calendar",
+    "corpus_curation_pipeline",
 ]
 
 

@@ -153,3 +153,76 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ta.bpe_token_count("text").alias("n_bpe_tokens"),
         ta.token_count("text").alias("n_ws_tokens"),
     )
+
+
+@query(
+    "corpus_curation_pipeline",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, text, source,
+             row_number() OVER (PARTITION BY md5({fr.NORM}) ORDER BY doc_id) AS rn
+      FROM documents),
+    surv AS (SELECT doc_id, text, source FROM ranked WHERE rn = 1),
+    feats AS (
+      SELECT doc_id, source,
+             CAST(length({fr.NORM}) AS BIGINT) AS n_chars,
+             {fr.N_TOKENS}                     AS n_tokens,
+             {fr.N_BPE_TOKENS}                 AS n_bpe,
+             {fr.N_PUNCT}                      AS n_punct,
+             {fr.N_STOP}                       AS n_stop,
+             {fr.lang_hits("en")} AS en_hits, {fr.lang_hits("es")} AS es_hits,
+             {fr.lang_hits("de")} AS de_hits, {fr.lang_hits("fr")} AS fr_hits,
+             {fr.lang_hits("zh")} AS zh_hits
+      FROM surv),
+    scored AS (
+      SELECT doc_id, source, n_tokens, n_bpe,
+             0.4 * (CAST(n_stop AS DOUBLE) / n_tokens)
+               + 0.3 * least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 8.0, 1.0)
+               + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS q,
+             {fr.lang_case()} AS plang
+      FROM feats)
+    SELECT source,
+           count(*)         AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(sum(n_bpe) AS BIGINT)    AS total_bpe_tokens,
+           min(q)           AS min_quality,
+           max(q)           AS max_quality
+    FROM scored
+    WHERE plang = 'en' AND q >= 0.5
+    GROUP BY source
+    """,
+    doc="End-to-end training-corpus curation in ONE declarative plan: "
+    "exact dedup (min-id survivor per normalized hash) -> language "
+    "gate -> quality gate -> per-source token accounting. Catalyst "
+    "fuses the filters into the post-dedup projection, so the corpus "
+    "is scanned once and shuffled twice (dedup window, final agg) "
+    "regardless of how many gates are added. Aggregates are exact "
+    "integer sums and min/max doubles -- order-independent, so the "
+    "result is reproducible at any parallelism (a double sum of "
+    "scores would not be).",
+    tags=("text", "dedup", "pipeline"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import survivors
+
+    d = load_table(spark, sf_dir, "documents")
+    surv = survivors(d, "doc_id", "text")
+    m = ta.quality_metrics("text")
+    scored = surv.select(
+        "source",
+        ta.token_count("text").alias("n_tokens"),
+        ta.bpe_token_count("text").alias("n_bpe"),
+        m["quality_score"].alias("q"),
+        ta.lang_id("text").alias("plang"),
+    )
+    return (
+        scored.filter((F.col("plang") == "en") & (F.col("q") >= 0.5))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+        )
+    )
