@@ -69,6 +69,7 @@ def _load_all() -> None:
     from . import similarity_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import text_queries  # noqa: F401
+    from . import tpch_gap_queries  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:
