@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
+from ..operators.components import connected_components
 from ..sources.tables import load_table
 from . import _fragments as fr
 from .registry import query
@@ -94,6 +95,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dd.minhash_signatures(sh)
     pairs = dd.lsh_candidate_pairs(sig)
     return dd.jaccard_verify(pairs, sh)
+
+
+@query(
+    "dedup_cluster_components",
+    f"""
+    WITH RECURSIVE {fr.shingle_cte(3)},
+    {fr.minhash_ctes(16, 4)},
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM sig l JOIN sig r ON l.band = r.band AND l.bh = r.bh
+                                   AND l.doc_id < r.doc_id),
+    edges AS (SELECT a AS u, b AS v FROM cand
+              UNION SELECT b, a FROM cand),
+    walk(u, label) AS (
+        SELECT DISTINCT u, u FROM edges
+      UNION
+        SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.u)
+    SELECT u AS doc_id, min(label) AS component FROM walk GROUP BY u
+    """,
+    doc="Duplicate-CLUSTER resolution: connected components over the "
+    "MinHash-LSH candidate graph (operators/components.py). Pairs say "
+    "'these two are similar'; curation needs 'keep one per group', "
+    "which is the component. Spark side: iterative min-label "
+    "propagation -- one co-partitioned join + groupBy per round, "
+    "localCheckpoint lineage truncation, distributed convergence "
+    "check; rounds = dup-graph diameter (2-3 in practice). Oracle: "
+    "DuckDB recursive CTE computing the same min-reachable-label. "
+    "Component id = min doc_id in the cluster (deterministic in both "
+    "engines).",
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sh))
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
 
 
 @query(

@@ -58,6 +58,32 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    """
+    SELECT a.user_id,
+           a.event_id AS view_id,
+           b.event_id AS buy_id,
+           epoch_us(b.ts) - epoch_us(a.ts) AS delay_us,
+           b.value AS buy_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-STREAM inner join run end-to-end: views joined to the "
+    "same user's purchases within the next hour, watermarks on both "
+    "sides + a time-range join condition so buffered state expires "
+    "(the bounded-memory requirements for unbounded stream joins). "
+    "Delay is exact integer microseconds (epoch_us vs unix_micros) -- "
+    "no float drift. Oracle: the batch self-join, by stream/batch "
+    "symmetry.",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.stream_stream_attribution(spark, sf_dir)
+
+
+@query(
     "stream_dedup",
     """
     SELECT DISTINCT user_id, event_type FROM events

@@ -131,6 +131,52 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(windowed_counts(read_events_stream(spark, sf_dir)), "complete")
 
 
+def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each 'view' joined to the same user's
+    'purchase' events landing within the following hour.
+
+    Both sides carry watermarks and the join condition bounds purchase
+    time relative to view time, so Spark can expire buffered state on
+    both sides -- the requirements for an unbounded stream-stream join
+    to run with bounded memory. At 100 TB/day the state store holds at
+    most one watermark-window of each stream per user partition.
+    """
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    buys = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("buy_id"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value").alias("buy_value"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "buy_id",
+        (F.unix_micros("buy_ts") - F.unix_micros("view_ts")).alias("delay_us"),
+        "buy_value",
+    )
+    return run_stream_to_table(joined, "append")
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: first sighting of each (user_id, event_type) is
     emitted, duplicates within the watermark are dropped. State is

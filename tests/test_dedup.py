@@ -86,3 +86,37 @@ def test_fingerprint_identical_for_dups(spark, corpus):
     fp = {r["doc_id"]: r["fp"] for r in corpus.select("doc_id", fingerprint("text").alias("fp")).collect()}
     assert fp[1] == fp[2] == fp[3]
     assert fp[1] != fp[5]
+
+
+# ---- connected components (duplicate-cluster resolution) -----------------
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from etl_upc_syllabus_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3 (transitive dup), clique 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    cc = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    summary = {
+        r["component"]: (r["n_members"], r["keeper_id"])
+        for r in dedup_clusters(edges).collect()
+    }
+    assert summary == {1: (3, 1), 10: (3, 10), 20: (2, 20)}
+
+
+def test_connected_components_long_path_converges(spark):
+    from etl_upc_syllabus_spark.operators.components import connected_components
+
+    # path 0-1-2-...-9: worst diameter for label propagation
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "a long, b long")
+    cc = connected_components(edges).collect()
+    assert {r["component"] for r in cc} == {0}
+    assert len(cc) == 10
