@@ -409,3 +409,63 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = ev.filter(F.col("event_type") == "error")
     clk = ev.filter(F.col("event_type") == "click")
     return interval_count_join(err, clk, "event_id", "ts", "ts", 60)
+
+
+_PORTABLE_SQL = """
+    WITH rev AS (
+      SELECT c_nationkey AS nk,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey)
+    SELECT n_name, total,
+           CAST(rank() OVER (ORDER BY total DESC, n_name) AS BIGINT) AS rnk
+    FROM rev JOIN nation ON nk = n_nationkey
+"""
+
+
+@query(
+    "sql_passthrough",
+    _PORTABLE_SQL,
+    doc="The SQL layer itself: spark.sql() over registered views, running "
+    "the LITERAL SAME ANSI string the DuckDB oracle runs (one shared "
+    "constant -- join, CTE, window rank, exact-decimal sum). This is "
+    "the switch-engines contract: a user's ANSI SQL ports verbatim; "
+    "Catalyst still plans it like the DataFrame form (same pushdown, "
+    "same broadcast).",
+    tags=("sql", "window", "join"),
+)
+def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(_PORTABLE_SQL)
+
+
+@query(
+    "source_format_roundtrip",
+    """
+    SELECT f.fmt, n.n_nationkey, n.n_name, n.n_regionkey
+    FROM nation n CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) f(fmt)
+    """,
+    doc="Non-parquet sources (SURVEY 2.1 'absent' list): nation written "
+    "to and re-read from CSV, JSON-lines, and ORC with a declared "
+    "schema (never inferSchema -- that double-reads the data and "
+    "makes types run-dependent at scale), tagged and unioned. The "
+    "oracle is the original table x 3 format tags: any loss or type "
+    "drift in a round-trip breaks the hash.",
+    tags=("source", "formats"),
+)
+def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.formats import roundtrip
+
+    nation = load_table(spark, sf_dir, "nation")
+    out = None
+    base = tempfile.mkdtemp(prefix="spark_fmt_rt_")
+    for fmt in ("csv", "json", "orc"):
+        back = roundtrip(nation, f"{base}/{fmt}", fmt).select(
+            F.lit(fmt).alias("fmt"), "n_nationkey", "n_name", "n_regionkey"
+        )
+        out = back if out is None else out.unionByName(back)
+    return out
