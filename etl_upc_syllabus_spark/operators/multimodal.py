@@ -67,6 +67,73 @@ def decode_video(payload: bytes) -> dict:
 _DECODERS = {"image": decode_image, "audio": decode_audio, "video": decode_video}
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_hash string"
+
+THUMB_SCHEMA = "doc_id bigint, n_chars_in bigint, thumb_w bigint, thumb_h bigint, thumb_hash string"
+
+
+def sample_frames(media: DataFrame, step: int = 5) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled frame (1->N
+    fan-out inside mapInPandas -- the UDTF-shaped decode pattern).
+
+    STUB kernel: n_frames is the deterministic fake from decode
+    (payload_len % 30 + 1) and a 'frame' is identified by md5 of the
+    payload text + frame index; a real ffmpeg kernel drops in without
+    touching the Spark plumbing. Only video rows are decoded -- the
+    filter happens BEFORE the Python stage so image/audio payloads
+    never cross the Arrow boundary.
+    """
+    import hashlib
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                text = raw.decode("utf-8")
+                n_frames = len(raw) % 30 + 1
+                for i in range(0, n_frames, step):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(f"{text}#{i}".encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes})
+
+    videos = media.filter(F.col("media_type") == "video").select("doc_id", "payload")
+    return videos.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
+
+
+def resize_thumbnails(media: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
+    """Resize stage: payload-transforming kernel over Arrow batches.
+
+    STUB kernel: the 'thumbnail' is the first w*h/16 characters of the
+    payload text, hashed -- deterministic, so the transform is oracle-
+    checkable byte-for-byte. A real PIL/opencv resize drops in without
+    touching the batch plumbing. Image rows only, filtered before the
+    Python stage.
+    """
+    import hashlib
+
+    keep = (w * h) // 16
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = [bytes(p).decode("utf-8") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_chars_in": [len(t) for t in texts],
+                    "thumb_w": w,
+                    "thumb_h": h,
+                    "thumb_hash": [
+                        hashlib.md5(t[:keep].encode()).hexdigest() for t in texts
+                    ],
+                }
+            )
+
+    images = media.filter(F.col("media_type") == "image").select("doc_id", "payload")
+    return images.mapInPandas(resize_batches, schema=THUMB_SCHEMA)
+
+
 def extract_media_metadata(media: DataFrame) -> DataFrame:
     """Decode/feature-extract stage: mapInPandas over Arrow batches.
 

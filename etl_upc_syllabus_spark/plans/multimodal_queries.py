@@ -10,7 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import as_media_table, extract_media_metadata
+from ..operators.multimodal import (
+    as_media_table,
+    extract_media_metadata,
+    resize_thumbnails,
+    sample_frames,
+)
 from ..sources.tables import load_table
 from .registry import query
 
@@ -44,3 +49,50 @@ from .registry import query
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return extract_media_metadata(as_media_table(docs, "doc_id", "text"))
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH vids AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) % 30 + 1 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2)
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS frame_idx,
+           md5(text || '#' || i::VARCHAR) AS frame_hash
+    FROM vids, UNNEST(range(0, n_frames, 5)) r(i)
+    """,
+    doc="Frame sampling: video rows fan out 1->N inside mapInPandas "
+    "(UDTF-shaped decode; operators/multimodal.py sample_frames). "
+    "Non-video payloads are filtered before the Python stage so they "
+    "never cross the Arrow boundary. Stub kernel = deterministic "
+    "payload-derived frame count + md5 frame ids; a real ffmpeg "
+    "kernel drops in without touching the plumbing.",
+    tags=("multimodal", "mapInPandas", "fanout"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(as_media_table(docs, "doc_id", "text"), step=5)
+
+
+@query(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_in,
+           CAST(64 AS BIGINT) AS thumb_w,
+           CAST(64 AS BIGINT) AS thumb_h,
+           md5(substr(text, 1, 256)) AS thumb_hash
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+    doc="Resize/thumbnail stage: payload-transforming kernel over Arrow "
+    "batches (operators/multimodal.py resize_thumbnails), image rows "
+    "only, filtered before the Python stage. The stub thumbnail is a "
+    "deterministic prefix of the payload, md5-checked -- proving the "
+    "transform byte-for-byte so a real PIL/opencv resize can drop in.",
+    tags=("multimodal", "mapInPandas"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_thumbnails(as_media_table(docs, "doc_id", "text"), w=64, h=64)
