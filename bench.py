@@ -55,11 +55,17 @@ def main() -> None:
         except Exception:
             pass
 
+    # Best-of-2 per query: the container shares a host whose load can
+    # inflate a single run 3-10x; the min of two runs is a far better
+    # estimate of the plan's actual cost than one arbitrary sample.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

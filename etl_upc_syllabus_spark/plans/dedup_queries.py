@@ -14,13 +14,13 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators.components import connected_components
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
 from .registry import query
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return fan_out(load_table(spark, sf_dir, "documents"))
 
 
 @query(

@@ -18,7 +18,7 @@ from ..functions.text import chunk_starts
 from ..operators.asof import asof_join
 from ..operators.similarity import _dot, _norm, hyperplane_bucket
 from ..operators.textanalysis import norm_text
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
 from .registry import query
 
@@ -127,7 +127,7 @@ def json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "chunking", "udtf"),
 )
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select(
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", norm_text("text").alias("norm")
     )
     starts = chunk_starts(F.length("norm"), width=120, stride=100)
@@ -238,7 +238,7 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         normed = texts.fillna("").map(lambda s: re.sub(r"\s+", " ", s.lower()).strip())
         return normed.map(lambda s: len(s.split(" ")) if s else 0)
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", n_tokens("text").alias("n_tokens_udf"))
 
 

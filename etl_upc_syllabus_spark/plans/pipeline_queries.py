@@ -59,7 +59,11 @@ def _raw_docs(spark: SparkSession) -> DataFrame:
             [],
         ),
     ]
-    return spark.createDataFrame(rows, RAW_DOC_SCHEMA)
+    # createDataFrame spreads 4 rows over defaultParallelism partitions;
+    # a mostly-empty mapInPandas stage then launches one Python worker
+    # per partition. Coalesce to the row count — a real corpus read from
+    # storage gets its partitioning from the source instead.
+    return spark.createDataFrame(rows, RAW_DOC_SCHEMA).coalesce(len(rows))
 
 
 @query(

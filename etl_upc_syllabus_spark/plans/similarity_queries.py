@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import similarity as sim
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
 from .registry import query
 
@@ -58,7 +58,7 @@ _IVF_CTES = f"""
     tags=("similarity", "ann", "bruteforce"),
 )
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return sim.cosine_topk_bruteforce(emb, k=5)
 
 
@@ -90,7 +90,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "ivf"),
 )
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return sim.cosine_topk_ivf(emb, n_centroids=8, nprobe=2, k=3)
 
 
@@ -129,5 +129,5 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "ann", "lsh"),
 )
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return sim.cosine_topk_lsh(emb, dim=64, k=3)

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import textanalysis as ta
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
 from .registry import query
 
@@ -30,7 +30,7 @@ from .registry import query
     tags=("text", "tokens"),
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         ta.token_count("text").alias("n_tokens"),
@@ -63,7 +63,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "quality"),
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     m = ta.quality_metrics("text")
     return d.select(
         "doc_id",
@@ -98,7 +98,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "langid"),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -126,7 +126,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "fingerprint"),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select("doc_id", ta.fingerprint("text").alias("fingerprint"))
 
 
@@ -147,7 +147,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "tokens", "bpe"),
 )
 def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         ta.bpe_token_count("text").alias("n_bpe_tokens"),
@@ -205,7 +205,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import survivors
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     surv = survivors(d, "doc_id", "text")
     m = ta.quality_metrics("text")
     scored = surv.select(

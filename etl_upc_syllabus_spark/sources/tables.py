@@ -48,6 +48,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster for CPU-bound map work.
+
+    The driver fixtures are single-file / single-row-group parquet, so a
+    scan yields one task no matter how many cores exist -- and a
+    regex-heavy per-row stage (quality scoring, shingling, language ID)
+    then runs on one core. Repartitioning a tiny scan costs a sub-MB
+    shuffle and unlocks full parallelism.
+
+    Scale posture: at 100 TB the source already has far more splits than
+    cores, so this is a no-op (the guard below) -- it never introduces a
+    full-data shuffle on a properly partitioned source.
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register temp views so SQL-form queries can run against them."""
     for name in names:
