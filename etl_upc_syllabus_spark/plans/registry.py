@@ -66,6 +66,7 @@ def _load_all() -> None:
     from . import multimodal_queries  # noqa: F401
     from . import pipeline_queries  # noqa: F401
     from . import relational  # noqa: F401
+    from . import sampling_queries  # noqa: F401
     from . import similarity_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import text_queries  # noqa: F401

@@ -1,0 +1,79 @@
+"""Driver-contract queries for deterministic splitting / sampling.
+
+Both queries are pure per-row projections plus one aggregation -- the
+scan fans out, the only shuffle is the final small groupBy. The hash
+family is the engine-portable salted-md5-hex8 used across the repo
+(operators/dedup.py), mirrored digit-by-digit in the DuckDB oracle via
+plans/_fragments.hex8_value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import sampling
+from ..sources.tables import fan_out, load_table
+from . import _fragments as fr
+from .registry import query
+
+_SPLIT_BUCKET = fr.hex8_value("h") + " % 100"
+_SAMPLE_BUCKET = fr.hex8_value("h") + " % 1000"
+
+
+@query(
+    "split_train_val_test",
+    f"""
+    WITH b AS (
+      SELECT n_chars, {_SPLIT_BUCKET} AS bucket
+      FROM (SELECT n_chars, md5(doc_id::VARCHAR || '#split') AS h FROM documents))
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM b GROUP BY 1
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by salted "
+    "content hash (operators/sampling.py hash_split): reproducible "
+    "across runs/engines/partitionings, stable as the corpus grows -- "
+    "the split surface Spark's sample() cannot provide. Per-split "
+    "doc and char counts.",
+    tags=("sampling", "split", "llm-pipeline"),
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    s = sampling.hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@query(
+    "sample_stratified_by_lang",
+    f"""
+    WITH b AS (
+      SELECT lang, doc_id, {_SAMPLE_BUCKET} AS bucket
+      FROM (SELECT lang, doc_id, md5(doc_id::VARCHAR || '#sample') AS h FROM documents))
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 250 ELSE 1000 END
+    GROUP BY lang
+    """,
+    doc="Per-stratum deterministic downsampling (operators/sampling.py "
+    "stratified_sample): cap the over-represented language at 25% while "
+    "keeping the rest -- the rebalancing shape of corpus curation. "
+    "Hash-threshold per row, no shuffle before the final count; "
+    "id_checksum pins the exact kept set, not just its size.",
+    tags=("sampling", "stratified", "llm-pipeline"),
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    kept = sampling.stratified_sample(d, "lang", {"en": 0.25}, "doc_id", default_rate=1.0)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )

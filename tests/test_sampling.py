@@ -1,0 +1,59 @@
+"""Invariants of deterministic splitting / sampling (operators/sampling.py):
+splits partition the input exactly; assignment is content-determined, so
+it survives repartitioning and corpus growth; stratified sampling keeps
+a subset with per-stratum rates near their targets."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_upc_syllabus_spark.operators import sampling
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("lang"),
+    )
+
+
+def test_split_partitions_input(spark):
+    d = _docs(spark)
+    got = dict(
+        sampling.hash_split(d, "doc_id", WEIGHTS)
+        .groupBy("split").count().collect()
+    )
+    assert set(got) == set(WEIGHTS)
+    assert sum(got.values()) == 2000
+    # Within 5 points of target on 2000 ids -- deterministic, not a flake gate.
+    for name, w in WEIGHTS.items():
+        assert abs(got[name] / 2000 - w) < 0.05, (name, got)
+
+
+def test_split_stable_under_repartition_and_growth(spark):
+    d = _docs(spark)
+    base = {r["doc_id"]: r["split"] for r in sampling.hash_split(d, "doc_id", WEIGHTS).collect()}
+    shuffled = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(d.repartition(13), "doc_id", WEIGHTS).collect()
+    }
+    assert base == shuffled
+    grown = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(_docs(spark, 4000), "doc_id", WEIGHTS).collect()
+    }
+    assert all(grown[k] == v for k, v in base.items())
+
+
+def test_stratified_sample_is_exact_subset_with_rates(spark):
+    d = _docs(spark)
+    kept = sampling.stratified_sample(d, "lang", {"0": 0.2, "1": 0.5}, "doc_id")
+    rows = kept.collect()
+    all_ids = {r["doc_id"] for r in d.collect()}
+    assert {r["doc_id"] for r in rows} <= all_ids
+    by_lang = dict(kept.groupBy("lang").count().collect())
+    assert abs(by_lang["0"] / 500 - 0.2) < 0.08
+    assert abs(by_lang["1"] / 500 - 0.5) < 0.08
+    assert by_lang["2"] == 500 and by_lang["3"] == 500  # default_rate=1.0
