@@ -79,3 +79,44 @@ def stratified_sample(
     for value, rate in rates.items():
         thr = F.when(F.col(stratum_col) == value, int(round(rate * buckets))).otherwise(thr)
     return df.withColumn("_keep", b < thr).where(F.col("_keep")).drop("_keep")
+
+
+def rebalance_mixture(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, int],
+    id_col: str,
+    salt: str = "mixture",
+    buckets: int = 1000,
+) -> DataFrame:
+    """Downsample strata so the output matches target mixture weights.
+
+    The data-mixing step of a pretraining pipeline: given integer
+    percentage ``weights`` (summing to 100), find the largest output
+    size reachable without upsampling any stratum (water-filling:
+    ``n_out = min_s(count_s * 100 div w_s)``), derive one keep-threshold
+    per stratum, and hash-filter. All threshold math is BIGINT integer
+    division so a SQL oracle reproduces it exactly -- no float rounding
+    seam between engines.
+
+    Shape at scale: one tiny per-stratum count agg, a scalar min, and a
+    broadcast join of the (stratum, threshold) table back onto the
+    corpus scan -- the full data is never shuffled.
+    """
+    if sum(weights.values()) != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    spark = df.sparkSession
+    w = spark.createDataFrame(list(weights.items()), f"{stratum_col} string, _w long")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n")).join(w, stratum_col)
+    n_out = counts.select(F.min(F.expr("_n * 100 DIV _w")).alias("_n_out"))
+    thr = (
+        counts.crossJoin(F.broadcast(n_out))
+        .withColumn("_thr", F.expr(f"({buckets} * ((_n_out * _w) DIV 100)) DIV _n"))
+        .select(stratum_col, "_thr")
+    )
+    b = hash_bucket(id_col, buckets, salt)
+    return (
+        df.join(F.broadcast(thr), stratum_col)
+        .where(b < F.col("_thr"))
+        .drop("_thr")
+    )

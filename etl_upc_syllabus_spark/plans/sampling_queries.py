@@ -77,3 +77,51 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+_CORPUS = (
+    "CASE WHEN CAST(substr(source, 4, 8) AS INT) <= 6 THEN 'web' "
+    "WHEN CAST(substr(source, 4, 8) AS INT) <= 13 THEN 'wiki' "
+    "ELSE 'books' END"
+)
+
+
+@query(
+    "corpus_mixture_rebalance",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_CORPUS} AS corpus,
+             {_SAMPLE_BUCKET.replace("h", "md5(doc_id::VARCHAR || '#mixture')")} AS bucket
+      FROM documents),
+    c AS (SELECT corpus, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY corpus),
+    w AS (SELECT * FROM (VALUES ('web', 50), ('wiki', 30), ('books', 20)) t(corpus, w)),
+    no AS (SELECT min(n * 100 // w) AS n_out FROM c JOIN w USING (corpus)),
+    thr AS (SELECT corpus, (1000 * ((n_out * w) // 100)) // n AS thr
+            FROM c JOIN w USING (corpus) CROSS JOIN no)
+    SELECT corpus,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM d JOIN thr USING (corpus)
+    WHERE bucket < thr
+    GROUP BY corpus
+    """,
+    doc="Pretraining data mixing (operators/sampling.py "
+    "rebalance_mixture): water-fill the largest output satisfying "
+    "50/30/20 corpus weights without upsampling, then hash-filter each "
+    "stratum to its computed keep-threshold. BIGINT-only threshold "
+    "math (DIV mirrors //), so the kept set is engine-exact. Plan: "
+    "tiny count agg + broadcast of (stratum, threshold) back onto the "
+    "fanned-out scan -- the corpus itself is never shuffled.",
+    tags=("sampling", "mixture", "llm-pipeline"),
+)
+def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents")).withColumn(
+        "corpus", F.expr(_CORPUS)
+    )
+    kept = sampling.rebalance_mixture(
+        d, "corpus", {"web": 50, "wiki": 30, "books": 20}, "doc_id"
+    )
+    return kept.groupBy("corpus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )

@@ -57,3 +57,19 @@ def test_stratified_sample_is_exact_subset_with_rates(spark):
     assert abs(by_lang["0"] / 500 - 0.2) < 0.08
     assert abs(by_lang["1"] / 500 - 0.5) < 0.08
     assert by_lang["2"] == 500 and by_lang["3"] == 500  # default_rate=1.0
+
+
+def test_rebalance_mixture_waterfills_without_upsampling(spark):
+    # 1200/600/200 rows of a/b/c, targets 50/30/20: c is the binding
+    # stratum (200*100//20 = 1000 = n_out), so targets are 500/300/200.
+    d = _docs(spark, 2000).withColumn(
+        "src",
+        F.when(F.col("doc_id") < 1200, "a").when(F.col("doc_id") < 1800, "b").otherwise("c"),
+    )
+    kept = sampling.rebalance_mixture(d, "src", {"a": 50, "b": 30, "c": 20}, "doc_id")
+    got = dict(kept.groupBy("src").count().collect())
+    assert got["c"] == 200  # binding stratum kept whole (threshold = buckets)
+    # hash-threshold keeps ~target; exact count varies binomially
+    assert abs(got["a"] - 500) <= 50 and abs(got["b"] - 300) <= 40, got
+    # never upsample
+    assert got["a"] <= 1200 and got["b"] <= 600
