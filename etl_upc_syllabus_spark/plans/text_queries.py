@@ -226,3 +226,56 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("q").alias("max_quality"),
         )
     )
+
+
+@query(
+    "text_quality_quantile_gate",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CAST(length({fr.NORM}) AS BIGINT) AS n_chars,
+             {fr.N_TOKENS}                     AS n_tokens,
+             {fr.N_PUNCT}                      AS n_punct,
+             {fr.N_STOP}                       AS n_stop
+      FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             0.4 * (CAST(n_stop AS DOUBLE) / n_tokens)
+               + 0.3 * least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 8.0, 1.0)
+               + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / n_chars) AS q
+      FROM m),
+    r AS (
+      SELECT lang, doc_id, q,
+             percent_rank() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS pr
+      FROM s)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           min(q) AS min_q_kept,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum
+    FROM r WHERE pr <= 0.25 GROUP BY lang
+    """,
+    doc="Quantile-gated quality filtering: keep each language's top "
+    "quartile by composite quality score (percent_rank windowed per "
+    "lang, doc_id tie-break so the cut is deterministic). The "
+    "percentile-threshold curation shape -- absolute score cutoffs "
+    "don't transfer across languages, rank cutoffs do. One window "
+    "shuffle on lang; min/count/sum outputs are engine-exact.",
+    tags=("text", "quality", "window", "llm-pipeline"),
+)
+def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    m = ta.quality_metrics("text")
+    s = d.select("doc_id", "lang", m["quality_score"].alias("q"))
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), "doc_id")
+    r = s.withColumn("pr", F.percent_rank().over(w))
+    return (
+        r.where(F.col("pr") <= 0.25)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("q").alias("min_q_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+    )
