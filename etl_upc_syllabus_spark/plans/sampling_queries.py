@@ -125,3 +125,61 @@ def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+@query(
+    "sequence_packing",
+    f"""
+    WITH b AS (
+      SELECT doc_id, n_chars, {_SPLIT_BUCKET.replace("h", "md5(doc_id::VARCHAR || '#pack')")} % 8 AS bucket
+      FROM documents),
+    c AS (
+      SELECT bucket, doc_id, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM b),
+    p AS (
+      SELECT bucket, doc_id, n_chars,
+             CAST((cum - n_chars) // 4096 AS BIGINT) AS pack_id FROM c)
+    SELECT bucket, pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM p GROUP BY bucket, pack_id
+    """,
+    doc="Sequence packing for training batches: assign consecutive "
+    "documents to fixed 4096-char budget packs via a running sum and "
+    "integer division (greedy streaming pack; a pack overflows by at "
+    "most one document). Packing runs INSIDE 8 deterministic hash "
+    "buckets, not one global window -- a global ORDER BY window "
+    "serializes onto a single partition at 100 TB, while per-bucket "
+    "windows scale linearly and keep pack ids stable. BIGINT-only "
+    "math (DIV mirrors //); window frame is deterministic via the "
+    "doc_id order.",
+    tags=("sampling", "packing", "window", "llm-pipeline"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    b = d.select(
+        "doc_id",
+        "n_chars",
+        (sampling.hash_bucket("doc_id", 100, "pack") % 8).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = b.withColumn("cum", F.sum("n_chars").over(w)).withColumn(
+        "pack_id", F.expr("(cum - n_chars) DIV 4096")
+    )
+    return p.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    )

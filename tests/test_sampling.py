@@ -73,3 +73,24 @@ def test_rebalance_mixture_waterfills_without_upsampling(spark):
     assert abs(got["a"] - 500) <= 50 and abs(got["b"] - 300) <= 40, got
     # never upsample
     assert got["a"] <= 1200 and got["b"] <= 600
+
+
+def test_sequence_packing_invariants(spark, sf_dir):
+    from etl_upc_syllabus_spark.plans import all_specs
+    from etl_upc_syllabus_spark.sources.tables import load_table
+
+    packs = all_specs()["sequence_packing"].fn(spark, sf_dir).collect()
+    max_doc = load_table(spark, sf_dir, "documents").agg(F.max("n_chars")).first()[0]
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in packs) == n_docs_total  # every doc packed once
+    by_bucket = {}
+    for r in packs:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+        # a greedy streaming pack overflows its budget by at most one document
+        assert r["sum_chars"] < 4096 + max_doc, r
+        assert r["n_docs"] >= 1
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: r["pack_id"])
+        # packs take consecutive doc_id ranges within their bucket
+        for a, b in zip(rows, rows[1:]):
+            assert a["last_doc"] < b["first_doc"], (a, b)
