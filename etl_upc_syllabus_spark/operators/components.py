@@ -83,6 +83,16 @@ def connected_components(
         labels = updated.select("u", F.col("new_label").alias("label"))
         if n_changed == 0:
             break
+    else:
+        # Fell through the cap with labels still moving: the graph's
+        # diameter exceeds max_iterations and the labels are NOT final
+        # component ids. Returning them silently would hand wrong
+        # clusters to a dedup pipeline, so fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({n_changed} labels still changing); raise "
+            "max_iterations or switch to the large-star/small-star variant"
+        )
 
     return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
 

@@ -186,9 +186,13 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     stable).
     """
     # `pairs` feeds three subtrees (both arms of the id union + the
-    # final scoring join); without a persist each one would re-run the
-    # upstream LSH self-join.
-    pairs = pairs.persist()
+    # final scoring join); without materialization each one would re-run
+    # the upstream LSH self-join. Eager localCheckpoint instead of
+    # persist(): blocks are reference-tracked and freed when the
+    # DataFrame is GC'd, so repeated invocations (registry runs,
+    # benchmarks) don't accumulate cached blocks for the session's
+    # lifetime.
+    pairs = pairs.localCheckpoint(eager=True)
     cand_ids = (
         pairs.select(F.col("a").alias("id"))
         .union(pairs.select(F.col("b").alias("id")))

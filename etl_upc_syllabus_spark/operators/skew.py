@@ -52,10 +52,18 @@ def salted_join(
     """Equi-join with the skewed large side salted into n_salts shards.
 
     `on` is the ordinary join condition; the salt equality is added on
-    top. Semantics are identical to large.join(small, on, how): each
-    large row carries exactly one salt and meets exactly one replica of
-    each matching small row.
+    top. For how in {'inner', 'left'} semantics are identical to
+    large.join(small, on, how): each large row carries exactly one salt
+    and meets exactly one replica of each matching small row. Other
+    join types are rejected: the small side is replicated n_salts
+    times, so 'right'/'full' would emit each unmatched small row once
+    per replica, and semi/anti flip which side survives.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner', 'left'}}, got {how!r}: "
+            "the replicated right side breaks right/full/semi/anti semantics"
+        )
     left = salted(large, n_salts, "_salt_l")
     right = replicate(small, n_salts, "_salt_r")
     return (

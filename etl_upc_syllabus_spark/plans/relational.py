@@ -225,20 +225,49 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx",
-    None,  # approximate results differ across engines by design -> rows-only
-    doc="Sketch aggregates: HyperLogLog++ distinct + t-digest-style quantile. "
-    "These are THE 100 TB aggregation path (mergeable, fixed memory); "
-    "values are engine-specific so the oracle is rows-only.",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT)  AS exact_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(1 AS BIGINT) AS parts_ok,
+           CAST(1 AS BIGINT) AS orders_ok,
+           CAST(1 AS BIGINT) AS median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Sketch aggregates: HyperLogLog++ distinct + t-digest-style quantile "
+    "-- THE 100 TB aggregation path (mergeable, fixed memory). Sketch "
+    "values are engine-specific, so the query verifies its own error "
+    "bound instead of exporting raw estimates: each group emits the "
+    "exact values plus booleans-as-BIGINT asserting |approx - exact| / "
+    "exact <= 3*rsd (HLL++, rsd=0.05) and a 5% relative band for the "
+    "approximate median. The oracle emits the exact values and literal "
+    "1s, so the hash comparison is a deterministic pass/fail verdict on "
+    "the sketch accuracy.",
     tags=("agg", "approx"),
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rsd = 0.05
+    within = lambda approx, exact, tol: (  # noqa: E731
+        (F.abs(F.col(approx) - F.col(exact)) / F.col(exact)) <= tol
+    ).cast("long")
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            F.round(F.percentile_approx("l_extendedprice", 0.5), 0).alias("approx_median_price"),
+            F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+            F.countDistinct("l_orderkey").cast("long").alias("exact_orders"),
+            F.approx_count_distinct("l_partkey", rsd).alias("_approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd).alias("_approx_orders"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("_exact_median"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("_approx_median"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            within("_approx_parts", "exact_parts", 3 * rsd).alias("parts_ok"),
+            within("_approx_orders", "exact_orders", 3 * rsd).alias("orders_ok"),
+            within("_approx_median", "_exact_median", 0.05).alias("median_ok"),
         )
     )
 

@@ -91,7 +91,7 @@ _CORPUS = (
     f"""
     WITH d AS (
       SELECT doc_id, {_CORPUS} AS corpus,
-             {_SAMPLE_BUCKET.replace("h", "md5(doc_id::VARCHAR || '#mixture')")} AS bucket
+             {fr.hex8_value("md5(doc_id::VARCHAR || '#mixture')")} % 1000 AS bucket
       FROM documents),
     c AS (SELECT corpus, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY corpus),
     w AS (SELECT * FROM (VALUES ('web', 50), ('wiki', 30), ('books', 20)) t(corpus, w)),
@@ -131,7 +131,7 @@ def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing",
     f"""
     WITH b AS (
-      SELECT doc_id, n_chars, {_SPLIT_BUCKET.replace("h", "md5(doc_id::VARCHAR || '#pack')")} % 8 AS bucket
+      SELECT doc_id, n_chars, {fr.hex8_value("md5(doc_id::VARCHAR || '#pack')")} % 100 % 8 AS bucket
       FROM documents),
     c AS (
       SELECT bucket, doc_id, n_chars,
