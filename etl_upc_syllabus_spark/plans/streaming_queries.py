@@ -22,11 +22,14 @@ from .registry import query
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
-    doc="Structured Streaming tumbling-window aggregation run end-to-end: "
-    "file stream -> window(ts, 10 min) x event_type -> memory sink "
-    "(complete mode). Epoch-aligned windows match DuckDB time_bucket. "
-    "At scale: add a watermark + append sink; state stays bounded and "
-    "partitioned by (window, type).",
+    doc="Structured Streaming tumbling-window aggregation run end-to-end "
+    "in production shape: file stream -> withWatermark(ts) -> "
+    "window(ts, 10 min) x event_type -> APPEND-mode sink. Each window "
+    "is emitted exactly once when the watermark passes its end and its "
+    "state is evicted -- bounded state at any scale. Far-future "
+    "sentinel batches advance the watermark so the finite fixture "
+    "flushes every window (a live stream's later events do this "
+    "naturally). Epoch-aligned windows match DuckDB time_bucket.",
     tags=("streaming", "window"),
 )
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,10 +50,11 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n
     FROM exploded GROUP BY 1, 2
     """,
-    doc="Sliding windows (10 min width, 5 min slide) over a real stream: "
-    "every event belongs to exactly width/slide = 2 windows. Oracle "
-    "derives both epoch-aligned window starts per event (time_bucket and "
-    "its predecessor).",
+    doc="Sliding windows (10 min width, 5 min slide) over a real stream, "
+    "watermarked + append mode (bounded state, exactly-once window "
+    "emission): every event belongs to exactly width/slide = 2 windows. "
+    "Oracle derives both epoch-aligned window starts per event "
+    "(time_bucket and its predecessor).",
     tags=("streaming", "window", "sliding"),
 )
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:

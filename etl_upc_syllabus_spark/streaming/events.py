@@ -19,12 +19,21 @@ partitioned by group key across executors; watermarks bound state size
 from __future__ import annotations
 
 import itertools
+import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MEMSINK_IDS = itertools.count()
+
+#: Event type of the watermark-flush sentinel rows (see _staged_flush_dir).
+SENTINEL_TYPE = "_wm_flush"
+
+# Far-future sentinel event times (nanos): 2100-01-01 and 2100-01-02.
+_SENTINEL_TS_NS = (4102444800 * 10**9, 4102531200 * 10**9)
 
 # ts is TIMESTAMP(NANOS) in the fixture parquet; Spark must read it as
 # long (see sources.tables.load_table) and convert to micros.
@@ -40,20 +49,87 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events fixture (one file today; a
     directory files keep landing in, in production)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def windowed_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
-    """Tumbling-window counts+sums per event type (exact decimal sum)."""
+def _staged_flush_dir(sf_dir: str) -> str:
+    """Stage the events fixture next to two far-future sentinel files.
+
+    Append-mode windowed aggregation only emits a window once the
+    watermark passes its end; on a finite stream the trailing windows
+    would stay in the state store forever (exactly as they should on a
+    live stream, where later events eventually close them). The staged
+    directory plays the role of those later events: two sentinel rows
+    dated 2100, in their own files with ascending mtimes, are consumed
+    as separate micro-batches (maxFilesPerTrigger=1, oldest-first), so
+    the watermark advances past every real window and the *second*
+    sentinel batch -- a data batch, hence ordered before
+    processAllAvailable() returns -- emits them all deterministically
+    (no reliance on the async no-data micro-batch).
+
+    The directory is content-keyed by fixture path+size and reused
+    across calls.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    size = os.path.getsize(src)
+    key = f"{abs(hash((os.path.abspath(src), size))):x}"
+    stage = os.path.join(tempfile.gettempdir(), "etl_upc_stream_stage", key)
+    marker = os.path.join(stage, "_READY")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(stage, exist_ok=True)
+        dst = os.path.join(stage, "events.parquet")
+        shutil.copyfile(src, dst)
+        now = os.path.getmtime(dst)
+        os.utime(dst, (now - 60, now - 60))
+        for i, ts_ns in enumerate(_SENTINEL_TS_NS):
+            path = os.path.join(stage, f"zz_sentinel_{i}.parquet")
+            pq.write_table(
+                pa.table(
+                    {
+                        "event_id": pa.array([-(i + 1)], pa.int64()),
+                        "ts": pa.array([ts_ns], pa.int64()),
+                        "user_id": pa.array([-1], pa.int64()),
+                        "event_type": pa.array([SENTINEL_TYPE], pa.string()),
+                        "value": pa.array([0.0], pa.float64()),
+                        "props": pa.array([None], pa.string()),
+                    }
+                ),
+                path,
+            )
+            os.utime(path, (now - 40 + 20 * i, now - 40 + 20 * i))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return stage
+
+
+def windowed_counts(
+    events: DataFrame, width: str = "10 minutes", watermark: str | None = "10 seconds"
+) -> DataFrame:
+    """Tumbling-window counts+sums per event type (exact decimal sum).
+
+    The watermark bounds streaming state: windows older than
+    max(event time) - delay are finalized and evicted. On a batch
+    DataFrame withWatermark is a no-op, preserving batch/stream
+    symmetry for the oracle.
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(
@@ -69,8 +145,16 @@ def windowed_counts(events: DataFrame, width: str = "10 minutes") -> DataFrame:
     )
 
 
-def sliding_counts(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
-    """Sliding-window counts: each event lands in width/slide windows."""
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str | None = "10 seconds",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in width/slide windows.
+    Watermarked for bounded state (see windowed_counts)."""
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -82,8 +166,17 @@ def sliding_counts(events: DataFrame, width: str = "10 minutes", slide: str = "5
     )
 
 
+def _run_flushed_window_stream(spark: SparkSession, sf_dir: str, agg_fn) -> DataFrame:
+    """Watermarked append-mode window aggregation over the staged
+    stream; sentinel groups are dropped from the materialized result."""
+    stage = _staged_flush_dir(sf_dir)
+    stream = read_events_stream(spark, stage, glob="*.parquet", max_files_per_trigger=1)
+    out = run_stream_to_table(agg_fn(stream), "append")
+    return out.filter(F.col("event_type") != SENTINEL_TYPE)
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_stream_to_table(sliding_counts(read_events_stream(spark, sf_dir)), "complete")
+    return _run_flushed_window_stream(spark, sf_dir, sliding_counts)
 
 
 def sessionized(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
@@ -101,7 +194,9 @@ def sessionized(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
     )
 
 
-def run_stream_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_stream_to_table(
+    stream_df: DataFrame, output_mode: str, shuffle_partitions: int = 4
+) -> DataFrame:
     """Execute a streaming DataFrame to completion into a memory sink and
     return the materialized result as a batch DataFrame.
 
@@ -109,26 +204,51 @@ def run_stream_to_table(stream_df: DataFrame, output_mode: str) -> DataFrame:
     kafka/parquet/foreachBatch. processAllAvailable() drains the file
     source synchronously, which is exactly the Trigger.AvailableNow
     incremental-rerun semantics of the reference's refresh loop.
+
+    The state store allocates one instance per shuffle partition at
+    query start; for the local fixture-drain harness 32 partitions is
+    pure per-batch overhead, so shuffle partitions are lowered for the
+    query's lifetime and restored after. (A production cluster sizes
+    this to state volume / executor count instead.)
     """
-    name = f"strm_out_{next(_MEMSINK_IDS)}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
     spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    name = f"strm_out_{next(_MEMSINK_IDS)}"
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
 def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full streaming pipeline: file stream -> tumbling windows -> memory
-    sink (complete mode: every window emitted once the stream drains)."""
-    return run_stream_to_table(windowed_counts(read_events_stream(spark, sf_dir)), "complete")
+    """Full streaming pipeline, production shape: file stream ->
+    watermarked tumbling windows -> append-mode sink (each window
+    emitted exactly once, when the watermark passes its end; state is
+    evicted as windows close, so state size is bounded by the watermark
+    horizon at any corpus scale)."""
+    return _run_flushed_window_stream(spark, sf_dir, windowed_counts)
+
+
+def stream_windowed_counts_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-mode variant for the memory-sink test harness only:
+    re-emits every window each batch and retains all windows in state
+    forever -- convenient for draining a bounded fixture, a
+    scale-killer on a live stream. Production shape is
+    stream_windowed_counts."""
+    return run_stream_to_table(
+        windowed_counts(read_events_stream(spark, sf_dir), watermark=None), "complete"
+    )
 
 
 def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
