@@ -10,10 +10,12 @@ output is written down, not derived.
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..pipeline import assemble
+from ..pipeline import assemble, sinks
 from ..pipeline.schema import RAW_DOC_SCHEMA
 from .registry import query
 
@@ -105,3 +107,85 @@ def syllabus_quarantine_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good.select(F.lit("good").alias("route")).union(
         bad.select(F.lit("quarantine").alias("route"))
     ).groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+_PERIOD_CONFIG = {"2025-2": {"start_date": "2025-03-17", "end_date": "2025-07-20"}}
+
+
+def _good_courses(spark: SparkSession) -> DataFrame:
+    good, _ = assemble.split_quarantine(assemble.parse_documents(_raw_docs(spark)))
+    return good
+
+
+@query(
+    "syllabus_enrich_dates",
+    """
+    SELECT * FROM (VALUES
+      ('1AEL0244', CAST(4  AS BIGINT), 15.0, '2025-04-07', '2025-04-12'),
+      ('1AEL0244', CAST(16 AS BIGINT), 85.0, '2025-06-30', '2025-07-05'),
+      ('1AEL0321', CAST(4  AS BIGINT), 50.0, '2025-04-07', '2025-04-12'),
+      ('1AEL0321', CAST(15 AS BIGINT), 50.0, '2025-06-23', '2025-06-28')
+    ) AS t(id, week, weight, initial_date, last_date)
+    """,
+    doc="J1 period->dates enrichment end-to-end (the reference intended "
+    "this but shipped dead code + hardcoded constants, "
+    "etl_infrastructure.py:193-216): parse -> broadcast-join the periods "
+    "dimension -> per-assessment initial/last dates computed as "
+    "period_start + (week-1)*7 / + week*7 - 2, checked against a "
+    "hand-computed golden (Monday..Saturday of each academic week).",
+    tags=("pipeline", "join", "enrichment"),
+)
+def syllabus_enrich_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    periods = assemble.load_periods(spark, _PERIOD_CONFIG)
+    enriched = assemble.enrich_dates(_good_courses(spark), periods)
+    a = F.col("a")
+    return enriched.select("id", F.explode("assessments").alias("a")).select(
+        "id",
+        a["week"].cast("long").alias("week"),
+        a["weight"].alias("weight"),
+        F.date_format(a["initial_date"], "yyyy-MM-dd").alias("initial_date"),
+        F.date_format(a["last_date"], "yyyy-MM-dd").alias("last_date"),
+    )
+
+
+def _staged_courses_path(spark: SparkSession) -> str:
+    base = tempfile.mkdtemp(prefix="etl_upc_courses_")
+    sinks.write_courses_parquet(_good_courses(spark), base)
+    return base
+
+
+@query(
+    "syllabus_find_by_id",
+    """
+    SELECT * FROM (VALUES ('1AEL0244', 'Matemática Básica', '2025-2'))
+      AS t(id, name, period)
+    """,
+    doc="S7 point read, fixed (the reference's find_by_id globbed "
+    "'{id}_*.json', which can never match its own sink's filenames -- "
+    "etl_infrastructure.py:160-166): write the parsed corpus as "
+    "period-partitioned parquet, then filter on id with predicate "
+    "pushdown to the scan.",
+    tags=("pipeline", "sink", "point-read"),
+)
+def syllabus_find_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _staged_courses_path(spark)
+    return sinks.find_by_id(spark, base, "1AEL0244").select("id", "name", "period")
+
+
+@query(
+    "syllabus_find_by_period",
+    """
+    SELECT * FROM (VALUES
+      ('1AEL0244', 'Matemática Básica', '2025-2'),
+      ('1AEL0321', 'Física I', '2025-2')
+    ) AS t(id, name, period)
+    """,
+    doc="S8 period read, implemented (the reference's find_by_period was "
+    "a stub returning [] -- etl_infrastructure.py:168-170): the "
+    "period-partitioned parquet layout turns it into a partition-pruned "
+    "single-directory scan.",
+    tags=("pipeline", "sink", "partition-pruning"),
+)
+def syllabus_find_by_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _staged_courses_path(spark)
+    return sinks.find_by_period(spark, base, "2025-2").select("id", "name", "period")
