@@ -139,6 +139,36 @@ def assign_ivf_clusters(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Production coarse quantizer: spark.ml KMeans fit -> (cid, c_emb).
+
+    KMeans is the right IVF codebook -- centroids track the corpus
+    density so inverted lists are balanced and nprobe recall is
+    meaningful (a recall@k pytest checks this against brute force).
+    The fit is distributed; the k centers themselves are tiny by
+    definition and come back to the driver only to be re-broadcast.
+    Not engine-reproducible (iterative, init-dependent), so the
+    oracle-checked registry query uses the deterministic prefix
+    centroids instead.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return emb.sparkSession.createDataFrame(rows, "cid int, c_emb array<double>")
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -147,6 +177,7 @@ def cosine_topk_ivf(
     nprobe: int = 2,
     k: int = 3,
     query_pred: Column | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize the corpus into inverted lists
     (cluster -> vectors); each query probes only its `nprobe` nearest
@@ -154,16 +185,18 @@ def cosine_topk_ivf(
     probe is an equi-join on cluster id touching |corpus| * nprobe / K
     vectors -- the classic IVF trade of recall for fan-in.
 
-    Centroids here are the first `n_centroids` corpus vectors
-    (deterministic, oracle-reproducible); swap in spark.ml KMeans fits
-    for production recall.
+    `centroids` (cid, c_emb) selects the codebook: pass
+    ``kmeans_centroids(emb)`` for the production path (recall-checked
+    in tests); the default -- the first `n_centroids` corpus vectors --
+    is deterministic and oracle-reproducible, for the correctness gate.
     """
     query_pred = query_pred if query_pred is not None else (
         (F.col(id_col) >= 10) & (F.col(id_col) < 20)
     )
-    centroids = emb.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb")
-    )
+    if centroids is None:
+        centroids = emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb")
+        )
     assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col)
 
     # queries probe their nprobe nearest centroids

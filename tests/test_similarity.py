@@ -46,3 +46,26 @@ def test_lsh_bucket_is_deterministic(vectors):
     a = {(r["query_id"], r["cand_id"]) for r in sim.cosine_topk_lsh(vectors, dim=4, k=3).collect()}
     b = {(r["query_id"], r["cand_id"]) for r in sim.cosine_topk_lsh(vectors, dim=4, k=3).collect()}
     assert a == b
+
+
+def test_ivf_kmeans_recall_against_bruteforce(spark, sf_dir):
+    """The production IVF path (spark.ml KMeans codebook) must recover
+    >= 0.8 of the exact brute-force top-k neighbors on the embeddings
+    fixture -- the check a prefix-centroid placeholder codebook cannot
+    pass by construction."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = F.col("vec_id") < 20
+    k = 5
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.cosine_topk_bruteforce(emb, query_pred=pred, k=k).collect()
+    }
+    centroids = sim.kmeans_centroids(emb, k=8)
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.cosine_topk_ivf(
+            emb, query_pred=pred, nprobe=4, k=k, centroids=centroids
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF-KMeans recall@{k} = {recall:.3f} < 0.8"
