@@ -58,14 +58,18 @@ def main() -> None:
     # Best-of-2 per query: the container shares a host whose load can
     # inflate a single run 3-10x; the min of two runs is a far better
     # estimate of the plan's actual cost than one arbitrary sample.
+    # All samples + the host loadavg are emitted too, so cross-round
+    # comparisons can separate plan regressions from host contention.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        samples[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -75,6 +79,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
+                "mean_total": round(sum(sum(r) / len(r) for r in samples.values()), 3),
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "sf": sf,
             }
         )

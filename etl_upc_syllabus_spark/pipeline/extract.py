@@ -92,33 +92,44 @@ def read_syllabus_pdfs(spark: SparkSession, directory: str) -> DataFrame:
 def extract_documents(binary_docs: DataFrame) -> DataFrame:
     """Arrow extraction stage: PDF bytes -> (filename, pages, tables).
 
-    Requires pdfplumber; raises NotImplementedError otherwise (this
-    container ships no PDF codec -- tests drive the parse stage through
-    RAW_DOC_SCHEMA fixtures instead, the same seam the reference
-    exposes as its PDFExtractor protocol).
-    """
-    if not pdfplumber_available():
-        raise NotImplementedError(
-            "pdfplumber is not installed in this environment; feed the parse "
-            "stage via RAW_DOC_SCHEMA fixtures (pipeline.assemble.parse_documents)"
-        )
+    Decode backends, chosen per-executor at runtime:
 
+    - **pdfplumber** when importable: full parity with the reference
+      (text + geometric table detection, etl_infrastructure.py:9-55);
+    - **minipdf** (stdlib, always available) otherwise: real per-page
+      text decode for simple text PDFs; table extraction needs
+      pdfplumber's layout analysis, so pages decode with no tables and
+      table-less documents quarantine in the parse stage exactly like
+      any unparseable input. Tests cover this path end-to-end on
+      minipdf-written fixtures; table routing stays covered through
+      the RAW_DOC_SCHEMA fixture seam (route_tables is pure).
+    """
     import io
     import os
 
     import pandas as pd
-    import pdfplumber
+
+    use_plumber = pdfplumber_available()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_plumber:
+            import pdfplumber
+        else:
+            from . import minipdf
+
         for pdf_batch in batches:
             records = []
             for row in pdf_batch.itertuples():
                 pages_text: list[str] = []
                 pages_tables: list[list[list[str]] | None] = []
-                with pdfplumber.open(io.BytesIO(row.content)) as doc:
-                    for page in doc.pages:
-                        pages_text.append(page.extract_text() or "")
-                        pages_tables.append(page.extract_table())
+                if use_plumber:
+                    with pdfplumber.open(io.BytesIO(row.content)) as doc:
+                        for page in doc.pages:
+                            pages_text.append(page.extract_text() or "")
+                            pages_tables.append(page.extract_table())
+                else:
+                    pages_text = minipdf.extract_text(bytes(row.content))
+                    pages_tables = [None] * len(pages_text)
                 routed = route_tables(pages_text, pages_tables)
                 records.append(
                     {

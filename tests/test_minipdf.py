@@ -1,0 +1,117 @@
+"""Real-PDF end-to-end tests on minipdf-written fixtures.
+
+pdfplumber/reportlab are absent from this container and installs are
+not permitted (VERDICT r1 item 5), so the PDF decode parity that can
+be proven is: a *valid PDF file* on disk -> binaryFile scan ->
+distributed Arrow extract stage (stdlib minipdf backend) -> per-page
+text -> general-info parse -> calendar golden. Geometric table
+detection remains pdfplumber-gated; table routing is covered through
+the pure route_tables / RAW_DOC_SCHEMA seam (test_pipeline_golden).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_upc_syllabus_spark.pipeline import assemble, extract, minipdf
+
+PAGE1 = (
+    "Sílabo de Curso\n"
+    "I. INFORMACIÓN GENERAL\n"
+    "Nombre del Curso : Matemática Básica\n"
+    "Cuerpo académico : Ana Pérez, Luis Díaz\n"
+    "Créditos : 4\n"
+    "Semanas : 16\n"
+    "II. MISIÓN Y VISIÓN DE LA UPC\n"
+    "Formar líderes íntegros (con visión global)."
+)
+PAGE2 = "VI. UNIDADES DE APRENDIZAJE\ncontenido de unidades"
+
+UNITS_TABLE = [
+    ["Unidad n. 1: Fundamentos", "", "", "", ""],
+    ["COMPETENCIA (S): base", "", "", "", ""],
+    ["LOGRO DE LA UNIDAD: domina lo básico", "", "", "", ""],
+    ["SEMANA", "TEMARIO", "ACTIVIDADES", "EVALUACIONES", "BIBLIOGRAFÍA"],
+    ["Semana 1 - 16", "• t1 • t2", "• a1", "• e1", "• b1"],
+]
+ASSESSMENTS_TABLE = [
+    ["TIPO", "COMPETENCIA", "PESO", "SEMANA", "OBSERVACIÓN", "RECUPERABLE"],
+    ["PRÁCTICA PC - 1", "g1", "15%", "4", "", "Sí"],
+    ["EXAMEN FINAL - 1", "g1", "85%", "16", "", "No"],
+]
+
+
+def test_roundtrip_escapes_and_accents(tmp_path):
+    pages = ["línea (uno) \\ fin", "ÁÉÍÓÚÑü\nsegunda línea"]
+    path = str(tmp_path / "t.pdf")
+    minipdf.write_pdf(path, pages)
+    with open(path, "rb") as fh:
+        assert minipdf.extract_text(fh.read()) == pages
+
+
+@pytest.fixture(scope="module")
+def pdf_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("pdfs")
+    minipdf.write_pdf(str(d / "UG-202520_1AEL0244-8281.pdf"), [PAGE1, PAGE2])
+    minipdf.write_pdf(
+        str(d / "UG-202520_1AEL0321-9001.pdf"),
+        [PAGE1.replace("Matemática Básica", "Física I"), PAGE2],
+    )
+    (d / "unrelated.txt").write_text("not a pdf")
+    return str(d)
+
+
+def test_binaryfile_scan_and_extract(spark, pdf_dir):
+    """S1 + S2 end-to-end on real PDF bytes: the glob filters non-
+    syllabus files, the Arrow stage decodes per-page text."""
+    raw = extract.extract_documents(extract.read_syllabus_pdfs(spark, pdf_dir))
+    rows = {r["filename"]: r for r in raw.collect()}
+    assert sorted(rows) == ["UG-202520_1AEL0244-8281.pdf", "UG-202520_1AEL0321-9001.pdf"]
+    pages = list(rows["UG-202520_1AEL0244-8281.pdf"]["pages"])
+    assert pages == [PAGE1, PAGE2]
+    # no table detection without pdfplumber -> empty table buckets
+    assert list(rows["UG-202520_1AEL0244-8281.pdf"]["units_table"]) == []
+
+
+def test_pdf_to_calendar_end_to_end(spark, pdf_dir):
+    """Full pipeline from PDF bytes: extract text (minipdf backend),
+    join the fixture tables in (the pdfplumber-only seam), parse,
+    aggregate the reference's weekly calendar."""
+    extracted = extract.extract_documents(extract.read_syllabus_pdfs(spark, pdf_dir))
+    tables = spark.createDataFrame(
+        [
+            ("UG-202520_1AEL0244-8281.pdf", UNITS_TABLE, ASSESSMENTS_TABLE),
+            ("UG-202520_1AEL0321-9001.pdf", UNITS_TABLE, ASSESSMENTS_TABLE),
+        ],
+        "filename string, units_table array<array<string>>, "
+        "assessments_table array<array<string>>",
+    )
+    raw = extracted.select("filename", "pages").join(F.broadcast(tables), "filename")
+    good, bad = assemble.split_quarantine(assemble.parse_documents(raw))
+    assert bad.count() == 0
+    recs = {r["id"]: r for r in good.collect()}
+    assert recs["1AEL0244"]["name"] == "Matemática Básica"
+    assert recs["1AEL0321"]["name"] == "Física I"
+    cal = {r["week"]: r["lines"] for r in assemble.weekly_calendar(good).collect()}
+    assert cal[4] == [
+        "•1AEL0244: PRÁCTICA PC  (15.0%)",
+        "•1AEL0321: PRÁCTICA PC  (15.0%)",
+    ]
+    assert sorted(cal) == [4, 16]
+
+
+def test_tableless_pdf_parses_metadata_only(spark, pdf_dir):
+    """Without pdfplumber no tables come out of the PDF; the documents
+    still parse (general info from the decoded text) with empty units/
+    assessments -- the same record the reference emits for a syllabus
+    whose pages contain no tables (etl_infrastructure.py:49-55 extends
+    nothing; parse_content returns empty lists)."""
+    extracted = extract.extract_documents(extract.read_syllabus_pdfs(spark, pdf_dir))
+    good, bad = assemble.split_quarantine(assemble.parse_documents(extracted))
+    assert bad.count() == 0
+    recs = {r["id"]: r for r in good.collect()}
+    assert sorted(recs) == ["1AEL0244", "1AEL0321"]
+    assert recs["1AEL0244"]["name"] == "Matemática Básica"
+    assert list(recs["1AEL0244"]["units"]) == []
+    assert list(recs["1AEL0244"]["assessments"]) == []
