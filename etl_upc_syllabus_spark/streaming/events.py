@@ -74,8 +74,8 @@ def _staged_flush_dir(sf_dir: str) -> str:
     live stream, where later events eventually close them). The staged
     directory plays the role of those later events: two sentinel rows
     dated 2100, in their own files with ascending mtimes, are consumed
-    as separate micro-batches (maxFilesPerTrigger=1, oldest-first), so
-    the watermark advances past every real window and the *second*
+    in later micro-batches (bounded maxFilesPerTrigger, oldest-first),
+    so the watermark advances past every real window and the *second*
     sentinel batch -- a data batch, hence ordered before
     processAllAvailable() returns -- emits them all deterministically
     (no reliance on the async no-data micro-batch).
@@ -168,9 +168,16 @@ def sliding_counts(
 
 def _run_flushed_window_stream(spark: SparkSession, sf_dir: str, agg_fn) -> DataFrame:
     """Watermarked append-mode window aggregation over the staged
-    stream; sentinel groups are dropped from the materialized result."""
+    stream; sentinel groups are dropped from the materialized result.
+
+    maxFilesPerTrigger=2 gives exactly two micro-batches (oldest-first
+    by mtime): batch 1 = events + sentinel 1 advances the watermark
+    past every real window; batch 2 = sentinel 2 is the data batch in
+    which they all emit -- so completion is ordered before
+    processAllAvailable() returns.
+    """
     stage = _staged_flush_dir(sf_dir)
-    stream = read_events_stream(spark, stage, glob="*.parquet", max_files_per_trigger=1)
+    stream = read_events_stream(spark, stage, glob="*.parquet", max_files_per_trigger=2)
     out = run_stream_to_table(agg_fn(stream), "append")
     return out.filter(F.col("event_type") != SENTINEL_TYPE)
 
