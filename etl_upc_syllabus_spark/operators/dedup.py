@@ -172,6 +172,10 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
+# bounded cache lifecycle for jaccard_verify (see comment inside)
+_LIVE_PAIRS_CACHES: list[DataFrame] = []
+
+
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs: (a, b, jaccard).
 
@@ -186,13 +190,18 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     stable).
     """
     # `pairs` feeds three subtrees (both arms of the id union + the
-    # final scoring join); without materialization each one would re-run
-    # the upstream LSH self-join. Eager localCheckpoint instead of
-    # persist(): blocks are reference-tracked and freed when the
-    # DataFrame is GC'd, so repeated invocations (registry runs,
-    # benchmarks) don't accumulate cached blocks for the session's
-    # lifetime.
-    pairs = pairs.localCheckpoint(eager=True)
+    # final scoring join); without a persist each one would re-run the
+    # upstream LSH self-join. CacheManager entries are never GC'd, so
+    # each call evicts the previous call's cache -- repeated
+    # invocations (registry runs, benchmarks) hold at most one live
+    # pairs cache instead of accumulating for the session's lifetime.
+    # (An uncollected result from a *prior* call silently recomputes
+    # its pairs if materialized after this point -- correct, just not
+    # cached.)
+    while _LIVE_PAIRS_CACHES:
+        _LIVE_PAIRS_CACHES.pop().unpersist(blocking=False)
+    pairs = pairs.persist()
+    _LIVE_PAIRS_CACHES.append(pairs)
     cand_ids = (
         pairs.select(F.col("a").alias("id"))
         .union(pairs.select(F.col("b").alias("id")))
