@@ -58,12 +58,27 @@ def fan_out(df: DataFrame) -> DataFrame:
     shuffle and unlocks full parallelism.
 
     Scale posture: at 100 TB the source already has far more splits than
-    cores, so this is a no-op (the guard below) -- it never introduces a
-    full-data shuffle on a properly partitioned source.
+    cores, so this is a no-op -- it never introduces a full-data shuffle
+    on a properly partitioned source. The probe is metadata-only
+    (inputFiles + local file sizes vs the 128 MiB split size); it never
+    converts the DataFrame to an RDD (which would compile the physical
+    plan once per call) and stays a no-op whenever file sizes are
+    unknowable (remote storage) or the scan is big enough to shuffle.
     """
-    sc = df.sparkSession.sparkContext
-    cores = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= cores:
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= cores:
+        return df
+    paths = [f.removeprefix("file:") for f in files if f.startswith("file:")]
+    if len(paths) != len(files) or not all(os.path.exists(p) for p in paths):
+        return df  # non-local storage: sizes unknowable, assume real splits
+    total = sum(os.path.getsize(p) for p in paths)
+    split_bytes = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes default
+    est_splits = max(len(paths), -(-total // split_bytes))
+    if est_splits >= cores or total > 2 * split_bytes:
         return df
     return df.repartition(cores)
 

@@ -120,3 +120,16 @@ def test_connected_components_long_path_converges(spark):
     cc = connected_components(edges).collect()
     assert {r["component"] for r in cc} == {0}
     assert len(cc) == 10
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    # a 12-node path graph has diameter 11 > max_iterations=2: labels
+    # are still moving at the cap, so silent wrong clusters must not
+    # come back
+    import pytest as _pytest
+
+    from etl_upc_syllabus_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(11)], "a long, b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2).collect()
