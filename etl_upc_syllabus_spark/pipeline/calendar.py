@@ -2,9 +2,10 @@
 
 The aggregation runs distributed (pipeline.assemble.weekly_calendar);
 only the tiny per-week result is collected for rendering --
-presentation, not dataflow (etl_pipeline.py:63-147). reportlab is not
-in this container, so rendering is import-gated; the text renderer
-below is the dependency-free fallback and the testable surface.
+presentation, not dataflow (etl_pipeline.py:63-147). Rendering
+backends: reportlab (styled table parity) when importable, else the
+stdlib minipdf writer (valid text-layout PDF) -- so S6 emits a real
+PDF in either environment; render_text remains the plain-text surface.
 """
 
 from __future__ import annotations
@@ -39,13 +40,24 @@ def reportlab_available() -> bool:
 
 
 def render_pdf(calendar_df: DataFrame, path: str) -> str:
-    """PDF render via reportlab (grey header / striped rows, matching the
-    reference's table style). Raises NotImplementedError without
-    reportlab -- use render_text in codec-free environments."""
+    """PDF report sink (S6, reference etl_pipeline.py:63-147).
+
+    With reportlab importable, renders the reference's styled table
+    (grey header / striped rows). Without it -- this container -- falls
+    back to a valid text-layout PDF via the stdlib minipdf writer, so
+    the sink still emits a real PDF file rather than raising. Either
+    way the aggregation ran distributed; only the tiny per-week result
+    is collected here.
+    """
     if not reportlab_available():
-        raise NotImplementedError(
-            "reportlab is not installed; use render_text() or install reportlab"
-        )
+        from . import minipdf
+
+        text = render_text(calendar_df)
+        # paginate: 45 lines per US-letter page at 14pt leading
+        lines = text.split("\n")
+        pages = ["\n".join(lines[i : i + 45]) for i in range(0, len(lines), 45)] or [""]
+        minipdf.write_pdf(path, pages)
+        return path
     from reportlab.lib import colors
     from reportlab.lib.pagesizes import letter
     from reportlab.lib.units import inch

@@ -7,8 +7,10 @@ permitted, so this module provides the honest subset implementable
 with the standard library alone:
 
 - :func:`write_pdf` -- a valid single-font PDF writer (Helvetica /
-  WinAnsi, FlateDecode content streams, correct xref), used to
-  generate *real* PDF fixtures for the end-to-end golden tests;
+  WinAnsi i.e. cp1252, which covers the bullet glyphs and Spanish
+  accents; FlateDecode content streams; correct xref), used to
+  generate *real* PDF fixtures for the end-to-end golden tests and as
+  the reportlab-free backend of the S6 calendar report sink;
 - :func:`extract_text` -- per-page text extraction: object scan,
   page-tree ordering via /Kids, zlib stream decode, and a content
   stream tokenizer covering the text-showing operators (Tj, TJ, ',
@@ -36,7 +38,7 @@ _ESCAPES = {ord("\\"): b"\\\\", ord("("): b"\\(", ord(")"): b"\\)"}
 
 def _pdf_string(text: str) -> bytes:
     out = bytearray(b"(")
-    for byte in text.encode("latin-1", errors="replace"):
+    for byte in text.encode("cp1252", errors="replace"):
         out += _ESCAPES.get(byte, bytes([byte]))
     out += b")"
     return bytes(out)
@@ -176,10 +178,10 @@ def _read_string(data: bytes, i: int) -> tuple[str, int]:
         elif c == ord(")"):
             depth -= 1
             if depth == 0:
-                return out.decode("latin-1"), i + 1
+                return out.decode("cp1252", errors="replace"), i + 1
         out.append(c)
         i += 1
-    return out.decode("latin-1"), i
+    return out.decode("cp1252", errors="replace"), i
 
 
 def _content_lines(stream: bytes) -> list[str]:
@@ -211,7 +213,7 @@ def _content_lines(stream: bytes) -> list[str]:
             hexstr = re.sub(rb"\s", b"", stream[i + 1 : end])
             if len(hexstr) % 2:
                 hexstr += b"0"
-            pending.append(bytes.fromhex(hexstr.decode("ascii")).decode("latin-1"))
+            pending.append(bytes.fromhex(hexstr.decode("ascii")).decode("cp1252", errors="replace"))
             i = end + 1
         elif c == b"<":  # << dict >>
             i += 2

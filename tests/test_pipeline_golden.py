@@ -153,6 +153,21 @@ def test_calendar_text_render(parsed):
     assert "Semana 4:" in txt and "•1AEL0244: PRÁCTICA PC  (15.0%)" in txt
 
 
+def test_calendar_pdf_render_roundtrip(parsed, tmp_path):
+    """S6 emits a real PDF even without reportlab (minipdf backend);
+    decoding it recovers the calendar text."""
+    from etl_upc_syllabus_spark.pipeline import minipdf
+
+    good, _ = assemble.split_quarantine(parsed)
+    path = str(tmp_path / "calendar.pdf")
+    assert calendar.render_pdf(assemble.weekly_calendar(good), path) == path
+    with open(path, "rb") as fh:
+        data = fh.read()
+    assert data.startswith(b"%PDF")
+    text = "\n".join(minipdf.extract_text(data))
+    assert "Semana 4:" in text and "•1AEL0244: PRÁCTICA PC  (15.0%)" in text
+
+
 def test_sinks_roundtrip(spark, parsed, tmp_path):
     good, _ = assemble.split_quarantine(parsed)
     base = str(tmp_path)
