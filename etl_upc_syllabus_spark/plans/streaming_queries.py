@@ -5,10 +5,16 @@ batch-equivalent SQL (stream/batch symmetry of the DataFrame API).
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
 from ..streaming import events as ev
+from ..streaming.incremental import incremental_run
 from ..streaming.stateful import stream_user_totals
 from .registry import query
 
@@ -150,3 +156,70 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sessionized(load_table(spark, sf_dir, "events"))
+
+
+_LATE_ROWS = (("late_a", 1.50), ("late_b", 2.25))
+
+
+@query(
+    "stream_incremental_etl",
+    """
+    WITH all_ev AS (
+      SELECT event_type, value FROM events
+      UNION ALL
+      SELECT * FROM (VALUES ('late_a', 1.50), ('late_b', 2.25)) t(event_type, value))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM all_ev GROUP BY event_type
+    """,
+    doc="Checkpointed incremental file-arrival ETL (the reference's "
+    "rerun-to-refresh loop, README.md:82, as Trigger.AvailableNow + "
+    "checkpoint): run 1 drains the events fixture into a parquet sink; "
+    "a late file with two known rows then lands; run 2 reuses the "
+    "checkpoint and processes ONLY the new file. The oracle aggregates "
+    "events UNION the late rows -- if run 2 reprocessed old files the "
+    "append sink would double-count and the hash would fail, so the "
+    "comparison itself proves the O(new data) refresh semantics.",
+    tags=("streaming", "incremental", "exactly-once"),
+)
+def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="etl_upc_incr_")
+    src = os.path.join(base, "in")
+    sink = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(src)
+    shutil.copyfile(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.select("event_type", "value")
+
+    incremental_run(spark, src, sink, ckpt, ev.EVENTS_RAW_SCHEMA, transform)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([-1, -2], pa.int64()),
+                "ts": pa.array([0, 0], pa.int64()),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array([t for t, _ in _LATE_ROWS], pa.string()),
+                "value": pa.array([v for _, v in _LATE_ROWS], pa.float64()),
+                "props": pa.array([None, None], pa.string()),
+            }
+        ),
+        os.path.join(src, "late.parquet"),
+    )
+    incremental_run(spark, src, sink, ckpt, ev.EVENTS_RAW_SCHEMA, transform)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+    )
