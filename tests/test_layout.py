@@ -43,3 +43,20 @@ def test_compact_bounds_file_count(spark, tmp_path):
     compact(spark, src, out, target_files=2)
     assert len(glob.glob(os.path.join(out, "part-*.parquet"))) <= 2
     assert spark.read.parquet(out).count() == 100
+
+
+def test_fan_out_metadata_probe(spark, sf_dir, tmp_path):
+    from etl_upc_syllabus_spark.sources.tables import fan_out, load_table
+
+    cores = spark.sparkContext.defaultParallelism
+    # tiny single-file scan -> repartitioned to full parallelism
+    small = load_table(spark, sf_dir, "documents")
+    assert fan_out(small).rdd.getNumPartitions() == cores
+    # no file-based lineage (in-memory DF) -> conservative no-op
+    mem = spark.range(10).toDF("x")
+    assert fan_out(mem) is mem
+    # already >= cores files -> no-op (identity, no shuffle added)
+    many_dir = str(tmp_path / "many")
+    spark.range(1000).repartition(cores + 1).write.parquet(many_dir)
+    many = spark.read.parquet(many_dir)
+    assert fan_out(many) is many
