@@ -83,9 +83,13 @@ def _staged_flush_dir(sf_dir: str) -> str:
     The directory is content-keyed by fixture path+size and reused
     across calls.
     """
+    import hashlib
+
     src = os.path.join(sf_dir, "events.parquet")
     size = os.path.getsize(src)
-    key = f"{abs(hash((os.path.abspath(src), size))):x}"
+    # content key must be process-stable (builtin hash() is salted per
+    # interpreter, which would defeat cross-run staging reuse)
+    key = hashlib.md5(f"{os.path.abspath(src)}|{size}".encode()).hexdigest()[:16]
     stage = os.path.join(tempfile.gettempdir(), "etl_upc_stream_stage", key)
     marker = os.path.join(stage, "_READY")
     if not os.path.exists(marker):
