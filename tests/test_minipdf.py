@@ -115,3 +115,46 @@ def test_tableless_pdf_parses_metadata_only(spark, pdf_dir):
     assert recs["1AEL0244"]["name"] == "Matemática Básica"
     assert list(recs["1AEL0244"]["units"]) == []
     assert list(recs["1AEL0244"]["assessments"]) == []
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def _cp1252_char(c: str) -> bool:
+        try:
+            c.encode("cp1252")
+            return c not in "\r"  # writer normalizes line endings via split("\n")
+        except UnicodeEncodeError:
+            return False
+
+    _cp1252_text = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2022).filter(
+            _cp1252_char
+        ),
+        max_size=200,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(_cp1252_text, min_size=1, max_size=4))
+    def test_roundtrip_property(pages):
+        """Any cp1252 page text (parens, backslashes, accents, bullets)
+        survives write_pdf -> extract_text, modulo the writer's
+        blank-line normalization."""
+        import os
+        import tempfile
+
+        from etl_upc_syllabus_spark.pipeline import minipdf as mp
+
+        fd, path = tempfile.mkstemp(suffix=".pdf")
+        os.close(fd)
+        try:
+            mp.write_pdf(path, pages)
+            with open(path, "rb") as fh:
+                out = mp.extract_text(fh.read())
+        finally:
+            os.unlink(path)
+        norm = lambda p: [ln for ln in p.split("\n") if ln]  # noqa: E731
+        assert [norm(p) for p in out] == [norm(p) for p in pages]
+except ImportError:  # pragma: no cover
+    pass
