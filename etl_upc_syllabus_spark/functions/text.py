@@ -20,8 +20,12 @@ def bullet_split(col: Column | str, *, include_comma: bool = False) -> Column:
     """F1 as a column function: split on bullets, trim, drop empties."""
     col = F.col(col) if isinstance(col, str) else col
     pattern = BULLET_DELIMS_WITH_COMMA if include_comma else BULLET_DELIMS
+    # NB: must be a single-arg lambda -- F.trim passed bare would be called
+    # by transform as (element, index) (trim gained a 2nd param in Spark 4),
+    # silently trimming index digits instead of whitespace.
     return F.filter(
-        F.transform(F.split(col, pattern), F.trim), lambda x: F.length(x) > 0
+        F.transform(F.split(col, pattern), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
     )
 
 

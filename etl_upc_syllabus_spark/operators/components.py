@@ -52,6 +52,8 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
     labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
     labels = labels.localCheckpoint(eager=True)
 

@@ -92,7 +92,9 @@ def read_syllabus_pdfs(spark: SparkSession, directory: str) -> DataFrame:
 def extract_documents(binary_docs: DataFrame) -> DataFrame:
     """Arrow extraction stage: PDF bytes -> (filename, pages, tables).
 
-    Decode backends, chosen per-executor at runtime:
+    Decode backends, chosen inside the mapInPandas task (so genuinely
+    per-executor -- a mixed cluster degrades per machine, it does not
+    fail):
 
     - **pdfplumber** when importable: full parity with the reference
       (text + geometric table detection, etl_infrastructure.py:9-55);
@@ -109,9 +111,11 @@ def extract_documents(binary_docs: DataFrame) -> DataFrame:
 
     import pandas as pd
 
-    use_plumber = pdfplumber_available()
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Backend chosen HERE, i.e. per executor process: on a
+        # heterogeneous cluster an executor without pdfplumber falls
+        # back to minipdf instead of failing with ImportError.
+        use_plumber = pdfplumber_available()
         if use_plumber:
             import pdfplumber
         else:
@@ -122,14 +126,21 @@ def extract_documents(binary_docs: DataFrame) -> DataFrame:
             for row in pdf_batch.itertuples():
                 pages_text: list[str] = []
                 pages_tables: list[list[list[str]] | None] = []
-                if use_plumber:
-                    with pdfplumber.open(io.BytesIO(row.content)) as doc:
-                        for page in doc.pages:
-                            pages_text.append(page.extract_text() or "")
-                            pages_tables.append(page.extract_table())
-                else:
-                    pages_text = minipdf.extract_text(bytes(row.content))
-                    pages_tables = [None] * len(pages_text)
+                try:
+                    if use_plumber:
+                        with pdfplumber.open(io.BytesIO(row.content)) as doc:
+                            for page in doc.pages:
+                                pages_text.append(page.extract_text() or "")
+                                pages_tables.append(page.extract_table())
+                    else:
+                        pages_text = minipdf.extract_text(bytes(row.content))
+                        pages_tables = [None] * len(pages_text)
+                except Exception:
+                    # One malformed PDF must not fail the whole Arrow
+                    # batch/task: emit an empty-pages row so the parse
+                    # stage routes it to quarantine like any other
+                    # unparseable input.
+                    pages_text, pages_tables = [], []
                 routed = route_tables(pages_text, pages_tables)
                 records.append(
                     {

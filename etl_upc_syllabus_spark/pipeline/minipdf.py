@@ -116,16 +116,47 @@ _WS = b"\x00\t\n\x0c\r "
 _DELIMS = b"()<>[]{}/%"
 
 
+_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def _scan_objects(data: bytes) -> dict[int, bytes]:
     """Object number -> body bytes, by direct scan (no xref needed --
     robust to the incremental-update and broken-xref files real
-    pipelines meet)."""
+    pipelines meet).
+
+    The scan walks forward object by object and jumps over stream
+    payloads (sized by a literal /Length when present, else by the next
+    `endstream`), so compressed bytes that happen to contain `endobj`
+    or `N 0 obj` can neither truncate the enclosing object nor inject
+    spurious ones."""
     objects: dict[int, bytes] = {}
-    for m in _OBJ_RX.finditer(data):
-        end = data.find(b"endobj", m.end())
-        if end != -1:
-            objects[int(m.group(1))] = data[m.end() : end]
-    return objects
+    pos = 0
+    while True:
+        m = _OBJ_RX.search(data, pos)
+        if m is None:
+            return objects
+        body_start = m.end()
+        stream_at = data.find(b"stream", body_start)
+        endobj_at = data.find(b"endobj", body_start)
+        if stream_at != -1 and (endobj_at == -1 or stream_at < endobj_at):
+            payload_start = stream_at + len(b"stream")
+            if data[payload_start : payload_start + 2] == b"\r\n":
+                payload_start += 2
+            elif data[payload_start : payload_start + 1] in (b"\n", b"\r"):
+                payload_start += 1
+            lm = _LENGTH_RX.search(data[body_start:stream_at])
+            search_from = payload_start + int(lm.group(1)) if lm else payload_start
+            endstream_at = data.find(b"endstream", search_from)
+            if endstream_at == -1 and lm:  # /Length lied; fall back
+                endstream_at = data.find(b"endstream", payload_start)
+            endobj_at = data.find(
+                b"endobj", endstream_at if endstream_at != -1 else payload_start
+            )
+        if endobj_at == -1:
+            pos = body_start
+            continue
+        objects[int(m.group(1))] = data[body_start:endobj_at]
+        pos = endobj_at + len(b"endobj")
 
 
 def _stream_payload(body: bytes) -> bytes | None:
@@ -140,7 +171,12 @@ def _stream_payload(body: bytes) -> bytes | None:
     end = body.rfind(b"endstream")
     payload = body[start:end]
     if b"/FlateDecode" in body[:at]:
-        payload = zlib.decompress(payload)
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            # corrupt or unsupported stream: treat as undecodable rather
+            # than failing the whole document
+            return None
     return payload
 
 
@@ -155,14 +191,20 @@ def _read_string(data: bytes, i: int) -> tuple[str, int]:
         c = data[i]
         if c == ord("\\"):
             nxt = data[i + 1 : i + 2]
-            if nxt.isdigit():
-                octal = data[i + 1 : i + 4]
+            if nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
+                # octal escapes consume at most 3 digits 0-7 (PDF 32000
+                # 7.3.4.2); \8 and \9 fall through to the unrecognized-
+                # escape branch below, which drops the backslash only
                 j = 1
-                while j <= 3 and data[i + j : i + j + 1].isdigit():
+                while j <= 3 and data[i + j : i + j + 1] in b"01234567" and data[i + j : i + j + 1] != b"":
                     j += 1
-                octal = data[i + 1 : i + j]
-                out.append(int(octal, 8) & 0xFF)
+                out.append(int(data[i + 1 : i + j], 8) & 0xFF)
                 i += j
+            elif nxt in (b"\n", b"\r"):
+                # backslash-EOL is a line continuation: no character
+                i += 2
+                if nxt == b"\r" and data[i : i + 1] == b"\n":
+                    i += 1
             else:
                 out += {
                     b"n": b"\n",

@@ -80,16 +80,20 @@ def _staged_flush_dir(sf_dir: str) -> str:
     processAllAvailable() returns -- emits them all deterministically
     (no reliance on the async no-data micro-batch).
 
-    The directory is content-keyed by fixture path+size and reused
-    across calls.
+    The directory is content-keyed by fixture path+size+mtime and
+    reused across calls.
     """
     import hashlib
 
     src = os.path.join(sf_dir, "events.parquet")
-    size = os.path.getsize(src)
+    stat = os.stat(src)
     # content key must be process-stable (builtin hash() is salted per
-    # interpreter, which would defeat cross-run staging reuse)
-    key = hashlib.md5(f"{os.path.abspath(src)}|{size}".encode()).hexdigest()[:16]
+    # interpreter, which would defeat cross-run staging reuse). mtime is
+    # part of the key so a regenerated fixture of identical size does
+    # not silently reuse a stale staged copy.
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}|{stat.st_size}|{stat.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
     stage = os.path.join(tempfile.gettempdir(), "etl_upc_stream_stage", key)
     marker = os.path.join(stage, "_READY")
     if not os.path.exists(marker):

@@ -50,6 +50,47 @@ def test_roundtrip_escapes_and_accents(tmp_path):
         assert minipdf.extract_text(fh.read()) == pages
 
 
+def test_string_escapes_foreign(tmp_path):
+    """ADVICE r2: escapes foreign PDFs use that write_pdf never emits.
+
+    \\8 and \\9 are NOT octal -- the spec drops the backslash of an
+    unrecognized escape (so they read as the literal digit). Octal
+    escapes stop at the first non-[0-7] digit. \\<EOL> is a line
+    continuation contributing no character."""
+    s, _ = minipdf._read_string(rb"(a\8b\9c)", 0)
+    assert s == "a8b9c"
+    s, _ = minipdf._read_string(rb"(\488)", 0)
+    assert s == "\x0488"  # octal consumed only the 4; "88" literal
+    s, _ = minipdf._read_string(rb"(\101\61)", 0)
+    assert s == "A1"
+    s, _ = minipdf._read_string(b"(one\\\ntwo)", 0)
+    assert s == "onetwo"
+    s, _ = minipdf._read_string(b"(one\\\r\ntwo)", 0)
+    assert s == "onetwo"
+
+
+def test_scan_objects_skips_stream_payloads():
+    """A FlateDecode payload containing b'endobj' / b'7 0 obj' must not
+    truncate its object or inject a phantom one (ADVICE r2)."""
+    payload = b"xxx endobj yyy 7 0 obj zzz"
+    body = (
+        b"1 0 obj\n<< /Length %d >>\nstream\n" % len(payload)
+        + payload
+        + b"\nendstream\nendobj\n2 0 obj\n<< /Real true >>\nendobj\n"
+    )
+    objects = minipdf._scan_objects(body)
+    assert sorted(objects) == [1, 2]
+    assert payload in objects[1]
+    assert b"/Real" in objects[2]
+
+
+def test_corrupt_flate_stream_degrades_not_raises(tmp_path):
+    """A corrupt FlateDecode stream yields an undecodable page (None
+    payload), not a zlib exception that kills the task."""
+    body = b"<< /Length 5 /Filter /FlateDecode >>\nstream\nnotfl\nendstream"
+    assert minipdf._stream_payload(body) is None
+
+
 @pytest.fixture(scope="module")
 def pdf_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("pdfs")
