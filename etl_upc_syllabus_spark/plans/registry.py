@@ -140,44 +140,53 @@ _R1_VERIFIED = frozenset(
 )
 
 
-def _verified_names() -> frozenset[str]:
-    """Names with a green rows+schema+hash verdict in any round so far.
+def _verification_rounds() -> dict[str, int]:
+    """name -> LATEST round with a green rows+schema+hash verdict.
 
     Reads the driver-written CORRECTNESS_r*.json files from the repo
     root when present (hash_match == true only; rows-only and errored
-    entries stay unverified), falling back to the static r1 baseline.
+    entries don't count), folding in the static r1 baseline at round 1.
     """
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    names: set[str] = set(_R1_VERIFIED)
+    rounds: dict[str, int] = {name: 1 for name in _R1_VERIFIED}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 1
         try:
             with open(path, encoding="utf-8") as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
         if isinstance(data, dict):
-            names.update(
-                k
-                for k, v in data.items()
-                if isinstance(v, dict) and v.get("hash_match") is True
-            )
-    return frozenset(names)
+            for k, v in data.items():
+                if isinstance(v, dict) and v.get("hash_match") is True:
+                    rounds[k] = max(rounds.get(k, 0), rnd)
+    return rounds
+
+
+def _verified_names() -> frozenset[str]:
+    """Names with a green verdict in any round so far."""
+    return frozenset(_verification_rounds())
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    """Registry contents, unverified-first.
+    """Registry contents, stalest-verdict-first.
 
-    Stable partition: names with no CORRECTNESS verdict in any round
-    yet precede the verified set; registration order is preserved
-    within each tier.
+    The driver verifies the FIRST ~50 entries each round, so ordering
+    is the re-verification schedule: never-verified names first, then
+    verified names by ascending last-green round (r1-verified before
+    r2-verified, ...), so the bounded per-round pass always refreshes
+    the entries whose verdicts are oldest. Registration order is
+    preserved within each tier (stable sort).
     """
     _load_all()
-    verified = _verified_names()
-    items = sorted(_REGISTRY.items(), key=lambda kv: kv[0] in verified)
+    rounds = _verification_rounds()
+    items = sorted(_REGISTRY.items(), key=lambda kv: rounds.get(kv[0], 0))
     return dict(items)
 
 
