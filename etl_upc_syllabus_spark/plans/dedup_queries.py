@@ -93,7 +93,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs a second full scan.
     sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
     sig = dd.minhash_signatures(sh)
-    pairs = dd.lsh_candidate_pairs(sig)
+    # jaccard_verify consumes `pairs` in three subtrees and leaves the
+    # lifecycle to us: persist here (CacheManager dedupes the entry
+    # across repeated invocations of this same plan, so benchmarks and
+    # registry re-runs reuse one warm cache instead of recomputing the
+    # LSH self-join per subtree).
+    pairs = dd.lsh_candidate_pairs(sig).persist()
     return dd.jaccard_verify(pairs, sh)
 
 
