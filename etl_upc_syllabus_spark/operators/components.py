@@ -22,11 +22,13 @@ Scale design (the part that matters at 100 TB):
   long before data size matters;
 - convergence is detected with a distributed count of changed labels
   (no collect of the label table, ever);
-- for graphs with huge skewed components (web-crawl link graphs, not
-  dup clusters) swap the neighborhood-min step for alternating
+- for graphs with huge skewed components (web-crawl link graphs, long
+  chains) use ``connected_components_lss`` -- alternating
   large-star/small-star (Kiveris et al., "Connected Components in
-  MapReduce and Beyond", SoCC'14): same primitive ops, O(log n)
-  rounds, degree-balanced. The API is shape-compatible.
+  MapReduce and Beyond", SoCC'14): the same (join + groupBy)
+  primitives, but O(log n) rounds on ANY diameter and degree-balanced
+  intermediate edges. Shape-compatible drop-in for
+  ``connected_components``.
 """
 
 from __future__ import annotations
@@ -97,6 +99,95 @@ def connected_components(
         )
 
     return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
+
+
+def connected_components_lss(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """``connected_components`` via alternating large-star/small-star.
+
+    Same contract as ``connected_components`` -- resolve undirected
+    ``edges`` into ``(id, component)`` where ``component`` is the
+    minimum node id -- but converges in O(log n) rounds on ANY graph
+    diameter (Kiveris et al., SoCC'14), where min-label propagation
+    needs diameter-many rounds and dies on chains. Use this for
+    web-crawl-shaped dup graphs (long paths, giant skewed components);
+    min-label remains marginally cheaper on near-clique dup clusters.
+
+    Round = one large-star + one small-star, each a groupBy + join on
+    the node key over an edge set that only shrinks toward the star
+    forest; ``localCheckpoint`` truncates lineage per round. The state
+    is edges (hi > lo), never a dense neighbor list, so a high-degree
+    hub costs a wide groupBy -- not a collect -- and AQE's skew
+    handling applies.
+    """
+    if max_iterations < 1:
+        raise ValueError(f"max_iterations must be >= 1, got {max_iterations}")
+    # Canonical star-edge orientation: hi > lo, self-loops dropped.
+    stars = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = stars.count()
+
+    for _ in range(max_iterations):
+        # Large-star: every node u links its strictly-LARGER neighbors
+        # to m = min(closed neighborhood of u). Processing the
+        # symmetric edge list means each edge is rewritten from both
+        # endpoints' perspectives; output keeps the hi > lo invariant
+        # because v > u >= m.
+        sym = stars.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            stars.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        large = (
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # Small-star: every node hi links its smaller neighbors AND
+        # itself to m = min of those neighbors (all < hi after
+        # large-star). Emits (v, m) for v in nbrs ∪ {hi}, v != m.
+        smins = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        relinked = (
+            large.join(smins, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        centers = smins.select("hi", F.col("m").alias("lo"))
+        new_stars = relinked.union(centers).distinct().localCheckpoint(eager=True)
+
+        n_new = new_stars.count()
+        converged = n_new == n_edges and new_stars.subtract(stars).isEmpty()
+        stars, n_edges = new_stars, n_new
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_lss did not converge in {max_iterations} "
+            "rounds; this should be ~log2(n) -- check for label-type "
+            "overflow or raise max_iterations"
+        )
+
+    # Fixed point is a star forest rooted at each component's minimum:
+    # every non-root appears exactly once as hi, roots only as lo.
+    return stars.select(F.col("hi").alias("id"), F.col("lo").alias("component")).union(
+        stars.select("lo", "lo").distinct().toDF("id", "component")
+    )
 
 
 def dedup_clusters(

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
-from ..operators.components import connected_components
+from ..operators.components import connected_components, connected_components_lss
 from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
 from .registry import query
@@ -102,9 +102,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_verify(pairs, sh)
 
 
-@query(
-    "dedup_cluster_components",
-    f"""
+# Shared by both connected-components variants: the min-reachable-label
+# fixed point is algorithm-independent, so min-label propagation and
+# large-star/small-star must hash-match the SAME oracle.
+_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE {fr.shingle_cte(3)},
     {fr.minhash_ctes(16, 4)},
     cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -117,7 +118,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
         SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.u)
     SELECT u AS doc_id, min(label) AS component FROM walk GROUP BY u
-    """,
+    """
+
+
+@query(
+    "dedup_cluster_components",
+    _COMPONENTS_ORACLE,
     doc="Duplicate-CLUSTER resolution: connected components over the "
     "MinHash-LSH candidate graph (operators/components.py). Pairs say "
     "'these two are similar'; curation needs 'keep one per group', "
@@ -134,6 +140,26 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
     pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sh))
     return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
+@query(
+    "dedup_cluster_components_lss",
+    _COMPONENTS_ORACLE,
+    doc="Same duplicate-cluster resolution, computed by alternating "
+    "large-star/small-star (Kiveris et al., SoCC'14) instead of "
+    "min-label propagation: O(log n) rounds on ANY graph diameter and "
+    "degree-balanced intermediates, so long chains and giant skewed "
+    "web-crawl components converge where min-label needs "
+    "diameter-many rounds. Hash-matches the min-label variant's "
+    "oracle -- the component fixed point is algorithm-independent.",
+    tags=("dedup", "components", "iterative"),
+)
+def dedup_cluster_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sh))
+    return connected_components_lss(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
 

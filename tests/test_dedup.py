@@ -133,3 +133,59 @@ def test_connected_components_raises_on_non_convergence(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(11)], "a long, b long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iterations=2).collect()
+
+
+def test_lss_components_match_min_label(spark):
+    from etl_upc_syllabus_spark.operators.components import (
+        connected_components,
+        connected_components_lss,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21), (5, 5)],
+        "a long, b long",
+    )
+    lss = {r["id"]: r["component"] for r in connected_components_lss(edges).collect()}
+    ml = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    # self-loop 5-5 is a degenerate edge: min-label keeps the node,
+    # LSS drops self-loops up front -- both are defensible; compare on
+    # the common (real-edge) nodes.
+    ml.pop(5, None)
+    assert lss == ml == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_lss_components_pathological_chain(spark):
+    """Diameter-40 path: min-label needs 40+ rounds (fails its default
+    cap of 20); large-star/small-star converges in O(log n)."""
+    import pytest as _pytest
+
+    from etl_upc_syllabus_spark.operators.components import (
+        connected_components,
+        connected_components_lss,
+    )
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain).collect()
+
+    cc = connected_components_lss(chain).collect()
+    assert len(cc) == 41
+    assert {r["component"] for r in cc} == {0}
+
+
+def test_lss_components_shuffled_ids_and_skew(spark):
+    """Non-monotone ids + a high-degree hub (star of 50 spokes into one
+    center with a large id) -- exercises both star operations."""
+    from etl_upc_syllabus_spark.operators.components import connected_components_lss
+
+    hub = [(1000, i) for i in range(100, 150)]  # center 1000, spokes 100..149
+    chain = [(7, 3), (3, 9), (9, 2), (2, 8)]  # shuffled-id path, min 2
+    cc = {
+        r["id"]: r["component"]
+        for r in connected_components_lss(
+            spark.createDataFrame(hub + chain, "a long, b long")
+        ).collect()
+    }
+    assert all(cc[n] == 100 for n in [1000, *range(100, 150)])
+    assert all(cc[n] == 2 for n in [7, 3, 9, 2, 8])
+    assert len(cc) == 56
