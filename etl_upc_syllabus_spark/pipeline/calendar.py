@@ -43,19 +43,30 @@ def render_pdf(calendar_df: DataFrame, path: str) -> str:
     """PDF report sink (S6, reference etl_pipeline.py:63-147).
 
     With reportlab importable, renders the reference's styled table
-    (grey header / striped rows). Without it -- this container -- falls
-    back to a valid text-layout PDF via the stdlib minipdf writer, so
-    the sink still emits a real PDF file rather than raising. Either
-    way the aggregation ran distributed; only the tiny per-week result
-    is collected here.
+    (grey header / striped rows). Without it -- this container -- the
+    stdlib minipdf writer renders the SAME (Semana, Contenido) table
+    as a real ruled grid (one row per calendar line, week number on
+    the group's first row), so the fallback is a genuine table report,
+    not a text dump; minipdf.extract_pages round-trips it. Either way
+    the aggregation ran distributed; only the tiny per-week result is
+    collected here.
     """
     if not reportlab_available():
         from . import minipdf
 
-        text = render_text(calendar_df)
-        # paginate: 45 lines per US-letter page at 14pt leading
-        lines = text.split("\n")
-        pages = ["\n".join(lines[i : i + 45]) for i in range(0, len(lines), 45)] or [""]
+        data = [["Semana", "Contenido"]]
+        for week, lines in calendar_rows(calendar_df):
+            for k, line in enumerate(lines or [""]):
+                data.append([str(week) if k == 0 else "", line])
+        # paginate: ~44 table rows per US-letter page, header repeated
+        body_rows = data[1:] or [["", "No se encontraron evaluaciones programadas."]]
+        pages = [
+            [
+                "Calendario Semanal de Evaluaciones",
+                ("table", [data[0], *body_rows[i : i + 44]]),
+            ]
+            for i in range(0, len(body_rows), 44)
+        ]
         minipdf.write_pdf(path, pages)
         return path
     from reportlab.lib import colors

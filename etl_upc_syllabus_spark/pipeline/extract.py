@@ -99,12 +99,15 @@ def extract_documents(binary_docs: DataFrame) -> DataFrame:
     - **pdfplumber** when importable: full parity with the reference
       (text + geometric table detection, etl_infrastructure.py:9-55);
     - **minipdf** (stdlib, always available) otherwise: real per-page
-      text decode for simple text PDFs; table extraction needs
-      pdfplumber's layout analysis, so pages decode with no tables and
-      table-less documents quarantine in the parse stage exactly like
-      any unparseable input. Tests cover this path end-to-end on
-      minipdf-written fixtures; table routing stays covered through
-      the RAW_DOC_SCHEMA fixture seam (route_tables is pure).
+      text decode for simple text PDFs, plus lines-strategy table
+      recovery for ruled layouts (grid of painted rules -> cells by
+      text position -- the same default model pdfplumber's
+      ``extract_table()`` applies), so binaryFile -> decode -> tables
+      -> parse -> calendar runs end-to-end with no third-party libs.
+      Unruled pages decode with no tables and table-less documents
+      quarantine in the parse stage exactly like any unparseable
+      input. Tests cover this path end-to-end on minipdf-written
+      fixtures (tests/test_minipdf.py).
     """
     import io
     import os
@@ -133,8 +136,11 @@ def extract_documents(binary_docs: DataFrame) -> DataFrame:
                                 pages_text.append(page.extract_text() or "")
                                 pages_tables.append(page.extract_table())
                     else:
-                        pages_text = minipdf.extract_text(bytes(row.content))
-                        pages_tables = [None] * len(pages_text)
+                        for page_text, page_table in minipdf.extract_pages(
+                            bytes(row.content)
+                        ):
+                            pages_text.append(page_text)
+                            pages_tables.append(page_table)
                 except Exception:
                     # One malformed PDF must not fail the whole Arrow
                     # batch/task: emit an empty-pages row so the parse

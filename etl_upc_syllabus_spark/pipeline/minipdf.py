@@ -8,20 +8,29 @@ with the standard library alone:
 
 - :func:`write_pdf` -- a valid single-font PDF writer (Helvetica /
   WinAnsi i.e. cp1252, which covers the bullet glyphs and Spanish
-  accents; FlateDecode content streams; correct xref), used to
-  generate *real* PDF fixtures for the end-to-end golden tests and as
-  the reportlab-free backend of the S6 calendar report sink;
-- :func:`extract_text` -- per-page text extraction: object scan,
-  page-tree ordering via /Kids, zlib stream decode, and a content
-  stream tokenizer covering the text-showing operators (Tj, TJ, ',
-  ") with Td/TD/T* line breaks.
+  accents; FlateDecode content streams; correct xref). Pages are
+  plain text or mixed blocks of text and RULED TABLES (stroked grid
+  lines + cells positioned on the column grid), used to generate
+  *real* PDF fixtures for the end-to-end golden tests and as the
+  reportlab-free backend of the S6 calendar report sink;
+- :func:`extract_pages` / :func:`extract_text` -- per-page layout
+  extraction: object scan, page-tree ordering via /Kids, zlib stream
+  decode, and a content-stream interpreter that tracks the text
+  matrix (Tm/Td/TD/T*/TL) and stroked path segments (m/l/re + S), so
+  every shown string has an (x, y) position. Lines are y-clusters of
+  runs; tables are recovered with the same "lines strategy"
+  pdfplumber defaults to (reference etl_infrastructure.py:18-23,
+  page.extract_table()): a grid of >=2 horizontal and >=2 vertical
+  rules defines the cells, and runs are binned into cells by
+  position.
 
 Scope is documented, not hidden: this handles simple Type1/WinAnsi
 text PDFs (including everything :func:`write_pdf` emits); it does NOT
-do CID/TrueType-subset decoding or geometric table detection. When
+do CID/TrueType-subset decoding, and -- faithful to pdfplumber's
+default lines strategy -- an UNRULED aligned-text table yields no
+table, exactly as ``page.extract_table()`` returns None for it. When
 pdfplumber is present the extraction stage uses it instead (see
-pipeline.extract.extract_documents); table extraction without
-pdfplumber stays fixture-seam.
+pipeline.extract.extract_documents).
 """
 
 from __future__ import annotations
@@ -44,21 +53,71 @@ def _pdf_string(text: str) -> bytes:
     return bytes(out)
 
 
-def _page_content(lines: list[str], font_size: int = 11, leading: int = 14) -> bytes:
-    parts = [b"BT", b"/F1 %d Tf" % font_size, b"%d TL" % leading, b"72 720 Td"]
-    first = True
-    for line in lines:
-        if not first:
-            parts.append(b"T*")
-        parts.append(_pdf_string(line) + b" Tj")
-        first = False
-    parts.append(b"ET")
+# A page is a plain string (text lines) or a list of blocks, each a
+# string or a ("table", rows) tuple with rows: list[list[str]].
+PageSpec = "str | list[str | tuple[str, list[list[str]]]]"
+
+_TABLE_X0, _TABLE_X1 = 72.0, 540.0
+_RULE_DROP = 4.0  # rule sits this far below the row's text baseline
+
+
+def _fmt_num(v: float) -> bytes:
+    s = f"{v:.2f}".rstrip("0").rstrip(".")
+    return (s or "0").encode("ascii")
+
+
+def _page_content(blocks, font_size: int = 11, leading: int = 14) -> bytes:
+    """Render text blocks and ruled-table blocks top-down from y=720.
+
+    Every line/cell is absolutely positioned with Tm; table grids are
+    stroked as real path segments (m/l/S), i.e. the page carries the
+    same ruling lines a styled report table has -- which is also what
+    the reader's lines-strategy table detection keys on."""
+    parts: list[bytes] = []
+    y = 720.0
+
+    def show(x: float, ty: float, text: str) -> None:
+        parts.append(
+            b"BT /F1 %d Tf 1 0 0 1 %s %s Tm %s Tj ET"
+            % (font_size, _fmt_num(x), _fmt_num(ty), _pdf_string(text))
+        )
+
+    for block in blocks:
+        if isinstance(block, str):
+            for line in block.split("\n"):
+                show(72.0, y, line)
+                y -= leading
+            continue
+        _tag, rows = block
+        rows = [list(r) for r in rows]
+        ncols = max((len(r) for r in rows), default=0) or 1
+        col_w = (_TABLE_X1 - _TABLE_X0) / ncols
+        top = y + leading - _RULE_DROP
+        bottoms = [y - i * leading - _RULE_DROP for i in range(len(rows))]
+        for yh in [top, *bottoms]:
+            parts.append(
+                b"%s %s m %s %s l S"
+                % (_fmt_num(_TABLE_X0), _fmt_num(yh), _fmt_num(_TABLE_X1), _fmt_num(yh))
+            )
+        for j in range(ncols + 1):
+            xv = _TABLE_X0 + j * col_w
+            parts.append(
+                b"%s %s m %s %s l S"
+                % (_fmt_num(xv), _fmt_num(bottoms[-1]), _fmt_num(xv), _fmt_num(top))
+            )
+        for i, row in enumerate(rows):
+            for j, cell in enumerate(row):
+                if cell:
+                    show(_TABLE_X0 + j * col_w + 2, y - i * leading, cell)
+        y = bottoms[-1] - leading
     return b"\n".join(parts)
 
 
-def write_pdf(path: str, pages: list[str]) -> None:
-    """Write a valid text-only PDF: one Helvetica/WinAnsi font, one
-    FlateDecode content stream per page, correct xref table."""
+def write_pdf(path: str, pages: list) -> None:
+    """Write a valid PDF: one Helvetica/WinAnsi font, one FlateDecode
+    content stream per page, correct xref table. Each page is a plain
+    string of newline-separated lines, or a list of blocks mixing
+    strings with ``("table", rows)`` ruled tables."""
     n_pages = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
     # 4+2i page object, 5+2i content stream
@@ -71,14 +130,15 @@ def write_pdf(path: str, pages: list[str]) -> None:
         b" /Encoding /WinAnsiEncoding >>",
     }
     streams: dict[int, bytes] = {}
-    for i, page_text in enumerate(pages):
+    for i, page in enumerate(pages):
         page_obj, content_obj = 4 + 2 * i, 5 + 2 * i
         objects[page_obj] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
             b" /Resources << /Font << /F1 3 0 R >> >>"
             b" /Contents %d 0 R >>" % content_obj
         )
-        streams[content_obj] = zlib.compress(_page_content(page_text.split("\n")))
+        blocks = [page] if isinstance(page, str) else page
+        streams[content_obj] = zlib.compress(_page_content(blocks))
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -226,21 +286,60 @@ def _read_string(data: bytes, i: int) -> tuple[str, int]:
     return out.decode("cp1252", errors="replace"), i
 
 
-def _content_lines(stream: bytes) -> list[str]:
-    """Reconstruct text lines from a content stream.
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+_STROKE_OPS = (b"S", b"s", b"B", b"b", b"B*", b"b*", b"f", b"F", b"f*")
 
-    Strings accumulate as `pending` until a text-showing operator
-    consumes them (Tj/TJ append to the current line; '/" break first),
-    and Td/TD/T* break lines -- the model pdfplumber's layout engine
-    reduces to for single-column text."""
-    lines: list[str] = []
-    cur: list[str] = []
+
+def _mat_mult(m1, m2):
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _page_layout(
+    stream: bytes, seq0: int = 0
+) -> tuple[list[tuple[float, float, int, str]], list[tuple[float, float, float, float]]]:
+    """Interpret a content stream into positioned text runs and rules.
+
+    Returns ``(runs, rules)`` where runs are ``(y, x, seq, text)`` --
+    the text-matrix translation at which each string was shown, with
+    ``seq`` preserving emission order for same-position runs -- and
+    rules are painted path segments ``(x0, y0, x1, y1)`` (from m/l and
+    re, flushed by any stroke/fill operator). Tracks Tm/Td/TD/T*/TL
+    through real matrix composition, so both the absolute-Tm layout
+    the current writer emits and the Td/T* relative layout of older
+    files (and most simple generators) position identically. Glyph
+    widths are unknown without font metrics, so consecutive shows
+    without a repositioning share an (x, y) and are re-joined in seq
+    order downstream."""
+    runs: list[tuple[float, float, int, str]] = []
+    rules: list[tuple[float, float, float, float]] = []
+    stack: list[float] = []
     pending: list[str] = []
+    tm = lm = _IDENTITY
+    tl = 0.0
+    path: list[tuple[float, float, float, float]] = []
+    pt: tuple[float, float] | None = None
+    seq = seq0
 
-    def newline() -> None:
-        if cur:
-            lines.append("".join(cur))
-            cur.clear()
+    def show() -> None:
+        nonlocal seq
+        if pending:
+            runs.append((tm[5], tm[4], seq, "".join(pending)))
+            seq += 1
+            pending.clear()
+
+    def text_advance(tx: float, ty: float) -> None:
+        nonlocal lm, tm
+        lm = _mat_mult((1.0, 0.0, 0.0, 1.0, tx, ty), lm)
+        tm = lm
 
     i, n = 0, len(stream)
     while i < n:
@@ -266,8 +365,14 @@ def _content_lines(stream: bytes) -> list[str]:
             while i < n and stream[i : i + 1] not in _WS and stream[i : i + 1] not in _DELIMS:
                 i += 1
         elif c.isdigit() or c in (b"+", b"-", b"."):
-            while i < n and (stream[i : i + 1].isdigit() or stream[i : i + 1] in b"+-.eE"):
-                i += 1
+            j = i
+            while j < n and (stream[j : j + 1].isdigit() or stream[j : j + 1] in b"+-.eE"):
+                j += 1
+            try:
+                stack.append(float(stream[i:j]))
+            except ValueError:
+                pass
+            i = j
         else:
             j = i
             while j < n and stream[j : j + 1] not in _WS and stream[j : j + 1] not in _DELIMS:
@@ -275,19 +380,113 @@ def _content_lines(stream: bytes) -> list[str]:
             op = stream[i:j]
             i = j if j > i else i + 1
             if op in (b"Tj", b"TJ"):
-                cur.extend(pending)
-                pending.clear()
+                show()
             elif op in (b"'", b'"'):
-                newline()
-                cur.extend(pending)
+                text_advance(0.0, -tl)
+                show()
+            elif op == b"Td" and len(stack) >= 2:
+                text_advance(stack[-2], stack[-1])
+            elif op == b"TD" and len(stack) >= 2:
+                tl = -stack[-1]
+                text_advance(stack[-2], stack[-1])
+            elif op == b"Tm" and len(stack) >= 6:
+                lm = tm = tuple(stack[-6:])
+            elif op == b"T*":
+                text_advance(0.0, -tl)
+            elif op == b"TL" and stack:
+                tl = stack[-1]
+            elif op == b"BT":
+                tm = lm = _IDENTITY
+            elif op == b"m" and len(stack) >= 2:
+                pt = (stack[-2], stack[-1])
                 pending.clear()
-            elif op in (b"Td", b"TD", b"T*", b"BT", b"ET"):
-                newline()
+            elif op == b"l" and len(stack) >= 2:
+                if pt is not None:
+                    path.append((pt[0], pt[1], stack[-2], stack[-1]))
+                pt = (stack[-2], stack[-1])
                 pending.clear()
+            elif op == b"re" and len(stack) >= 4:
+                x, y, w, h = stack[-4:]
+                path.extend(
+                    [
+                        (x, y, x + w, y),
+                        (x, y + h, x + w, y + h),
+                        (x, y, x, y + h),
+                        (x + w, y, x + w, y + h),
+                    ]
+                )
+                pending.clear()
+            elif op in _STROKE_OPS:
+                rules.extend(path)
+                path.clear()
+                pt = None
+                pending.clear()
+            elif op == b"n":
+                path.clear()
+                pt = None
+                pending.clear()
+            elif op == b"ET":
+                pass
             else:
                 pending.clear()
-    newline()
+            stack.clear()
+    return runs, rules
+
+
+def _assemble_lines(runs: list[tuple[float, float, int, str]]) -> list[str]:
+    """y-cluster runs into text lines (top-down, left-to-right).
+
+    Runs at the same x (consecutive shows without repositioning)
+    concatenate directly; a change of x within a line reads as a cell/
+    column gap and joins with a single space."""
+    by_y: dict[float, list[tuple[float, int, str]]] = {}
+    for y, x, seq, text in runs:
+        by_y.setdefault(round(y, 1), []).append((x, seq, text))
+    lines: list[str] = []
+    for y in sorted(by_y, reverse=True):
+        parts: list[str] = []
+        prev_x: float | None = None
+        for x, _seq, text in sorted(by_y[y]):
+            if parts and x != prev_x:
+                parts.append(" ")
+            parts.append(text)
+            prev_x = x
+        lines.append("".join(parts))
     return lines
+
+
+def _detect_table(
+    runs: list[tuple[float, float, int, str]],
+    rules: list[tuple[float, float, float, float]],
+) -> list[list[str]] | None:
+    """Lines-strategy table detection (pdfplumber's default model):
+    >=2 horizontal + >=2 vertical painted rules define a cell grid;
+    text runs inside the grid box are binned into cells by position.
+    One grid per page -- the layout this engine's writer and simple
+    report generators produce. Returns None when the page has no
+    ruled grid (an unruled aligned-text table is NOT a table here,
+    matching ``page.extract_table()`` on the same layout)."""
+    hs = {round(r[1], 1) for r in rules if abs(r[1] - r[3]) < 0.01 and abs(r[0] - r[2]) > 1}
+    vs = {round(r[0], 1) for r in rules if abs(r[0] - r[2]) < 0.01 and abs(r[1] - r[3]) > 1}
+    ys = sorted(hs, reverse=True)
+    xs = sorted(vs)
+    if len(ys) < 2 or len(xs) < 2:
+        return None
+    nrows, ncols = len(ys) - 1, len(xs) - 1
+    cells: list[list[list[tuple[float, int, str]]]] = [
+        [[] for _ in range(ncols)] for _ in range(nrows)
+    ]
+    for y, x, seq, text in runs:
+        if not (xs[0] <= x <= xs[-1] and ys[-1] <= y <= ys[0]):
+            continue
+        r = next((k for k in range(nrows) if ys[k + 1] < y <= ys[k]), None)
+        c = next((k for k in range(ncols) if xs[k] <= x < xs[k + 1]), None)
+        if r is not None and c is not None:
+            cells[r][c].append((x, seq, text))
+    return [
+        ["".join(t for _x, _s, t in sorted(cell)).strip() for cell in row]
+        for row in cells
+    ]
 
 
 def _page_order(objects: dict[int, bytes]) -> list[int]:
@@ -303,11 +502,14 @@ def _page_order(objects: dict[int, bytes]) -> list[int]:
     return sorted(num for num, body in objects.items() if b"/Type" in body and b"/Page" in body and b"/Pages" not in body)
 
 
-def extract_text(data: bytes) -> list[str]:
-    """Per-page text of a simple text PDF (the extract_text seam of
-    reference etl_infrastructure.py:9-16)."""
+def extract_pages(data: bytes) -> list[tuple[str, list[list[str]] | None]]:
+    """Per-page ``(text, table)`` of a simple text PDF -- the two
+    capabilities the reference extractor needs per page
+    (etl_infrastructure.py:9-23: ``page.extract_text()`` +
+    ``page.extract_table()``). ``table`` is rows of cell strings when
+    the page carries a ruled grid, else None."""
     objects = _scan_objects(data)
-    pages: list[str] = []
+    pages: list[tuple[str, list[list[str]] | None]] = []
     for page_num in _page_order(objects):
         body = objects.get(page_num, b"")
         contents: list[bytes] = []
@@ -319,8 +521,17 @@ def extract_text(data: bytes) -> list[str]:
                 payload = _stream_payload(objects.get(int(m.group(1)), b""))
                 if payload is not None:
                     contents.append(payload)
-        text_lines: list[str] = []
+        runs: list[tuple[float, float, int, str]] = []
+        rules: list[tuple[float, float, float, float]] = []
         for payload in contents:
-            text_lines.extend(_content_lines(payload))
-        pages.append("\n".join(text_lines))
+            more_runs, more_rules = _page_layout(payload, seq0=len(runs))
+            runs.extend(more_runs)
+            rules.extend(more_rules)
+        pages.append(("\n".join(_assemble_lines(runs)), _detect_table(runs, rules)))
     return pages
+
+
+def extract_text(data: bytes) -> list[str]:
+    """Per-page text of a simple text PDF (the extract_text seam of
+    reference etl_infrastructure.py:9-16)."""
+    return [text for text, _table in extract_pages(data)]

@@ -1,12 +1,13 @@
 """Real-PDF end-to-end tests on minipdf-written fixtures.
 
 pdfplumber/reportlab are absent from this container and installs are
-not permitted (VERDICT r1 item 5), so the PDF decode parity that can
-be proven is: a *valid PDF file* on disk -> binaryFile scan ->
-distributed Arrow extract stage (stdlib minipdf backend) -> per-page
-text -> general-info parse -> calendar golden. Geometric table
-detection remains pdfplumber-gated; table routing is covered through
-the pure route_tables / RAW_DOC_SCHEMA seam (test_pipeline_golden).
+not permitted (VERDICT r1 item 5), so PDF parity is proven on
+minipdf's own real files: a *valid PDF file* on disk -> binaryFile
+scan -> distributed Arrow extract stage (stdlib minipdf backend) ->
+per-page text AND ruled-table recovery (lines-strategy grid
+detection) -> parse -> calendar golden, with no RAW_DOC_SCHEMA seam.
+Unruled pages still yield no table -- the same answer pdfplumber's
+default ``extract_table()`` gives for a rule-less layout.
 """
 
 from __future__ import annotations
@@ -103,6 +104,53 @@ def pdf_dir(spark, tmp_path_factory):
     return str(d)
 
 
+def test_table_block_roundtrip(tmp_path):
+    """A ruled-table page round-trips: grid rules define the cells,
+    empty cells stay empty, accents/bullets survive cp1252."""
+    path = str(tmp_path / "t.pdf")
+    minipdf.write_pdf(
+        path,
+        [
+            "plain page",
+            ["VI. UNIDADES DE APRENDIZAJE", ("table", UNITS_TABLE)],
+            ["VIII. EVALUACIÓN", ("table", ASSESSMENTS_TABLE), "nota final"],
+        ],
+    )
+    with open(path, "rb") as fh:
+        pages = minipdf.extract_pages(fh.read())
+    assert pages[0] == ("plain page", None)
+    text1, table1 = pages[1]
+    assert text1.splitlines()[0] == "VI. UNIDADES DE APRENDIZAJE"
+    assert table1 == UNITS_TABLE
+    text2, table2 = pages[2]
+    assert table2 == ASSESSMENTS_TABLE
+    assert text2.splitlines()[-1] == "nota final"
+
+
+def test_relative_positioning_parity():
+    """Foreign simple PDFs position with Td/TD/T*/TL and ' rather than
+    absolute Tm (the shape this module's own writer used to emit);
+    the layout interpreter must place both identically."""
+    stream = (
+        b"BT /F1 11 Tf 14 TL 72 720 Td (uno) Tj T* (dos) Tj (: mas) Tj "
+        b"0 -14 TD (tres) Tj (cuatro) ' ET"
+    )
+    runs, rules = minipdf._page_layout(stream)
+    assert rules == []
+    assert minipdf._assemble_lines(runs) == ["uno", "dos: mas", "tres", "cuatro"]
+    ys = sorted({round(y, 1) for y, _x, _s, _t in runs}, reverse=True)
+    assert ys == [720.0, 706.0, 692.0, 678.0]
+
+
+def test_unruled_columns_are_not_a_table():
+    """Aligned text WITHOUT painted rules is not a table (pdfplumber's
+    default lines strategy returns None there too) -- but a partial
+    grid (single rule) must not crash either."""
+    runs = [(700.0, 72.0, 0, "a"), (700.0, 200.0, 1, "b"), (686.0, 72.0, 2, "c")]
+    assert minipdf._detect_table(runs, []) is None
+    assert minipdf._detect_table(runs, [(72.0, 680.0, 540.0, 680.0)]) is None
+
+
 def test_binaryfile_scan_and_extract(spark, pdf_dir):
     """S1 + S2 end-to-end on real PDF bytes: the glob filters non-
     syllabus files, the Arrow stage decodes per-page text."""
@@ -134,6 +182,48 @@ def test_pdf_to_calendar_end_to_end(spark, pdf_dir):
     recs = {r["id"]: r for r in good.collect()}
     assert recs["1AEL0244"]["name"] == "Matemática Básica"
     assert recs["1AEL0321"]["name"] == "Física I"
+    cal = {r["week"]: r["lines"] for r in assemble.weekly_calendar(good).collect()}
+    assert cal[4] == [
+        "•1AEL0244: PRÁCTICA PC  (15.0%)",
+        "•1AEL0321: PRÁCTICA PC  (15.0%)",
+    ]
+    assert sorted(cal) == [4, 16]
+
+
+@pytest.fixture(scope="module")
+def ruled_pdf_dir(spark, tmp_path_factory):
+    """Full syllabus PDFs whose units/assessments tables are RULED
+    table pages -- the complete reference input shape, as real files."""
+    d = tmp_path_factory.mktemp("ruled_pdfs")
+
+    def pages(course: str) -> list:
+        return [
+            PAGE1.replace("Matemática Básica", course),
+            ["VI. UNIDADES DE APRENDIZAJE", ("table", UNITS_TABLE)],
+            ["VIII. EVALUACIÓN", ("table", ASSESSMENTS_TABLE)],
+        ]
+
+    minipdf.write_pdf(
+        str(d / "UG-202520_1AEL0244-8281.pdf"), pages("Matemática Básica")
+    )
+    minipdf.write_pdf(str(d / "UG-202520_1AEL0321-9001.pdf"), pages("Física I"))
+    return str(d)
+
+
+def test_ruled_pdf_to_calendar_no_seam(spark, ruled_pdf_dir):
+    """VERDICT r2 item 2: binaryFile -> minipdf decode -> TABLE
+    recovery -> section routing -> parse -> weekly calendar, entirely
+    from real PDF bytes -- no RAW_DOC_SCHEMA fixture seam anywhere."""
+    extracted = extract.extract_documents(extract.read_syllabus_pdfs(spark, ruled_pdf_dir))
+    good, bad = assemble.split_quarantine(assemble.parse_documents(extracted))
+    assert bad.count() == 0
+    recs = {r["id"]: r for r in good.collect()}
+    assert recs["1AEL0244"]["name"] == "Matemática Básica"
+    assert recs["1AEL0321"]["name"] == "Física I"
+    # the units/assessments really came out of the ruled PDF pages
+    units = [u.asDict() for u in recs["1AEL0244"]["units"]]
+    assert units and units[0]["syllabus"] == ["t1", "t2"]
+    assert [a["week"] for a in recs["1AEL0244"]["assessments"]] == [4, 16]
     cal = {r["week"]: r["lines"] for r in assemble.weekly_calendar(good).collect()}
     assert cal[4] == [
         "•1AEL0244: PRÁCTICA PC  (15.0%)",

@@ -154,8 +154,9 @@ def test_calendar_text_render(parsed):
 
 
 def test_calendar_pdf_render_roundtrip(parsed, tmp_path):
-    """S6 emits a real PDF even without reportlab (minipdf backend);
-    decoding it recovers the calendar text."""
+    """S6 emits a real PDF even without reportlab (minipdf backend),
+    and the report is a real RULED table -- decoding the file recovers
+    the same (Semana, Contenido) grid the reportlab path styles."""
     from etl_upc_syllabus_spark.pipeline import minipdf
 
     good, _ = assemble.split_quarantine(parsed)
@@ -164,8 +165,10 @@ def test_calendar_pdf_render_roundtrip(parsed, tmp_path):
     with open(path, "rb") as fh:
         data = fh.read()
     assert data.startswith(b"%PDF")
-    text = "\n".join(minipdf.extract_text(data))
-    assert "Semana 4:" in text and "•1AEL0244: PRÁCTICA PC  (15.0%)" in text
+    text, table = minipdf.extract_pages(data)[0]
+    assert "Calendario Semanal de Evaluaciones" in text
+    assert table[0] == ["Semana", "Contenido"]
+    assert ["4", "•1AEL0244: PRÁCTICA PC  (15.0%)"] in table
 
 
 def test_sinks_roundtrip(spark, parsed, tmp_path):
