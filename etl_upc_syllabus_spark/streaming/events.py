@@ -224,11 +224,19 @@ def run_stream_to_table(
     query start; for the local fixture-drain harness 32 partitions is
     pure per-batch overhead, so shuffle partitions are lowered for the
     query's lifetime and restored after. (A production cluster sizes
-    this to state volume / executor count instead.)
+    this to state volume / executor count instead.) No-data
+    micro-batches are disabled for the query's lifetime too: every
+    emission in this module is deliberately carried by a DATA batch
+    (the sentinel-flush design, _staged_flush_dir), so the extra
+    empty batches the scheduler would interleave are pure drain
+    latency here -- a production query that wants eager watermark-only
+    emission should leave them on.
     """
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     name = f"strm_out_{next(_MEMSINK_IDS)}"
     try:
         q = (
@@ -243,6 +251,7 @@ def run_stream_to_table(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
     return spark.table(name)
 
 
