@@ -45,11 +45,13 @@ def render_pdf(calendar_df: DataFrame, path: str) -> str:
     With reportlab importable, renders the reference's styled table
     (grey header / striped rows). Without it -- this container -- the
     stdlib minipdf writer renders the SAME (Semana, Contenido) table
-    as a real ruled grid (one row per calendar line, week number on
-    the group's first row), so the fallback is a genuine table report,
-    not a text dump; minipdf.extract_pages round-trips it. Either way
-    the aggregation ran distributed; only the tiny per-week result is
-    collected here.
+    with the same styling (grey header band, whitesmoke bold header,
+    white/lightgrey striped rows, ruled grid -- minipdf's
+    ``styled_table`` block mirrors the reference's TableStyle,
+    etl_pipeline.py:128-140), one row per calendar line, week number
+    on the group's first row; minipdf.extract_pages round-trips it.
+    Either way the aggregation ran distributed; only the tiny per-week
+    result is collected here.
     """
     if not reportlab_available():
         from . import minipdf
@@ -63,7 +65,7 @@ def render_pdf(calendar_df: DataFrame, path: str) -> str:
         pages = [
             [
                 "Calendario Semanal de Evaluaciones",
-                ("table", [data[0], *body_rows[i : i + 44]]),
+                ("styled_table", [data[0], *body_rows[i : i + 44]]),
             ]
             for i in range(0, len(body_rows), 44)
         ]

@@ -66,20 +66,50 @@ def _fmt_num(v: float) -> bytes:
     return (s or "0").encode("ascii")
 
 
+#: Non-stroking RGB fills mirroring the reference's reportlab TableStyle
+#: (etl_pipeline.py:128-140): colors.grey header band, whitesmoke header
+#: text, white/lightgrey alternating body rows.
+_GREY = b"0.5 0.5 0.5 rg"
+_LIGHTGREY = b"0.83 0.83 0.83 rg"
+_WHITESMOKE = b"0.96 0.96 0.96 rg"
+_BLACK = b"0 0 0 rg"
+
+
 def _page_content(blocks, font_size: int = 11, leading: int = 14) -> bytes:
     """Render text blocks and ruled-table blocks top-down from y=720.
 
     Every line/cell is absolutely positioned with Tm; table grids are
     stroked as real path segments (m/l/S), i.e. the page carries the
     same ruling lines a styled report table has -- which is also what
-    the reader's lines-strategy table detection keys on."""
+    the reader's lines-strategy table detection keys on.
+
+    A ``("styled_table", rows)`` block additionally paints the
+    reference's reportlab styling (grey header band, whitesmoke bold
+    header text, white/lightgrey striped body rows -- reference
+    etl_pipeline.py:128-140). The background rectangles span exactly
+    the grid cells, so their `re` edges coincide with the stroked
+    rules and the reader's table detection sees the identical grid as
+    the unstyled variant."""
     parts: list[bytes] = []
     y = 720.0
 
-    def show(x: float, ty: float, text: str) -> None:
+    def show(
+        x: float, ty: float, text: str, font: bytes = b"F1", size: int | None = None,
+        color: bytes | None = None,
+    ) -> None:
+        # color ops go BEFORE BT: the reader treats unknown operators as
+        # run breaks, which would drop a pending string after it.
         parts.append(
-            b"BT /F1 %d Tf 1 0 0 1 %s %s Tm %s Tj ET"
-            % (font_size, _fmt_num(x), _fmt_num(ty), _pdf_string(text))
+            b"%sBT /%s %d Tf 1 0 0 1 %s %s Tm %s Tj ET%s"
+            % (
+                color + b" " if color else b"",
+                font,
+                size or font_size,
+                _fmt_num(x),
+                _fmt_num(ty),
+                _pdf_string(text),
+                b" " + _BLACK if color else b"",
+            )
         )
 
     for block in blocks:
@@ -88,12 +118,32 @@ def _page_content(blocks, font_size: int = 11, leading: int = 14) -> bytes:
                 show(72.0, y, line)
                 y -= leading
             continue
-        _tag, rows = block
+        tag, rows = block
+        styled = tag == "styled_table"
         rows = [list(r) for r in rows]
         ncols = max((len(r) for r in rows), default=0) or 1
         col_w = (_TABLE_X1 - _TABLE_X0) / ncols
         top = y + leading - _RULE_DROP
         bottoms = [y - i * leading - _RULE_DROP for i in range(len(rows))]
+        if styled:
+            # painter's model: fills first, then rules, then text
+            bands = [(0, _GREY)]  # header
+            bands += [
+                (i, _LIGHTGREY) for i in range(1, len(rows)) if i % 2 == 0
+            ]  # ROWBACKGROUNDS [white, lightgrey] from body row 1
+            for i, color in bands:
+                row_top = top if i == 0 else bottoms[i - 1]
+                parts.append(
+                    b"%s %s %s %s %s re f"
+                    % (
+                        color,
+                        _fmt_num(_TABLE_X0),
+                        _fmt_num(bottoms[i]),
+                        _fmt_num(_TABLE_X1 - _TABLE_X0),
+                        _fmt_num(row_top - bottoms[i]),
+                    )
+                )
+            parts.append(_BLACK)
         for yh in [top, *bottoms]:
             parts.append(
                 b"%s %s m %s %s l S"
@@ -106,21 +156,33 @@ def _page_content(blocks, font_size: int = 11, leading: int = 14) -> bytes:
                 % (_fmt_num(xv), _fmt_num(bottoms[-1]), _fmt_num(xv), _fmt_num(top))
             )
         for i, row in enumerate(rows):
+            header = styled and i == 0
             for j, cell in enumerate(row):
                 if cell:
-                    show(_TABLE_X0 + j * col_w + 2, y - i * leading, cell)
+                    show(
+                        _TABLE_X0 + j * col_w + 2,
+                        y - i * leading,
+                        cell,
+                        font=b"F2" if header else b"F1",
+                        size=12 if header else None,
+                        color=_WHITESMOKE if header else None,
+                    )
         y = bottoms[-1] - leading
     return b"\n".join(parts)
 
 
 def write_pdf(path: str, pages: list) -> None:
-    """Write a valid PDF: one Helvetica/WinAnsi font, one FlateDecode
-    content stream per page, correct xref table. Each page is a plain
-    string of newline-separated lines, or a list of blocks mixing
-    strings with ``("table", rows)`` ruled tables."""
+    """Write a valid PDF: Helvetica + Helvetica-Bold WinAnsi fonts, one
+    FlateDecode content stream per page, correct xref table. Each page
+    is a plain string of newline-separated lines, or a list of blocks
+    mixing strings with ``("table", rows)`` ruled tables /
+    ``("styled_table", rows)`` report-styled tables (grey header,
+    striped rows -- the reference's reportlab style)."""
     n_pages = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
-    # 4+2i page object, 5+2i content stream
+    # 4+2i page object, 5+2i content stream; 4+2n bold font (F2,
+    # styled-table headers)
+    bold_obj = 4 + 2 * n_pages
     objects: dict[int, bytes] = {
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids ["
@@ -128,14 +190,16 @@ def write_pdf(path: str, pages: list) -> None:
         + b"] /Count %d >>" % n_pages,
         3: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
         b" /Encoding /WinAnsiEncoding >>",
+        bold_obj: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold"
+        b" /Encoding /WinAnsiEncoding >>",
     }
     streams: dict[int, bytes] = {}
     for i, page in enumerate(pages):
         page_obj, content_obj = 4 + 2 * i, 5 + 2 * i
         objects[page_obj] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
-            b" /Resources << /Font << /F1 3 0 R >> >>"
-            b" /Contents %d 0 R >>" % content_obj
+            b" /Resources << /Font << /F1 3 0 R /F2 %d 0 R >> >>"
+            b" /Contents %d 0 R >>" % (bold_obj, content_obj)
         )
         blocks = [page] if isinstance(page, str) else page
         streams[content_obj] = zlib.compress(_page_content(blocks))

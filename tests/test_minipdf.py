@@ -127,6 +127,34 @@ def test_table_block_roundtrip(tmp_path):
     assert text2.splitlines()[-1] == "nota final"
 
 
+def test_styled_table_decodes_identically(tmp_path):
+    """S6 styling parity (reference etl_pipeline.py:128-140): a
+    styled_table paints the reportlab look (grey header band, bold
+    whitesmoke header text, striped body rows) yet decodes to the
+    EXACT same text and grid as the unstyled variant -- the background
+    rects span whole grid cells, so their edges coincide with the
+    stroked rules and add no spurious lines."""
+    import zlib
+
+    plain, styled = str(tmp_path / "p.pdf"), str(tmp_path / "s.pdf")
+    page = ["VIII. EVALUACIÓN", ("table", ASSESSMENTS_TABLE)]
+    styled_page = ["VIII. EVALUACIÓN", ("styled_table", ASSESSMENTS_TABLE)]
+    minipdf.write_pdf(plain, [page])
+    minipdf.write_pdf(styled, [styled_page])
+    with open(plain, "rb") as fh:
+        plain_pages = minipdf.extract_pages(fh.read())
+    with open(styled, "rb") as fh:
+        data = fh.read()
+    assert minipdf.extract_pages(data) == plain_pages
+    assert plain_pages[0][1] == ASSESSMENTS_TABLE
+    # the styling is really painted: fills + bold header font
+    stream = zlib.decompress(data[data.find(b"stream\n") + 7 : data.find(b"\nendstream")])
+    assert b"re f" in stream and b"0.5 0.5 0.5 rg" in stream  # grey header band
+    assert b"0.83 0.83 0.83 rg" in stream  # striped body row
+    assert b"/F2 12 Tf" in stream  # Helvetica-Bold header
+    assert b"/BaseFont /Helvetica-Bold" in data
+
+
 def test_relative_positioning_parity():
     """Foreign simple PDFs position with Td/TD/T*/TL and ' rather than
     absolute Tm (the shape this module's own writer used to emit);
