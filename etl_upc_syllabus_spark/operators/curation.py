@@ -1,0 +1,146 @@
+"""Corpus-curation operators a training-data pipeline needs beyond
+dedup/quality: PII scrubbing, per-domain caps, repetition (Gopher)
+rules, and benchmark decontamination.
+
+No reference analog (the reference is a PDF ETL, etl_pipeline.py); these
+extend the LLM-pipeline surface the same way operators.textanalysis
+does. Everything is codegen'd column expressions or one join + one
+aggregation -- no Python in the hot path, so each op runs at scan/
+shuffle speed at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textanalysis import norm_text, tokens
+
+# Redaction patterns, identical semantics in Java regex (Spark) and RE2
+# (DuckDB oracle): character classes, bounded repeats, \b and \d only.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+#: (pattern, replacement) in application order. Order is part of the
+#: contract: the oracle applies the same replacements in the same order.
+REDACTIONS = (
+    (EMAIL_RE, "<EMAIL>"),
+    (PHONE_RE, "<PHONE>"),
+    (IP_RE, "<IP>"),
+)
+
+
+def inject_synthetic_pii(text: Column | str, doc_id: Column | str) -> Column:
+    """Append deterministic synthetic PII (email, phone, IPv4) derived
+    from doc_id. The fixture corpus carries no natural PII, so the
+    scrubber demo plants its own -- per doc, reproducibly, with no
+    randomness (the same string both engines can build)."""
+    t, d = F.col(text) if isinstance(text, str) else text, F.col(doc_id)
+    s = lambda c: c.cast("string")  # noqa: E731
+    return F.concat(
+        t,
+        F.lit(" contact user"), s(d), F.lit("@mail.example.com tel 555-"),
+        F.lpad(s(d % 1000), 3, "0"), F.lit("-"), F.lpad(s(d % 10000), 4, "0"),
+        F.lit(" ip 10."), s(d % 256), F.lit("."), s(d % 251), F.lit("."),
+        s(d % 254 + 1),
+    )
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-category match counts (taken BEFORE scrubbing)."""
+    t = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.regexp_count(t, F.lit(EMAIL_RE)).cast("long"),
+        "n_phones": F.regexp_count(t, F.lit(PHONE_RE)).cast("long"),
+        "n_ips": F.regexp_count(t, F.lit(IP_RE)).cast("long"),
+    }
+
+
+def pii_scrub(text: Column | str) -> Column:
+    """Redact emails, phones, then IPs (order matters and is fixed)."""
+    t = F.col(text) if isinstance(text, str) else text
+    for pattern, token in REDACTIONS:
+        t = F.regexp_replace(t, pattern, token)
+    return t
+
+
+def domain_cap(df: DataFrame, key: str, order: str, k: int) -> DataFrame:
+    """Keep at most `k` rows per `key`, deterministically (first `k` by
+    `order`) -- the C4/RefinedWeb per-domain cap that stops any single
+    domain from dominating the corpus.
+
+    Scale: one row_number window shuffle on `key`. A pathologically hot
+    domain concentrates on one reducer, but only rank <= k survives the
+    window's sort buffer spill -- and with AQE skew handling the sort
+    itself splits. (A cheaper approximate variant samples per key before
+    ranking; exactness is the point here.)
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """Adjacent token pairs of the normalized text (empty for < 2 tokens)."""
+    ws = tokens(text)
+    return F.when(F.size(ws) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+        )
+    )
+
+
+def repetition_metrics(text: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition signal: fraction of duplicate word
+    bigrams. High dup_frac marks boilerplate/generated text."""
+    bi = word_bigrams(text)
+    n = F.size(bi).cast("long")
+    nd = F.size(F.array_distinct(bi)).cast("long")
+    return {
+        "n_bigrams": n,
+        "n_distinct_bigrams": nd,
+        "dup_frac": F.when(n == 0, F.lit(0.0)).otherwise((n - nd).cast("double") / n),
+    }
+
+
+def word_ngrams(text: Column | str, n: int) -> Column:
+    """Sliding token n-grams of normalized text (empty for < n tokens)."""
+    ws = tokens(text)
+    return F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - n),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame, is_benchmark: Column, n: int = 3, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any token
+    n-gram with a benchmark doc, with the count of distinct shared
+    grams. The eval-leakage sweep every training corpus needs.
+
+    Scale: the benchmark side is tiny relative to the corpus, so its
+    distinct-gram set broadcasts; the corpus side is one explode +
+    broadcast hash join + one aggregation -- the corpus is never
+    shuffled by gram. (n=3 suits the small-vocab fixture; real
+    pipelines run 8-13 gram windows via the same plan.)
+    """
+    with_grams = docs.withColumn("_gram", F.explode(word_ngrams(text, n)))
+    bench = (
+        with_grams.filter(is_benchmark).select(F.col("_gram").alias("gram")).distinct()
+    )
+    train = with_grams.filter(~is_benchmark).select(id_col, F.col("_gram").alias("gram"))
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").cast("long").alias("n_shared_grams"))
+    )

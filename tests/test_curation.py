@@ -1,0 +1,89 @@
+"""Unit tests for operators.curation (planted-case level; oracle
+parity for the bound queries lives in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_upc_syllabus_spark.operators import curation as cu
+
+
+def test_pii_scrub_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "write to jane.doe+x@corp.example.org or call 555-123-4567"),
+            (2, "server at 192.168.1.200 port 80; no mail"),
+            (3, "clean text, nothing to redact"),
+        ],
+        ["id", "t"],
+    )
+    counts = cu.pii_counts("t")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            counts["n_emails"].alias("e"),
+            counts["n_phones"].alias("p"),
+            counts["n_ips"].alias("i"),
+            cu.pii_scrub("t").alias("s"),
+        ).collect()
+    }
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (1, 1, 0)
+    assert out[1]["s"] == "write to <EMAIL> or call <PHONE>"
+    assert out[2]["i"] == 1 and out[2]["s"] == "server at <IP> port 80; no mail"
+    assert out[3]["s"] == "clean text, nothing to redact"
+
+
+def test_domain_cap_keeps_first_k(spark):
+    rows = [(f"d{i % 3}", i) for i in range(30)]
+    df = spark.createDataFrame(rows, ["dom", "i"])
+    kept = cu.domain_cap(df, "dom", "i", 2)
+    got = sorted((r["dom"], r["i"]) for r in kept.collect())
+    assert got == [("d0", 0), ("d0", 3), ("d1", 1), ("d1", 4), ("d2", 2), ("d2", 5)]
+    assert "_rn" not in kept.columns
+
+
+def test_repetition_metrics_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [(1, "buy now buy now buy now buy now"), (2, "all tokens here are unique"), (3, "one")],
+        ["id", "t"],
+    )
+    m = cu.repetition_metrics("t")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", m["n_bigrams"].alias("n"), m["dup_frac"].alias("f")
+        ).collect()
+    }
+    # "buy now"x4 -> 7 bigrams, 2 distinct ("buy now", "now buy")
+    assert out[1]["n"] == 7 and out[1]["f"] == (7 - 2) / 7
+    assert out[2]["f"] == 0.0
+    assert out[3]["n"] == 0 and out[3]["f"] == 0.0  # <2 tokens: no bigrams
+
+
+def test_decontaminate_planted_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta", 1),   # benchmark
+            (1, "x alpha beta gamma y", 0),       # shares 'alpha beta gamma'
+            (2, "beta gamma delta z w", 0),       # shares 'beta gamma delta'
+            (3, "no overlap at all here", 0),
+        ],
+        ["doc_id", "text", "bench"],
+    )
+    out = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in cu.decontaminate(df, F.col("bench") == 1, n=3).collect()
+    }
+    assert out == {1: 1, 2: 1}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark gram set must reach the corpus side as a broadcast
+    hash join -- a shuffle of the exploded corpus by gram would be the
+    100 TB scale-killer."""
+    from etl_upc_syllabus_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    plan = cu.decontaminate(d, F.col("doc_id") % 97 == 0, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
