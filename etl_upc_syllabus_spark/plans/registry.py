@@ -67,6 +67,7 @@ def _load_all() -> None:
     driver verdict are imported first.
     """
     from . import curation_queries  # noqa: F401
+    from . import scd_queries  # noqa: F401
     from . import tpch_gap_queries  # noqa: F401
     from . import streaming_queries  # noqa: F401
     from . import text_queries  # noqa: F401

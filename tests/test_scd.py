@@ -1,0 +1,59 @@
+"""Unit tests for operators.scd (SCD2 merge semantics on planted rows)."""
+
+from __future__ import annotations
+
+from etl_upc_syllabus_spark.operators.scd import scd2_merge
+
+
+def _dim(spark):
+    # k1: open + one closed-history row; k2, k3: open only
+    rows = [
+        (1, "A", "2019-01-01", "2020-01-01", 0),  # closed history
+        (1, "B", "2020-01-01", "9999-12-31", 1),
+        (2, "C", "2020-01-01", "9999-12-31", 1),
+        (3, "D", "2020-01-01", "9999-12-31", 1),
+    ]
+    return spark.createDataFrame(
+        rows, ["k", "attr", "valid_from", "valid_to", "is_current"]
+    )
+
+
+def test_scd2_merge_semantics(spark):
+    updates = spark.createDataFrame(
+        [(1, "B2"), (2, "C")],  # k1 changes, k2 is a no-op, k3 absent
+        ["k", "attr"],
+    )
+    out = scd2_merge(_dim(spark), updates, "k", ["attr"], "2024-06-01")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == sorted(
+        [
+            (1, "A", "2019-01-01", "2020-01-01", 0),  # history preserved
+            (1, "B", "2020-01-01", "2024-06-01", 0),  # closed at eff date
+            (1, "B2", "2024-06-01", "9999-12-31", 1),  # new open version
+            (2, "C", "2020-01-01", "9999-12-31", 1),  # no-op untouched
+            (3, "D", "2020-01-01", "9999-12-31", 1),  # absent untouched
+        ]
+    )
+
+
+def test_scd2_merge_empty_batch(spark):
+    dim = _dim(spark)
+    updates = spark.createDataFrame([], "k int, attr string")
+    out = scd2_merge(dim, updates, "k", ["attr"], "2024-06-01")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, dim.collect()))
+
+
+def test_scd2_merge_multi_attr_any_change_closes(spark):
+    dim = spark.createDataFrame(
+        [(1, "A", "x", "2020-01-01", "9999-12-31", 1)],
+        ["k", "a1", "a2", "valid_from", "valid_to", "is_current"],
+    )
+    updates = spark.createDataFrame([(1, "A", "y")], ["k", "a1", "a2"])  # only a2 differs
+    out = scd2_merge(dim, updates, "k", ["a1", "a2"], "2024-06-01")
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == sorted(
+        [
+            (1, "A", "x", "2020-01-01", "2024-06-01", 0),
+            (1, "A", "y", "2024-06-01", "9999-12-31", 1),
+        ]
+    )
