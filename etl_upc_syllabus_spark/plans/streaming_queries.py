@@ -192,20 +192,24 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src)
-    shutil.copyfile(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet")
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    fixture = os.path.join(src, "events.parquet")
+    shutil.copyfile(os.path.join(sf_dir, "events.parquet"), fixture)
+    # one declared schema covers every file in the source dir, so the
+    # late file must carry the same ts physical type as the fixture
+    kind = ev.events_ts_kind(fixture)
+    if kind == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = ev.events_raw_schema(kind)
 
     def transform(df: DataFrame) -> DataFrame:
         return df.select("event_type", "value")
 
-    incremental_run(spark, src, sink, ckpt, ev.EVENTS_RAW_SCHEMA, transform)
+    incremental_run(spark, src, sink, ckpt, schema, transform)
     pq.write_table(
         pa.table(
             {
                 "event_id": pa.array([-1, -2], pa.int64()),
-                "ts": pa.array([0, 0], pa.int64()),
+                "ts": ev.events_ts_array(kind, [0, 0]),
                 "user_id": pa.array([-1, -1], pa.int64()),
                 "event_type": pa.array([t for t, _ in _LATE_ROWS], pa.string()),
                 "value": pa.array([v for _, v in _LATE_ROWS], pa.float64()),
@@ -214,7 +218,7 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         os.path.join(src, "late.parquet"),
     )
-    incremental_run(spark, src, sink, ckpt, ev.EVENTS_RAW_SCHEMA, transform)
+    incremental_run(spark, src, sink, ckpt, schema, transform)
     return (
         spark.read.parquet(sink)
         .groupBy("event_type")

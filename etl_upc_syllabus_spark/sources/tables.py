@@ -36,15 +36,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # The events fixture stores ts as TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects. Read nanos as long and truncate to
-        # microseconds -- the same truncation DuckDB applies, so oracle
-        # comparisons agree.
+        # Fixtures have shipped ts under two physical types: TIMESTAMP(NANOS)
+        # (which Spark's parquet reader rejects unless read as int64 under the
+        # legacy conf) and plain TIMESTAMP_MICROS. Ingestion is type-adaptive:
+        # read natively, inspect the resolved dtype, and convert only the
+        # nanos-as-long case -- truncating to micros, the same truncation
+        # DuckDB applies, so oracle comparisons agree. Both branches are kept
+        # forever; TIMESTAMP_MICROS is the common physical type any real
+        # stream table would use.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) surfaced as int64
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session tz is UTC (session.py), so the cast is value-preserving;
+            # normalizing to TimestampType keeps one dtype across fixtures.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -32,21 +32,76 @@ _MEMSINK_IDS = itertools.count()
 #: Event type of the watermark-flush sentinel rows (see _staged_flush_dir).
 SENTINEL_TYPE = "_wm_flush"
 
-# Far-future sentinel event times (nanos): 2100-01-01 and 2100-01-02.
-_SENTINEL_TS_NS = (4102444800 * 10**9, 4102531200 * 10**9)
+# Far-future sentinel event times (epoch seconds): 2100-01-01 and 2100-01-02.
+_SENTINEL_TS_S = (4102444800, 4102531200)
 
-# ts is TIMESTAMP(NANOS) in the fixture parquet; Spark must read it as
-# long (see sources.tables.load_table) and convert to micros.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def events_ts_kind(path: str) -> str:
+    """Physical type of the events ``ts`` column in a parquet file.
+
+    Fixtures have shipped both ``TIMESTAMP(NANOS)`` (readable only as
+    int64 under ``spark.sql.legacy.parquet.nanosAsLong``) and plain
+    ``TIMESTAMP_MICROS``; streams need the schema up front, so the
+    footer is probed (metadata-only read) to pick it. Returns one of
+    ``"nanos"`` / ``"micros"`` (isAdjustedToUTC=false, Spark
+    TIMESTAMP_NTZ) / ``"micros_tz"`` (UTC-adjusted, Spark TIMESTAMP).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(path).field("ts").type
+    if pa.types.is_integer(t) or getattr(t, "unit", None) == "ns":
+        return "nanos"
+    return "micros_tz" if getattr(t, "tz", None) else "micros"
+
+
+def events_raw_schema(kind: str) -> T.StructType:
+    """Stream-reader schema matching the fixture's ts physical type."""
+    ts_type = {
+        "nanos": T.LongType(),
+        "micros": T.TimestampNTZType(),
+        "micros_tz": T.TimestampType(),
+    }[kind]
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def normalize_ts(df: DataFrame, kind: str) -> DataFrame:
+    """Bring ``ts`` to TimestampType micros whatever the physical type.
+
+    nanos-as-long truncates to micros (DuckDB applies the same
+    truncation); NTZ casts value-preserving under the UTC session tz.
+    """
+    if kind == "nanos":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "micros":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _probe_events_file(sf_dir: str, glob: str) -> str:
+    """Pick one parquet file in the dir to footer-probe for ts type.
+
+    Prefers the canonical ``events.parquet``; otherwise the first match
+    in name order. All files in a staged/source dir share one physical
+    type by construction (sentinels and late files are written to match
+    the fixture they sit next to).
+    """
+    import fnmatch
+
+    names = sorted(n for n in os.listdir(sf_dir) if fnmatch.fnmatch(n, glob))
+    if not names:
+        raise FileNotFoundError(f"no parquet matching {glob!r} in {sf_dir}")
+    pick = "events.parquet" if "events.parquet" in names else names[0]
+    return os.path.join(sf_dir, pick)
 
 
 def read_events_stream(
@@ -56,13 +111,16 @@ def read_events_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over the events fixture (one file today; a
-    directory files keep landing in, in production)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("pathGlobFilter", glob)
+    directory files keep landing in, in production). The reader schema
+    adapts to the fixture's ts physical type (see events_ts_kind)."""
+    kind = events_ts_kind(_probe_events_file(sf_dir, glob))
+    if kind == "nanos":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(events_raw_schema(kind)).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_ts(raw, kind)
 
 
 def _staged_flush_dir(sf_dir: str) -> str:
@@ -87,17 +145,19 @@ def _staged_flush_dir(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "events.parquet")
     stat = os.stat(src)
+    kind = events_ts_kind(src)
     # content key must be process-stable (builtin hash() is salted per
     # interpreter, which would defeat cross-run staging reuse). mtime is
     # part of the key so a regenerated fixture of identical size does
-    # not silently reuse a stale staged copy.
+    # not silently reuse a stale staged copy; the ts kind + a format
+    # version are included so a code change or a fixture that switched
+    # physical types never reuses a stage with mismatched sentinels.
     key = hashlib.md5(
-        f"{os.path.abspath(src)}|{stat.st_size}|{stat.st_mtime_ns}".encode()
+        f"{os.path.abspath(src)}|{stat.st_size}|{stat.st_mtime_ns}|v2|{kind}".encode()
     ).hexdigest()[:16]
     stage = os.path.join(tempfile.gettempdir(), "etl_upc_stream_stage", key)
     marker = os.path.join(stage, "_READY")
     if not os.path.exists(marker):
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         os.makedirs(stage, exist_ok=True)
@@ -105,25 +165,41 @@ def _staged_flush_dir(sf_dir: str) -> str:
         shutil.copyfile(src, dst)
         now = os.path.getmtime(dst)
         os.utime(dst, (now - 60, now - 60))
-        for i, ts_ns in enumerate(_SENTINEL_TS_NS):
+        for i, ts_s in enumerate(_SENTINEL_TS_S):
             path = os.path.join(stage, f"zz_sentinel_{i}.parquet")
-            pq.write_table(
-                pa.table(
-                    {
-                        "event_id": pa.array([-(i + 1)], pa.int64()),
-                        "ts": pa.array([ts_ns], pa.int64()),
-                        "user_id": pa.array([-1], pa.int64()),
-                        "event_type": pa.array([SENTINEL_TYPE], pa.string()),
-                        "value": pa.array([0.0], pa.float64()),
-                        "props": pa.array([None], pa.string()),
-                    }
-                ),
-                path,
-            )
+            pq.write_table(sentinel_row_table(kind, i, ts_s), path)
             os.utime(path, (now - 40 + 20 * i, now - 40 + 20 * i))
         with open(marker, "w") as f:
             f.write("ok")
     return stage
+
+
+def events_ts_array(kind: str, epoch_seconds: list[int]):
+    """pyarrow ts column in the given physical type (sentinel/late-row
+    files must match the fixture they sit next to, or the stream's
+    single declared schema cannot read both)."""
+    import pyarrow as pa
+
+    if kind == "nanos":
+        return pa.array([s * 10**9 for s in epoch_seconds], pa.int64())
+    unit_tz = pa.timestamp("us", tz="UTC") if kind == "micros_tz" else pa.timestamp("us")
+    return pa.array([s * 10**6 for s in epoch_seconds], unit_tz)
+
+
+def sentinel_row_table(kind: str, i: int, ts_s: int):
+    """One-row far-future sentinel table in the fixture's physical type."""
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "event_id": pa.array([-(i + 1)], pa.int64()),
+            "ts": events_ts_array(kind, [ts_s]),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array([SENTINEL_TYPE], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array([None], pa.string()),
+        }
+    )
 
 
 def windowed_counts(
