@@ -142,12 +142,35 @@ _R1_VERIFIED = frozenset(
 )
 
 
+# Names the round-3 VERDICT identified as broken against the regenerated
+# events fixture whose NEWEST CORRECTNESS entry is nonetheless a stale
+# green (they fell outside the r3 bounded check window, or failed
+# silently -- 1970-era windows -- rather than erroring). Forced to round
+# 0 so the r4 re-check window is guaranteed to refresh them; the driver
+# writing fresh green entries for them makes this set a no-op afterward.
+_STALE_GREEN_BROKEN = frozenset(
+    {
+        "try_cast_quarantine",
+        "stream_sessionization",
+        "stream_window_counts",
+        "stream_sliding_window",
+        "stream_stream_join",
+    }
+)
+
+
 def _verification_rounds() -> dict[str, int]:
-    """name -> LATEST round with a green rows+schema+hash verdict.
+    """name -> effective verification round for re-check ordering.
 
     Reads the driver-written CORRECTNESS_r*.json files from the repo
-    root when present (hash_match == true only; rows-only and errored
-    entries don't count), folding in the static r1 baseline at round 1.
+    root when present: a green rows+schema+hash verdict advances the
+    name to that round (folding in the static r1 baseline at round 1).
+    A name whose NEWEST entry is broken (``err`` recorded or
+    ``hash_match`` explicitly false) maps to round 0 regardless of any
+    older green verdict -- a stale green must never outrank a fresh
+    failure, or a regression (like the r3 fixture-type change) could
+    sit outside the driver's bounded ~50-query re-check window while
+    looking verified.
     """
     import glob
     import json
@@ -156,6 +179,7 @@ def _verification_rounds() -> dict[str, int]:
 
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     rounds: dict[str, int] = {name: 1 for name in _R1_VERIFIED}
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, broken)
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 1
@@ -166,8 +190,20 @@ def _verification_rounds() -> dict[str, int]:
             continue
         if isinstance(data, dict):
             for k, v in data.items():
-                if isinstance(v, dict) and v.get("hash_match") is True:
+                if not isinstance(v, dict):
+                    continue
+                if v.get("hash_match") is True:
                     rounds[k] = max(rounds.get(k, 0), rnd)
+                broken = v.get("err") is not None or v.get("hash_match") is False
+                if k not in latest or rnd > latest[k][0]:
+                    latest[k] = (rnd, broken)
+    for k, (_, broken) in latest.items():
+        if broken:
+            rounds[k] = 0
+    for k in _STALE_GREEN_BROKEN:
+        # trust any round-4+ driver record over the static r3 verdict
+        if k not in latest or latest[k][0] <= 3:
+            rounds[k] = 0
     return rounds
 
 

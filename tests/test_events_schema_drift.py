@@ -1,0 +1,136 @@
+"""Environment-drift guards for the events fixture.
+
+Round 3 lost 12 queries to a silent fixture regeneration that switched
+``ts`` from TIMESTAMP(NANOS) to plain TIMESTAMP_MICROS while the loader
+hardwired the nanos workaround. These tests pin the contract from both
+ends so the NEXT physical-type drift fails in seconds with a named
+cause:
+
+- the on-disk fixtures (whatever type they currently use) must load to
+  TimestampType with sane in-range values, and the footer probe must
+  classify them;
+- BOTH physical types, synthesized side by side, must load and stream
+  to identical logical rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_upc_syllabus_spark.sources.tables import load_table
+from etl_upc_syllabus_spark.streaming import events as ev
+
+SF_DIRS = [d for d in ("sf0.001", "sf0.01", "sf0.1") if os.path.isdir(f"/root/testdata/{d}")]
+
+# identical logical rows; epoch micros in 2024
+_ROWS = {
+    "event_id": [1, 2, 3, 4],
+    "ts_us": [1704067200_000000, 1704067260_500000, 1704070800_000000, 1704153600_000000],
+    "user_id": [10, 10, 11, 12],
+    "event_type": ["view", "purchase", "view", "view"],
+    "value": [1.0, 9.99, 2.5, 0.25],
+    "props": ['{"a":1}', None, "{}", None],
+}
+
+
+def _write_fixture(dirpath: str, kind: str) -> str:
+    os.makedirs(dirpath, exist_ok=True)
+    ts = (
+        pa.array([u * 1000 for u in _ROWS["ts_us"]], pa.timestamp("ns"))
+        if kind == "nanos"
+        else pa.array(_ROWS["ts_us"], pa.timestamp("us"))
+    )
+    table = pa.table(
+        {
+            "event_id": pa.array(_ROWS["event_id"], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array(_ROWS["user_id"], pa.int64()),
+            "event_type": pa.array(_ROWS["event_type"], pa.string()),
+            "value": pa.array(_ROWS["value"], pa.float64()),
+            "props": pa.array(_ROWS["props"], pa.string()),
+        }
+    )
+    path = os.path.join(dirpath, "events.parquet")
+    pq.write_table(table, path)  # parquet 2.6 default keeps NANOS as NANOS
+    return path
+
+
+@pytest.mark.parametrize("sf", SF_DIRS)
+def test_fixture_ts_loads_as_timestamp(spark, sf):
+    """The on-disk fixture, whatever its physical type, must load to a
+    timestamp ts with values in a sane range -- a regenerated fixture
+    that breaks ingestion fails here with a named cause."""
+    sf_dir = f"/root/testdata/{sf}"
+    kind = ev.events_ts_kind(os.path.join(sf_dir, "events.parquet"))
+    assert kind in ("nanos", "micros", "micros_tz")
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType), df.schema["ts"]
+    years = df.select(
+        F.year(F.min("ts")).alias("lo"), F.year(F.max("ts")).alias("hi")
+    ).collect()[0]
+    # 1970 = int64 micros/nanos misread; 2100+ = unit inflation
+    assert 2000 < years["lo"] <= years["hi"] < 2100, dict(years.asDict())
+
+
+@pytest.mark.parametrize("kind", ["nanos", "micros"])
+def test_both_physical_types_batch_load_identically(spark, tmp_path, kind):
+    d = str(tmp_path / kind)
+    path = _write_fixture(d, kind)
+    assert ev.events_ts_kind(path) == kind
+    df = load_table(spark, d, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    got = [r["us"] for r in df.select(F.unix_micros("ts").alias("us")).orderBy("us").collect()]
+    assert got == sorted(_ROWS["ts_us"])
+
+
+@pytest.mark.parametrize("kind", ["nanos", "micros"])
+def test_both_physical_types_stream_identically(spark, tmp_path, kind):
+    """The stream reader must probe the footer and produce the same
+    logical rows for either physical type (the r3 silent-wrongness was
+    exactly this path: micros read as raw int64 -> 1970 windows)."""
+    d = str(tmp_path / kind)
+    _write_fixture(d, kind)
+    stream = ev.read_events_stream(spark, d)
+    out = ev.run_stream_to_table(
+        stream.select(F.unix_micros("ts").alias("us"), "event_id"), "append"
+    )
+    got = [r["us"] for r in out.orderBy("us").collect()]
+    assert got == sorted(_ROWS["ts_us"])
+
+
+def test_registry_sorts_broken_latest_first():
+    """A name whose newest CORRECTNESS entry is broken must sort at
+    round 0 (ahead of all stale greens) so the driver's bounded
+    re-check window always refreshes regressions first."""
+    from etl_upc_syllabus_spark.plans.registry import (
+        _STALE_GREEN_BROKEN,
+        _verification_rounds,
+        all_specs,
+    )
+
+    rounds = _verification_rounds()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.exists(os.path.join(root, "CORRECTNESS_r03.json")):
+        import json
+
+        with open(os.path.join(root, "CORRECTNESS_r03.json"), encoding="utf-8") as fh:
+            r3 = json.load(fh)
+        # only if r3 is still the newest record for that name
+        newest = max(
+            int(p[len("CORRECTNESS_r") : -len(".json")])
+            for p in os.listdir(root)
+            if p.startswith("CORRECTNESS_r") and p.endswith(".json")
+        )
+        if newest == 3:
+            for name, v in r3.items():
+                if v.get("err") is not None:
+                    assert rounds.get(name) == 0, name
+            order = list(all_specs())
+            for name in _STALE_GREEN_BROKEN:
+                assert order.index(name) < 40, (name, order.index(name))
