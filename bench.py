@@ -4,8 +4,11 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
 Each query is executed with a count()-style action so the full plan
-runs but results are not collected to the driver. A warmup pass on
-sf0.001 JIT-compiles codegen and fills the IO cache before timing.
+runs but results are not collected to the driver. Each query gets one
+UNTIMED warmup execution at the target SF immediately before its timed
+runs: that pays JIT/codegen, Arrow init, and the OS page-cache fill
+once, outside the measurement (r3 evidence: dedup_minhash_lsh's first
+timed sample was 2.6x its min purely from cold IO).
 
 The container shares a host whose background load can inflate a single
 run 3-10x (BASELINE.md), so the harness defends the artifact's
@@ -81,21 +84,21 @@ def main() -> None:
     specs = all_specs()
     names = [n for n in HEADLINE if n in specs]
 
-    # Warmup at the smallest SF: JIT + codegen + Arrow init.
-    for name in names:
-        try:
-            specs[name].fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:
-            pass
-
     # Best-of-N per query (see module docstring): min across runs is a
     # far better estimate of the plan's actual cost than one arbitrary
     # sample on a shared host.
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    warmups: dict[str, float] = {}
     for name in names:
+        # untimed warmup at the TARGET SF (JIT + page cache), recorded
+        # separately so cold-start cost stays visible in the artifact
+        t0 = time.perf_counter()
+        try:
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+        warmups[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -113,6 +116,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "samples": samples,
+                "warmup": warmups,
                 "mean_total": round(sum(sum(r) / len(r) for r in samples.values()), 3),
                 "loadavg": [round(x, 2) for x in os.getloadavg()],
                 "loadavg_preflight": loadavg_preflight,
