@@ -253,6 +253,12 @@ def parse_document(
     """
     try:
         meta = parse_filename(filename)
+        if not any(p.strip() for p in pages):
+            # decode-failure marker from the extract stage (or a truly
+            # empty PDF): no text means nothing downstream can parse --
+            # quarantine with the filename, mirroring the reference's
+            # log-and-drop of unreadable inputs (etl_pipeline.py:17-30)
+            raise ValueError(f"no decodable pages in {filename}")
         info = parse_general_info(pages)
         return {
             "id": meta["id"],

@@ -260,6 +260,23 @@ def test_ruled_pdf_to_calendar_no_seam(spark, ruled_pdf_dir):
     assert sorted(cal) == [4, 16]
 
 
+def test_corrupt_pdf_quarantines_not_task_failure(spark, tmp_path):
+    """VERDICT r3 item 6: an undecodable PDF in the scan must become a
+    quarantine ROW (P7 semantics, reference etl_pipeline.py:17-30), not
+    an Arrow-task failure that kills the whole batch -- at 100 TB one
+    rotten file out of millions cannot abort the job."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    minipdf.write_pdf(str(d / "UG-202520_1AEL0244-8281.pdf"), [PAGE1, PAGE2])
+    # matches the syllabus glob but is garbage from byte 0
+    (d / "UG-202520_1AEL9999-0000.pdf").write_bytes(b"%PDF-1.4\n\xde\xad\xbe\xef trash")
+    extracted = extract.extract_documents(extract.read_syllabus_pdfs(spark, str(d)))
+    good, bad = assemble.split_quarantine(assemble.parse_documents(extracted))
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "UG-202520_1AEL9999-0000.pdf" in bad_rows[0]["error"]
+    assert {r["id"] for r in good.collect()} == {"1AEL0244"}
+
+
 def test_tableless_pdf_parses_metadata_only(spark, pdf_dir):
     """Without pdfplumber no tables come out of the PDF; the documents
     still parse (general info from the decoded text) with empty units/
