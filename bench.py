@@ -82,7 +82,12 @@ def main() -> None:
     n_runs = 3 if contended else 2
     spark = get_spark("bench")
     specs = all_specs()
-    names = [n for n in HEADLINE if n in specs]
+    # SPARK_GRAFT_BENCH_QUERIES overrides the headline list (comma-
+    # separated registry names) -- used by the scale-up smoke to time
+    # the events-heavy queries the headline suite omits.
+    override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    wanted = [s.strip() for s in override.split(",") if s.strip()] if override else HEADLINE
+    names = [n for n in wanted if n in specs]
 
     # Best-of-N per query (see module docstring): min across runs is a
     # far better estimate of the plan's actual cost than one arbitrary

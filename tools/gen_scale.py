@@ -21,9 +21,9 @@ which preserves exactly the properties a scaling smoke measures:
 - embeddings get a tiny per-replica additive shift for the same
   reason (no exact cross-replica ties in ANN top-k);
 - events keep their timestamps (N x density, the realistic stream
-  scale-up) and are written back as TIMESTAMP(NANOS via pyarrow) to
-  match the driver fixture's physical type, which load_table
-  special-cases.
+  scale-up) and are replicated via pyarrow so the source fixture's ts
+  physical type (NANOS or MICROS -- both have shipped) is preserved
+  byte-for-byte; load_table/read_events_stream detect it either way.
 
 region/nation are geography-bounded dimensions and do not scale,
 same as TPC-H.
@@ -118,7 +118,7 @@ def generate(src: str, out: str, factor: int) -> None:
             pa.compute.add(t["user_id"], r * ustride))
         replicas.append(t)
     pq.write_table(pa.concat_tables(replicas), os.path.join(out, "events.parquet"))
-    print(f"events: x{factor} (nanos preserved)")
+    print(f"events: x{factor} (ts physical type preserved: {ev.schema.field('ts').type})")
 
 
 if __name__ == "__main__":
