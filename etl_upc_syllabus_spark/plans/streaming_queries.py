@@ -94,6 +94,29 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_purchases,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Stream-STATIC broadcast join run end-to-end: the purchase event "
+    "stream joined per micro-batch against the static customer "
+    "dimension (re-planned each batch, so dim updates are picked up; "
+    "stateless -- no watermark or state store needed), revenue "
+    "aggregated per market segment from the materialized append sink. "
+    "The workhorse fact-stream x dimension enrichment shape. Oracle: "
+    "the batch join, by stream/batch symmetry.",
+    tags=("streaming", "join", "stream-static", "broadcast"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.stream_static_enrichment(spark, sf_dir)
+
+
+@query(
     "stream_dedup",
     """
     SELECT DISTINCT user_id, event_type FROM events

@@ -279,3 +279,48 @@ def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_checksum"),
         )
     )
+
+
+@query(
+    "udtf_word_histogram",
+    """
+    SELECT doc_id, term, n FROM (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
+      WHERE term <> ''
+      GROUP BY doc_id, term)
+    WHERE n >= 5
+    """,
+    doc="Python UDTF seam (SURVEY 2.10 -- the table-function third of the "
+    "UDF/UDAF/UDTF triple, next to pandas_udf_scalar and "
+    "grouped_map_rank): a @udtf class lateral-joined against the "
+    "documents scan emits one (term, n) row per frequent term per "
+    "document. Arrow-optimized UDTF transfer is enabled for the query's "
+    "lifetime. Semantics are deliberately relational (explode+groupBy "
+    "would express them natively) so the DuckDB oracle can check the "
+    "seam itself; a production UDTF would carry logic SQL cannot "
+    "(tokenizers, parsers). Per-partition streaming emit -- no state, "
+    "scan-parallel at any corpus size.",
+    tags=("text", "udtf", "lateral"),
+)
+def udtf_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections import Counter
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="term string, n bigint")
+    class WordHistogram:
+        def eval(self, text: str, min_n: int):
+            for term, n in Counter((text or "").split(" ")).items():
+                if term and n >= min_n:
+                    yield term, n
+
+    # set (not restored: the returned DataFrame is lazy, and the conf
+    # must still hold when the caller executes it)
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    spark.udtf.register("word_histogram", WordHistogram)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, h.term, h.n "
+        "FROM _docs_udtf d, LATERAL word_histogram(d.text, 5) h"
+    )

@@ -397,6 +397,42 @@ def stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(joined, "append")
 
 
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: purchase events enriched with the customer
+    dimension, then revenue per market segment.
+
+    The static side is a plain batch DataFrame; Spark re-plans it per
+    micro-batch (picking up dimension updates between batches) and
+    broadcasts it under AQE/size rules, so the join is STATELESS -- no
+    watermark, no state store, append-safe. This is the workhorse
+    enrichment shape of production streams (fact stream x slowly
+    changing dim) and the missing sibling of the stream-stream join
+    above. The aggregation happens on the materialized sink output
+    (batch), keeping the streaming stage itself unbounded-safe at any
+    scale.
+    """
+    from ..sources.tables import load_table
+
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = purchases.join(F.broadcast(cust), "user_id")
+    out = run_stream_to_table(enriched, "append")
+    return (
+        out.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("revenue_cents"),
+        )
+        .select(F.col("c_mktsegment").alias("segment"), "n_purchases", "revenue_cents")
+    )
+
+
 def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: first sighting of each (user_id, event_type) is
     emitted, duplicates within the watermark are dropped. State is
