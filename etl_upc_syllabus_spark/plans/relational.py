@@ -459,6 +459,65 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_bucketed_colocated",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    doc="Bucketed co-located fact-fact join: lineitem and orders are "
+    "written once as managed tables bucketed (and sorted) on the join "
+    "key with matching bucket counts, so the SortMergeJoin reads "
+    "pre-partitioned, pre-sorted buckets -- NO shuffle exchange and no "
+    "sort on either side (the executed plan's only exchange is the "
+    "final 5-group aggregation; asserted in tests/test_scale_plans.py). "
+    "At 100 TB this is THE technique for recurring fact-fact joins: "
+    "pay the shuffle once at write time, never at query time. Tables "
+    "are content-keyed by fixture path+mtime so a regenerated fixture "
+    "rebuilds them.",
+    tags=("join", "bucketing", "layout"),
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    n_buckets = 8
+    stamp = "|".join(
+        f"{t}:{os.stat(os.path.join(sf_dir, t + '.parquet')).st_mtime_ns}"
+        for t in ("lineitem", "orders")
+    )
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{stamp}".encode()).hexdigest()[:10]
+    lt, ot = f"bkt_lineitem_{key}", f"bkt_orders_{key}"
+    for name, tbl, col in ((lt, "lineitem", "l_orderkey"), (ot, "orders", "o_orderkey")):
+        if not spark.catalog.tableExists(name):
+            # a fresh derby metastore can coexist with a surviving
+            # spark-warehouse dir from an earlier session; the stale
+            # location blocks CREATE, so clear it first
+            import shutil
+
+            warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+            (
+                _t(spark, sf_dir, tbl)
+                .write.bucketBy(n_buckets, col)
+                .sortBy(col)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    li, od = spark.table(lt), spark.table(ot)
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(_dec("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+@query(
     "join_left_groupby",
     """
     SELECT c_custkey,

@@ -51,6 +51,29 @@ def test_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "2025-1" in plan
 
 
+def test_registered_bucketed_join_single_exchange(spark, sf_dir):
+    """join_bucketed_colocated: the only exchange in the executed plan
+    is the final small-group aggregation -- the fact-fact join itself
+    reads co-located buckets with no shuffle and no sort. The broadcast
+    threshold is disabled to pin the SortMergeJoin path: at the tiny
+    test SF Spark rightly prefers broadcasting the orders side, but the
+    claim under test is the big-big shape (at 100 TB neither fact side
+    broadcasts)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(all_specs()["join_bucketed_colocated"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the groupBy only
+    assert "SelectedBucketsCount" in plan  # both scans are bucket-aware
+    # co-located buckets arrive pre-sorted: the only Sort nodes are the
+    # SMJ's per-bucket sorts, which bucketed sortBy lets Spark elide
+    join_section = plan.split("HashAggregate")[-1]
+    assert "Exchange" not in join_section
+
+
 @pytest.mark.slow
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
     """bucketBy co-location: joining two tables bucketed on the same key
