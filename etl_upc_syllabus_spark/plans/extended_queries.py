@@ -469,3 +469,46 @@ def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = back if out is None else out.unionByName(back)
     return out
+
+
+@query(
+    "recursive_cte_ancestry",
+    """
+    WITH RECURSIVE anc AS (
+      SELECT p_partkey AS node, p_partkey // 2 AS parent, CAST(1 AS BIGINT) AS depth
+      FROM part WHERE p_partkey >= 1 AND p_partkey < 1024
+      UNION ALL
+      SELECT node, parent // 2 AS parent, depth + 1 FROM anc WHERE parent >= 1)
+    SELECT depth,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM anc GROUP BY depth
+    """,
+    doc="Iterative graph query as a RECURSIVE CTE (Spark 4.x): ancestry "
+    "walk over an implicit binary tree on part keys (parent = key DIV "
+    "2), one UNION ALL step per level until the root. The engine "
+    "executes each recursion step as a distributed join/scan -- the "
+    "same per-round shape as operators/components.py, but declared in "
+    "SQL and planned by Catalyst. Depth is bounded by log2(max key), "
+    "so the recursion terminates in ~10 rounds regardless of row "
+    "count; per-level frontiers shrink geometrically. Oracle runs the "
+    "same recursion in DuckDB (// is integer division in both).",
+    tags=("sql", "recursive-cte", "graph"),
+)
+def recursive_cte_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+          SELECT p_partkey AS node, p_partkey DIV 2 AS parent, CAST(1 AS BIGINT) AS depth
+          FROM part WHERE p_partkey >= 1 AND p_partkey < 1024
+          UNION ALL
+          SELECT node, parent DIV 2 AS parent, depth + 1 FROM anc WHERE parent >= 1)
+        SELECT depth,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(node) AS BIGINT) AS node_checksum
+        FROM anc GROUP BY depth
+        """
+    )
