@@ -512,3 +512,40 @@ def recursive_cte_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM anc GROUP BY depth
         """
     )
+
+
+@query(
+    "variant_schema_on_read",
+    """
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT)   AS k_total,
+           CAST(min(k) AS BIGINT)   AS k_min,
+           CAST(max(k) AS BIGINT)   AS k_max
+    FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+    GROUP BY event_type
+    """,
+    doc="Spark 4 VARIANT type, the schema-on-read path for heterogeneous "
+    "JSON: parse_json shreds each props payload into the open binary "
+    "VARIANT encoding at scan time and variant_get extracts typed "
+    "paths -- NO declared schema, unlike json_struct_extract's "
+    "from_json(schema) sibling. At 100 TB this is the difference "
+    "between re-inferring/declaring a schema for every producer "
+    "variation and ingesting arbitrary JSON once; VARIANT columns "
+    "support pushdown-friendly shredded storage in parquet. Oracle: "
+    "DuckDB json_extract of the same paths.",
+    tags=("json", "variant", "schema-on-read"),
+)
+def variant_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_total"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
