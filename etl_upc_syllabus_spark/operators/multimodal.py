@@ -1,11 +1,19 @@
 """Multimodal column operators: image/audio/video as opaque binary
 columns with typed metadata (SURVEY.md north star).
 
-The container has no image/audio codecs, so the *decode kernels* are
-stubbed behind ``NotImplementedError`` / a deterministic fake -- but
-every piece of Spark-side plumbing is real and tested: the binary
-column schema, the Arrow batch shape through ``mapInPandas``, the
-partitioning contract, and the metadata struct.
+The decode kernels are REAL for image and audio: payloads are genuine
+PNG / BMP / WAV files (stdlib codecs in :mod:`.media_codecs` -- zlib
+inflate, PNG filter reversal, CRC verification, RIFF chunk walking) and
+the metadata stage sniffs the container by magic bytes and decodes it.
+The fixtures carry no media, so :func:`as_media_table` *encodes* real
+files with deterministic dimensions and pixel bytes -- which means the
+oracle can reconstruct the expected width/height/pixel-md5 from doc_id
+alone, and a decoder that faked the decode would hash-mismatch.
+
+Video is the one honest stub (no stdlib video container): the decoder
+raises ``NotImplementedError`` and the metadata stage degrades to
+length-derived features, mirroring the reference's quarantine-not-crash
+philosophy (reference etl_pipeline.py:17-30).
 
 At 100 TB: binary payloads ride in their own column so column pruning
 skips them unless a decode stage needs them; decode runs as
@@ -15,47 +23,120 @@ per core, payloads never pass through the driver).
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-MEDIA_META_SCHEMA = (
-    "doc_id bigint, media_type string, n_bytes bigint, "
-    "width bigint, height bigint, n_frames bigint"
+from .media_codecs import (
+    MediaFormatError,
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    sniff,
 )
+
+MEDIA_SCHEMA = "doc_id bigint, media_type string, payload binary"
+
+MEDIA_META_SCHEMA = (
+    "doc_id bigint, media_type string, width bigint, height bigint, "
+    "n_frames bigint, content_hash string"
+)
+
+# Deterministic generation parameters -- shared contract between the
+# encoder below and the DuckDB oracles in plans/multimodal_queries.py.
+# Pixel/sample bytes stay in printable-ASCII range [32, 126] so the
+# oracle can reconstruct the exact byte stream with chr()/string_agg().
+_PIX_MOD, _PIX_OFF = 95, 32
+
+
+def _image_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 13 + 4, doc_id % 11 + 4
+
+
+def _image_pixels(doc_id: int) -> bytes:
+    w, h = _image_dims(doc_id)
+    return bytes((doc_id + i) % _PIX_MOD + _PIX_OFF for i in range(w * h))
+
+
+def _audio_samples(doc_id: int) -> bytes:
+    n = doc_id % 97 + 16
+    return bytes((doc_id * 3 + i) % _PIX_MOD + _PIX_OFF for i in range(n))
+
+
+def _encode_payload(doc_id: int, media_type: str, text: str) -> bytes:
+    if media_type == "image":
+        w, h = _image_dims(doc_id)
+        px = _image_pixels(doc_id)
+        # Alternate container so BOTH decoders are exercised in every run.
+        if doc_id % 6 == 0:
+            return encode_png(w, h, px)
+        return encode_bmp(w, h, px)
+    if media_type == "audio":
+        return encode_wav(_audio_samples(doc_id))
+    return text.encode("utf-8")  # video: no stdlib container; opaque bytes
 
 
 def as_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Model a corpus as a multimodal table: (id, media_type, payload binary).
+    """Model a corpus as a multimodal table: (doc_id, media_type, payload).
 
-    The fixtures carry no real media, so payload = utf-8 bytes of the
-    text column and media_type is assigned deterministically -- the
-    schema and partitioning behavior are what matters.
+    Payloads are REAL encoded files (PNG/BMP for image rows, WAV for
+    audio rows) built from deterministic doc_id-derived dimensions and
+    pixel bytes; video rows carry opaque utf-8 bytes (no stdlib video
+    codec exists). Encoding runs in mapInPandas so payload bytes are
+    produced executor-side, Arrow-batched, never on the driver.
     """
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col(id_col) % 3 + 1).cast("int"),
-        ).alias("media_type"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
-    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            mtypes = [("image", "audio", "video")[i % 3] for i in ids]
+            payloads = [
+                _encode_payload(int(i), mt, t)
+                for i, mt, t in zip(ids, mtypes, pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": mtypes, "payload": payloads}
+            )
+
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(encode_batches, schema=MEDIA_SCHEMA)
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode requires a codec library (PIL/opencv) that is
-    not in this container. STUB: deterministic fake dimensions derived
-    from the payload length, so the distributed plumbing is testable.
-    Swap this function for a real decoder in production."""
-    n = len(payload)
-    return {"width": n % 640, "height": (n * 7) % 480, "n_frames": 1}
+    """REAL image decode: sniff PNG vs BMP by magic bytes, then parse
+    the container (PNG: chunk walk + CRC verify + zlib inflate + filter
+    reversal; BMP: header parse + bottom-up row unswizzle). Returns true
+    decoded dimensions and an md5 of the raw pixel bytes."""
+    kind = sniff(payload)
+    if kind == "png":
+        w, h, _, px = decode_png(payload)
+    elif kind == "bmp":
+        w, h, _, px = decode_bmp(payload)
+    else:
+        raise MediaFormatError("image payload is neither PNG nor BMP")
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": 1,
+        "content_hash": hashlib.md5(px).hexdigest(),
+    }
 
 
 def decode_audio(payload: bytes) -> dict:
-    n = len(payload)
-    return {"width": 0, "height": 0, "n_frames": n % 30 + 1}  # frames ~ samples
+    """REAL audio decode: RIFF chunk walk -> PCM samples."""
+    n_samples, _, pcm = decode_wav(payload)
+    return {
+        "width": 0,
+        "height": 0,
+        "n_frames": n_samples,
+        "content_hash": hashlib.md5(pcm).hexdigest(),
+    }
 
 
 def decode_video(payload: bytes) -> dict:
@@ -69,21 +150,23 @@ _DECODERS = {"image": decode_image, "audio": decode_audio, "video": decode_video
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_hash string"
 
-THUMB_SCHEMA = "doc_id bigint, n_chars_in bigint, thumb_w bigint, thumb_h bigint, thumb_hash string"
+THUMB_SCHEMA = (
+    "doc_id bigint, src_w bigint, src_h bigint, thumb_w bigint, "
+    "thumb_h bigint, thumb_hash string"
+)
 
 
 def sample_frames(media: DataFrame, step: int = 5) -> DataFrame:
     """Frame-sampling stage: one output row per sampled frame (1->N
     fan-out inside mapInPandas -- the UDTF-shaped decode pattern).
 
-    STUB kernel: n_frames is the deterministic fake from decode
-    (payload_len % 30 + 1) and a 'frame' is identified by md5 of the
-    payload text + frame index; a real ffmpeg kernel drops in without
-    touching the Spark plumbing. Only video rows are decoded -- the
-    filter happens BEFORE the Python stage so image/audio payloads
-    never cross the Arrow boundary.
+    STUB kernel (video only -- no stdlib video codec): n_frames is the
+    deterministic payload-length-derived count and a 'frame' is
+    identified by md5 of the payload text + frame index; a real ffmpeg
+    kernel drops in without touching the Spark plumbing. Only video
+    rows are decoded -- the filter happens BEFORE the Python stage so
+    image/audio payloads never cross the Arrow boundary.
     """
-    import hashlib
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,31 +185,40 @@ def sample_frames(media: DataFrame, step: int = 5) -> DataFrame:
     return videos.mapInPandas(frame_batches, schema=FRAME_SCHEMA)
 
 
-def resize_thumbnails(media: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
-    """Resize stage: payload-transforming kernel over Arrow batches.
-
-    STUB kernel: the 'thumbnail' is the first w*h/16 characters of the
-    payload text, hashed -- deterministic, so the transform is oracle-
-    checkable byte-for-byte. A real PIL/opencv resize drops in without
-    touching the batch plumbing. Image rows only, filtered before the
-    Python stage.
+def resize_thumbnails(media: DataFrame, w: int = 16, h: int = 16) -> DataFrame:
+    """Resize stage: REAL decode + nearest-neighbor resample over Arrow
+    batches. Each image payload is decoded (PNG or BMP), resampled to
+    ``w x h`` with nearest-neighbor (src_x = floor(x*W/w), src_y =
+    floor(y*H/h)), and the thumbnail pixel bytes are md5'd -- so the
+    oracle reconstructs the exact resample from the generation formula
+    and a kernel that skipped the decode or the resample would mismatch.
+    Image rows only, filtered before the Python stage.
     """
-    import hashlib
-
-    keep = (w * h) // 16
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            texts = [bytes(p).decode("utf-8") for p in pdf["payload"]]
+            ids, sw, sh, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                kind = sniff(raw)
+                W, H, _, px = decode_png(raw) if kind == "png" else decode_bmp(raw)
+                thumb = bytes(
+                    px[(y * H // h) * W + (x * W // w)]
+                    for y in range(h)
+                    for x in range(w)
+                )
+                ids.append(doc_id)
+                sw.append(W)
+                sh.append(H)
+                hashes.append(hashlib.md5(thumb).hexdigest())
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "n_chars_in": [len(t) for t in texts],
+                    "doc_id": ids,
+                    "src_w": sw,
+                    "src_h": sh,
                     "thumb_w": w,
                     "thumb_h": h,
-                    "thumb_hash": [
-                        hashlib.md5(t[:keep].encode()).hexdigest() for t in texts
-                    ],
+                    "thumb_hash": hashes,
                 }
             )
 
@@ -137,27 +229,36 @@ def resize_thumbnails(media: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
 def extract_media_metadata(media: DataFrame) -> DataFrame:
     """Decode/feature-extract stage: mapInPandas over Arrow batches.
 
-    Real shape of a production decode stage: per-batch vectorized loop,
-    errors per record (video -> NotImplementedError) degrade to
-    length-derived fake features rather than failing the job (quarantine
-    philosophy of reference etl_pipeline.py:17-30).
+    Image and audio rows go through the REAL decoders above; video rows
+    (decoder raises NotImplementedError) degrade to length-derived fake
+    features rather than failing the job (quarantine philosophy of
+    reference etl_pipeline.py:17-30).
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": pdf["payload"].map(len),
-            }
             feats = []
             for mt, payload in zip(pdf["media_type"], pdf["payload"]):
+                raw = bytes(payload)
                 try:
-                    feats.append(_DECODERS[mt](bytes(payload)))
+                    feats.append(_DECODERS[mt](raw))
                 except NotImplementedError:
-                    n = len(payload)
-                    feats.append({"width": n % 640, "height": (n * 7) % 480, "n_frames": n % 30 + 1})
+                    n = len(raw)
+                    feats.append(
+                        {
+                            "width": n % 640,
+                            "height": (n * 7) % 480,
+                            "n_frames": n % 30 + 1,
+                            "content_hash": hashlib.md5(raw).hexdigest(),
+                        }
+                    )
             fdf = pd.DataFrame(feats)
-            yield pd.DataFrame({**out, **{c: fdf[c] for c in ("width", "height", "n_frames")}})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    **{c: fdf[c] for c in ("width", "height", "n_frames", "content_hash")},
+                }
+            )
 
     return media.mapInPandas(decode_batches, schema=MEDIA_META_SCHEMA)

@@ -1,0 +1,119 @@
+"""Unit tests for the stdlib media codecs (PNG/BMP/WAV) and the real
+multimodal decode path built on them."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from etl_upc_syllabus_spark.operators.media_codecs import (
+    MediaFormatError,
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    sniff,
+)
+from etl_upc_syllabus_spark.operators.multimodal import (
+    _encode_payload,
+    _image_dims,
+    _image_pixels,
+    decode_audio,
+    decode_image,
+)
+
+
+@pytest.mark.parametrize(
+    "w,h,ch", [(1, 1, 1), (4, 4, 1), (13, 11, 1), (16, 14, 1), (7, 9, 3), (5, 1, 3)]
+)
+def test_png_roundtrip(w, h, ch):
+    px = bytes((i * 37 + 11) % 256 for i in range(w * h * ch))
+    got = decode_png(encode_png(w, h, px, ch))
+    assert got == (w, h, ch, px)
+
+
+def test_png_exercises_every_filter():
+    # 6 rows -> filter types 0,1,2,3,4,0; wrong/skipped reversal breaks bytes.
+    w, h = 8, 6
+    px = bytes((i * 201 + 17) % 256 for i in range(w * h))
+    enc = encode_png(w, h, px)
+    raw_filters = set()
+    import struct
+    import zlib
+
+    pos = 8
+    while pos + 8 <= len(enc):
+        (length,) = struct.unpack_from(">I", enc, pos)
+        tag = enc[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            raw = zlib.decompress(enc[pos + 8 : pos + 8 + length])
+            raw_filters = {raw[y * (w + 1)] for y in range(h)}
+        pos += 12 + length
+    assert raw_filters == {0, 1, 2, 3, 4}
+    assert decode_png(enc)[3] == px
+
+
+def test_png_crc_corruption_detected():
+    enc = bytearray(encode_png(4, 4, bytes(16)))
+    enc[20] ^= 0xFF
+    with pytest.raises(MediaFormatError, match="CRC"):
+        decode_png(bytes(enc))
+
+
+@pytest.mark.parametrize("w,h,ch", [(1, 7, 1), (4, 4, 1), (13, 11, 1), (5, 3, 3)])
+def test_bmp_roundtrip(w, h, ch):
+    # widths chosen to hit 0..3 bytes of row padding
+    px = bytes((i * 53 + 7) % 256 for i in range(w * h * ch))
+    assert decode_bmp(encode_bmp(w, h, px, ch)) == (w, h, ch, px)
+
+
+@pytest.mark.parametrize("n", [16, 97, 111])  # 111 = odd -> RIFF pad byte
+def test_wav_roundtrip(n):
+    pcm = bytes((i * 31 + 3) % 256 for i in range(n))
+    assert decode_wav(encode_wav(pcm)) == (n, 8000, pcm)
+
+
+def test_wav_tolerates_extra_chunks():
+    import struct
+
+    pcm = bytes(range(32))
+    enc = encode_wav(pcm)
+    # splice an unknown LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    spliced = enc[:fmt_end] + extra + enc[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced) == (32, 8000, pcm)
+
+
+def test_sniff():
+    assert sniff(encode_png(2, 2, bytes(4))) == "png"
+    assert sniff(encode_bmp(2, 2, bytes(4))) == "bmp"
+    assert sniff(encode_wav(b"ab")) == "wav"
+    assert sniff(b"plain text") is None
+
+
+@pytest.mark.parametrize("doc_id", [0, 3, 6, 9, 12, 78])  # alternating PNG/BMP
+def test_decode_image_true_dimensions_and_pixels(doc_id):
+    payload = _encode_payload(doc_id, "image", "")
+    meta = decode_image(payload)
+    w, h = _image_dims(doc_id)
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["content_hash"] == hashlib.md5(_image_pixels(doc_id)).hexdigest()
+    # fake-by-length would differ: dims are NOT a function of payload length
+    assert (len(payload) % 640, (len(payload) * 7) % 480) != (w, h)
+
+
+def test_decode_audio_true_sample_count():
+    payload = _encode_payload(7, "audio", "")
+    meta = decode_audio(payload)
+    assert meta["n_frames"] == 7 % 97 + 16
+    assert meta["width"] == 0 and meta["height"] == 0
+
+
+def test_decode_image_rejects_non_image():
+    with pytest.raises(MediaFormatError):
+        decode_image(b"not an image at all")
