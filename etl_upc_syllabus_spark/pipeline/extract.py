@@ -99,15 +99,18 @@ def extract_documents(binary_docs: DataFrame) -> DataFrame:
     - **pdfplumber** when importable: full parity with the reference
       (text + geometric table detection, etl_infrastructure.py:9-55);
     - **minipdf** (stdlib, always available) otherwise: real per-page
-      text decode for simple text PDFs, plus lines-strategy table
-      recovery for ruled layouts (grid of painted rules -> cells by
-      text position -- the same default model pdfplumber's
-      ``extract_table()`` applies), so binaryFile -> decode -> tables
-      -> parse -> calendar runs end-to-end with no third-party libs.
-      Unruled pages decode with no tables and table-less documents
-      quarantine in the parse stage exactly like any unparseable
-      input. Tests cover this path end-to-end on minipdf-written
-      fixtures (tests/test_minipdf.py).
+      text decode for simple text PDFs, plus two-strategy table
+      recovery -- lines strategy for ruled layouts (grid of painted
+      rules -> cells by text position, the same default model
+      pdfplumber's ``extract_table()`` applies) and a text-alignment
+      strategy for BORDERLESS tables (column gutters from x-position
+      clusters, mirroring pdfplumber's "text" strategy) -- so
+      binaryFile -> decode -> tables -> parse -> calendar runs
+      end-to-end with no third-party libs. Pages with no aligned
+      multi-column block decode with no tables and table-less
+      documents quarantine in the parse stage exactly like any
+      unparseable input. Tests cover both strategies end-to-end on
+      minipdf-written fixtures (tests/test_minipdf.py).
     """
     import io
     import os

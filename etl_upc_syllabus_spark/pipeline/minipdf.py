@@ -18,18 +18,26 @@ with the standard library alone:
   decode, and a content-stream interpreter that tracks the text
   matrix (Tm/Td/TD/T*/TL) and stroked path segments (m/l/re + S), so
   every shown string has an (x, y) position. Lines are y-clusters of
-  runs; tables are recovered with the same "lines strategy"
-  pdfplumber defaults to (reference etl_infrastructure.py:18-23,
-  page.extract_table()): a grid of >=2 horizontal and >=2 vertical
-  rules defines the cells, and runs are binned into cells by
-  position.
+  runs; tables are recovered with TWO strategies, tried in order:
+
+  1. **lines strategy** (pdfplumber's default model, reference
+     etl_infrastructure.py:18-23, page.extract_table()): a grid of
+     >=2 horizontal and >=2 vertical painted rules defines the
+     cells, and runs are binned into cells by position;
+  2. **text strategy** (pdfplumber's ``"text"`` vertical/horizontal
+     strategy, for BORDERLESS tables): when no ruled grid exists,
+     x-positions of runs are clustered into column gutters across a
+     consecutive block of multi-column rows; adjacent single-column
+     rows whose runs sit exactly on a detected gutter (e.g. a
+     full-width "Unidad n. N" banner cell) are absorbed into the
+     block, while prose at the page margin is not.
 
 Scope is documented, not hidden: this handles simple Type1/WinAnsi
 text PDFs (including everything :func:`write_pdf` emits); it does NOT
-do CID/TrueType-subset decoding, and -- faithful to pdfplumber's
-default lines strategy -- an UNRULED aligned-text table yields no
-table, exactly as ``page.extract_table()`` returns None for it. When
-pdfplumber is present the extraction stage uses it instead (see
+do CID/TrueType-subset decoding, and the text strategy requires
+columns aligned within 1pt across rows (true of program-generated
+tables; scanned/jittered layouts need pdfplumber). When pdfplumber is
+present the extraction stage uses it instead (see
 pipeline.extract.extract_documents).
 """
 
@@ -120,6 +128,7 @@ def _page_content(blocks, font_size: int = 11, leading: int = 14) -> bytes:
             continue
         tag, rows = block
         styled = tag == "styled_table"
+        bare = tag == "bare_table"  # cells on the grid, NO painted rules
         rows = [list(r) for r in rows]
         ncols = max((len(r) for r in rows), default=0) or 1
         col_w = (_TABLE_X1 - _TABLE_X0) / ncols
@@ -144,17 +153,18 @@ def _page_content(blocks, font_size: int = 11, leading: int = 14) -> bytes:
                     )
                 )
             parts.append(_BLACK)
-        for yh in [top, *bottoms]:
-            parts.append(
-                b"%s %s m %s %s l S"
-                % (_fmt_num(_TABLE_X0), _fmt_num(yh), _fmt_num(_TABLE_X1), _fmt_num(yh))
-            )
-        for j in range(ncols + 1):
-            xv = _TABLE_X0 + j * col_w
-            parts.append(
-                b"%s %s m %s %s l S"
-                % (_fmt_num(xv), _fmt_num(bottoms[-1]), _fmt_num(xv), _fmt_num(top))
-            )
+        if not bare:
+            for yh in [top, *bottoms]:
+                parts.append(
+                    b"%s %s m %s %s l S"
+                    % (_fmt_num(_TABLE_X0), _fmt_num(yh), _fmt_num(_TABLE_X1), _fmt_num(yh))
+                )
+            for j in range(ncols + 1):
+                xv = _TABLE_X0 + j * col_w
+                parts.append(
+                    b"%s %s m %s %s l S"
+                    % (_fmt_num(xv), _fmt_num(bottoms[-1]), _fmt_num(xv), _fmt_num(top))
+                )
         for i, row in enumerate(rows):
             header = styled and i == 0
             for j, cell in enumerate(row):
@@ -177,7 +187,10 @@ def write_pdf(path: str, pages: list) -> None:
     is a plain string of newline-separated lines, or a list of blocks
     mixing strings with ``("table", rows)`` ruled tables /
     ``("styled_table", rows)`` report-styled tables (grey header,
-    striped rows -- the reference's reportlab style)."""
+    striped rows -- the reference's reportlab style) /
+    ``("bare_table", rows)`` BORDERLESS tables (cells positioned on
+    the column grid with no painted rules -- the text-strategy test
+    shape)."""
     n_pages = len(pages)
     # object numbering: 1 catalog, 2 pages, 3 font, then per page i:
     # 4+2i page object, 5+2i content stream; 4+2n bold font (F2,
@@ -553,6 +566,99 @@ def _detect_table(
     ]
 
 
+def _detect_table_unruled(
+    runs: list[tuple[float, float, int, str]],
+    x_tol: float = 1.0,
+    min_rows: int = 2,
+    min_cols: int = 2,
+) -> list[list[str]] | None:
+    """Text-alignment strategy for BORDERLESS tables (pdfplumber's
+    ``"text"`` strategy model): no painted rules, so columns are
+    inferred from the x-positions of text runs.
+
+    1. y-cluster runs into rows (top-down);
+    2. find the longest consecutive block of rows with >= ``min_cols``
+       distinct x-positions (the multi-column core of the table);
+    3. cluster the core rows' x-positions into column gutters; a
+       gutter must be anchored by >= 2 rows;
+    4. extend the block to adjacent rows whose every run sits ON a
+       detected gutter (within ``x_tol``) -- this absorbs full-width
+       single-cell banner rows (e.g. "Unidad n. N: ..." in a syllabus
+       units table) while page-margin prose, which starts left of
+       column 0, is not absorbed;
+    5. bin each row's runs into the gutter columns by x.
+
+    The 1pt tolerance is deliberate: program-generated tables place a
+    column at an exact x on every row, while prose words almost never
+    align within 1pt across rows, which keeps false positives out of
+    the tableless-page path. Returns None when no aligned block
+    exists.
+
+    Known limit (shared with pdfplumber's text strategy, whose
+    ``min_words_vertical=3`` is stricter still): a column needs >= 2
+    rows with a non-empty cell to anchor its gutter; a column that is
+    empty in every body row merges into its left neighbor."""
+    by_y: dict[float, list[tuple[float, int, str]]] = {}
+    for y, x, seq, text in runs:
+        by_y.setdefault(round(y, 1), []).append((x, seq, text))
+    ys = sorted(by_y, reverse=True)
+    is_core = [len({x for x, _s, _t in by_y[y]}) >= min_cols for y in ys]
+    best_len, best_at = 0, 0
+    i = 0
+    while i < len(ys):
+        if is_core[i]:
+            j = i
+            while j < len(ys) and is_core[j]:
+                j += 1
+            if j - i > best_len:
+                best_len, best_at = j - i, i
+            i = j
+        else:
+            i += 1
+    if best_len < min_rows:
+        return None
+    core = ys[best_at : best_at + best_len]
+    xs = sorted(x for y in core for x, _s, _t in by_y[y])
+    clusters: list[list[float]] = []  # [lo, hi]
+    for x in xs:
+        if clusters and x - clusters[-1][1] <= x_tol:
+            clusters[-1][1] = x
+        else:
+            clusters.append([x, x])
+    gutters = [
+        lo
+        for lo, hi in clusters
+        if sum(
+            1 for y in core if any(lo - x_tol <= x <= hi + x_tol for x, _s, _t in by_y[y])
+        )
+        >= 2
+    ]
+    if len(gutters) < min_cols:
+        return None
+
+    def on_gutters(y: float) -> bool:
+        return all(
+            any(abs(x - g) <= x_tol for g in gutters) for x, _s, _t in by_y[y]
+        )
+
+    lo_i, hi_i = best_at, best_at + best_len - 1
+    while lo_i > 0 and by_y[ys[lo_i - 1]] and on_gutters(ys[lo_i - 1]):
+        lo_i -= 1
+    while hi_i + 1 < len(ys) and by_y[ys[hi_i + 1]] and on_gutters(ys[hi_i + 1]):
+        hi_i += 1
+    table: list[list[str]] = []
+    for y in ys[lo_i : hi_i + 1]:
+        cells: list[list[tuple[float, int, str]]] = [[] for _ in gutters]
+        for x, seq, text in sorted(by_y[y]):
+            c = 0
+            for k, g in enumerate(gutters):
+                if x >= g - x_tol:
+                    c = k
+            cells[c].append((x, seq, text))
+        table.append(["".join(t for _x, _s, t in sorted(cell)).strip() for cell in cells])
+    return table
+
+
 def _page_order(objects: dict[int, bytes]) -> list[int]:
     """Page object numbers in document order via the /Kids arrays."""
     kids: list[int] = []
@@ -571,7 +677,9 @@ def extract_pages(data: bytes) -> list[tuple[str, list[list[str]] | None]]:
     capabilities the reference extractor needs per page
     (etl_infrastructure.py:9-23: ``page.extract_text()`` +
     ``page.extract_table()``). ``table`` is rows of cell strings when
-    the page carries a ruled grid, else None."""
+    the page carries a ruled grid (lines strategy), else when a
+    borderless aligned-column block exists (text strategy), else
+    None."""
     objects = _scan_objects(data)
     pages: list[tuple[str, list[list[str]] | None]] = []
     for page_num in _page_order(objects):
@@ -591,7 +699,10 @@ def extract_pages(data: bytes) -> list[tuple[str, list[list[str]] | None]]:
             more_runs, more_rules = _page_layout(payload, seq0=len(runs))
             runs.extend(more_runs)
             rules.extend(more_rules)
-        pages.append(("\n".join(_assemble_lines(runs)), _detect_table(runs, rules)))
+        table = _detect_table(runs, rules)
+        if table is None:
+            table = _detect_table_unruled(runs)
+        pages.append(("\n".join(_assemble_lines(runs)), table))
     return pages
 
 

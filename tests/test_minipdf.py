@@ -4,10 +4,10 @@ pdfplumber/reportlab are absent from this container and installs are
 not permitted (VERDICT r1 item 5), so PDF parity is proven on
 minipdf's own real files: a *valid PDF file* on disk -> binaryFile
 scan -> distributed Arrow extract stage (stdlib minipdf backend) ->
-per-page text AND ruled-table recovery (lines-strategy grid
-detection) -> parse -> calendar golden, with no RAW_DOC_SCHEMA seam.
-Unruled pages still yield no table -- the same answer pdfplumber's
-default ``extract_table()`` gives for a rule-less layout.
+per-page text AND table recovery (lines-strategy grid detection for
+ruled pages, text-alignment strategy for borderless ones) -> parse ->
+calendar golden, with no RAW_DOC_SCHEMA seam. Pages with no aligned
+multi-column block yield no table.
 """
 
 from __future__ import annotations
@@ -249,6 +249,83 @@ def test_ruled_pdf_to_calendar_no_seam(spark, ruled_pdf_dir):
     assert recs["1AEL0244"]["name"] == "Matemática Básica"
     assert recs["1AEL0321"]["name"] == "Física I"
     # the units/assessments really came out of the ruled PDF pages
+    units = [u.asDict() for u in recs["1AEL0244"]["units"]]
+    assert units and units[0]["syllabus"] == ["t1", "t2"]
+    assert [a["week"] for a in recs["1AEL0244"]["assessments"]] == [4, 16]
+    cal = {r["week"]: r["lines"] for r in assemble.weekly_calendar(good).collect()}
+    assert cal[4] == [
+        "•1AEL0244: PRÁCTICA PC  (15.0%)",
+        "•1AEL0321: PRÁCTICA PC  (15.0%)",
+    ]
+    assert sorted(cal) == [4, 16]
+
+
+#: Borderless-table variant of ASSESSMENTS_TABLE: the text strategy
+#: needs every column anchored by >= 2 non-empty cells (pdfplumber's
+#: text strategy needs 3), so OBSERVACIÓN carries one real value.
+ASSESSMENTS_TABLE_BARE = [
+    ["TIPO", "COMPETENCIA", "PESO", "SEMANA", "OBSERVACIÓN", "RECUPERABLE"],
+    ["PRÁCTICA PC - 1", "g1", "15%", "4", "ninguna", "Sí"],
+    ["EXAMEN FINAL - 1", "g1", "85%", "16", "", "No"],
+]
+
+
+def test_bare_table_text_strategy_roundtrip(tmp_path):
+    """VERDICT r4 item 2: a BORDERLESS table (no painted rules) is
+    recovered by the text-alignment strategy -- column gutters from
+    x-position clusters, single-cell banner rows ("Unidad n. N")
+    absorbed by gutter alignment, page-margin prose not absorbed."""
+    path = str(tmp_path / "bare.pdf")
+    minipdf.write_pdf(
+        path,
+        [
+            ["VI. UNIDADES DE APRENDIZAJE", ("bare_table", UNITS_TABLE)],
+            ["VIII. EVALUACIÓN", ("bare_table", ASSESSMENTS_TABLE_BARE)],
+        ],
+    )
+    pages = minipdf.extract_pages(open(path, "rb").read())
+    assert pages[0][0].splitlines()[0] == "VI. UNIDADES DE APRENDIZAJE"
+    assert pages[0][1] == UNITS_TABLE
+    assert pages[1][1] == ASSESSMENTS_TABLE_BARE
+
+
+def test_unruled_single_aligned_pair_not_a_table(tmp_path):
+    """One multi-column row is not a table; prose pages stay None."""
+    path = str(tmp_path / "prose.pdf")
+    minipdf.write_pdf(path, [PAGE1, PAGE2])
+    for _text, table in minipdf.extract_pages(open(path, "rb").read()):
+        assert table is None
+
+
+@pytest.fixture(scope="module")
+def bare_pdf_dir(spark, tmp_path_factory):
+    """Full syllabus PDFs whose units/assessments tables are BORDERLESS
+    (text-strategy) pages -- the layout the reference meets when a
+    syllabus PDF has no ruling lines."""
+    d = tmp_path_factory.mktemp("bare_pdfs")
+
+    def pages(course: str) -> list:
+        return [
+            PAGE1.replace("Matemática Básica", course),
+            ["VI. UNIDADES DE APRENDIZAJE", ("bare_table", UNITS_TABLE)],
+            ["VIII. EVALUACIÓN", ("bare_table", ASSESSMENTS_TABLE_BARE)],
+        ]
+
+    minipdf.write_pdf(str(d / "UG-202520_1AEL0244-8281.pdf"), pages("Matemática Básica"))
+    minipdf.write_pdf(str(d / "UG-202520_1AEL0321-9001.pdf"), pages("Física I"))
+    return str(d)
+
+
+def test_bare_pdf_to_calendar_no_seam(spark, bare_pdf_dir):
+    """VERDICT r4 item 2 acceptance: binaryFile -> minipdf decode ->
+    TEXT-STRATEGY table recovery -> section routing -> parse -> weekly
+    calendar, entirely from real borderless PDF bytes."""
+    extracted = extract.extract_documents(extract.read_syllabus_pdfs(spark, bare_pdf_dir))
+    good, bad = assemble.split_quarantine(assemble.parse_documents(extracted))
+    assert bad.count() == 0
+    recs = {r["id"]: r for r in good.collect()}
+    assert recs["1AEL0244"]["name"] == "Matemática Básica"
+    assert recs["1AEL0321"]["name"] == "Física I"
     units = [u.asDict() for u in recs["1AEL0244"]["units"]]
     assert units and units[0]["syllabus"] == ["t1", "t2"]
     assert [a["week"] for a in recs["1AEL0244"]["assessments"]] == [4, 16]
