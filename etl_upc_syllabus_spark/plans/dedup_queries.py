@@ -54,8 +54,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash"),
 )
 def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
-    return dd.minhash_signatures(sh).select(
+    sets = dd.shingle_sets(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    return dd.minhash_signatures(sets).select(
         F.col("id").alias("doc_id"), "band", "band_hash"
     )
 
@@ -87,19 +87,22 @@ def dedup_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The shingle table feeds two consumers (signature build + candidate
-    # verification); persist it so tokenization + explode run once. At
+    # The shingle-ARRAY table feeds two consumers (signature build +
+    # candidate verification); persist it so tokenization runs once. At
     # cluster scale this is a cache of a few GB per TB of text -- cheap
-    # vs a second full scan.
-    sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
-    sig = dd.minhash_signatures(sh)
+    # vs a second full scan. The arrays never shuffle: signatures are
+    # narrow HOF computations, and verification semi-joins the arrays
+    # down to the candidate neighborhood (VERDICT r4 item 4 -- the
+    # explode->groupBy round-trips of the earlier pipeline are gone).
+    sets = dd.shingle_sets(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
+    sig = dd.minhash_signatures(sets)
     # jaccard_verify consumes `pairs` in three subtrees and leaves the
     # lifecycle to us: persist here (CacheManager dedupes the entry
     # across repeated invocations of this same plan, so benchmarks and
     # registry re-runs reuse one warm cache instead of recomputing the
     # LSH self-join per subtree).
     pairs = dd.lsh_candidate_pairs(sig).persist()
-    return dd.jaccard_verify(pairs, sh)
+    return dd.jaccard_verify(pairs, sets)
 
 
 # Shared by both connected-components variants: the min-reachable-label
@@ -137,8 +140,8 @@ _COMPONENTS_ORACLE = f"""
     tags=("dedup", "components", "iterative"),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
-    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sh))
+    sets = dd.shingle_sets(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sets))
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )
@@ -157,8 +160,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "components", "iterative"),
 )
 def dedup_cluster_components_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = dd.token_shingles(_docs(spark, sf_dir), "doc_id", "text", k=3)
-    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sh))
+    sets = dd.shingle_sets(_docs(spark, sf_dir), "doc_id", "text", k=3)
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sets))
     return connected_components_lss(pairs).select(
         F.col("id").alias("doc_id"), "component"
     )

@@ -44,9 +44,9 @@ def test_survivors_keep_min_id(corpus):
 
 
 def test_minhash_lsh_finds_near_dups(corpus):
-    sh = dd.token_shingles(corpus, "doc_id", "text", k=3)
-    sig = dd.minhash_signatures(sh)
-    pairs = dd.jaccard_verify(dd.lsh_candidate_pairs(sig), sh)
+    sets = dd.shingle_sets(corpus, "doc_id", "text", k=3)
+    sig = dd.minhash_signatures(sets)
+    pairs = dd.jaccard_verify(dd.lsh_candidate_pairs(sig), sets)
     got = {(r["a"], r["b"]): r["jaccard"] for r in pairs.collect()}
     # exact + normalized dups collide on every band (jaccard 1.0)
     assert got[(1, 2)] == 1.0 and got[(1, 3)] == 1.0 and got[(2, 3)] == 1.0
