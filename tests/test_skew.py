@@ -98,6 +98,120 @@ def test_aqe_skew_join_engages(spark):
             conf.set(k, v)
 
 
+_SKEW_DIR = "scale_data/sf1skew"
+_skew_fixture = pytest.mark.skipif(
+    not __import__("os").path.exists(f"{_SKEW_DIR}/events.parquet"),
+    reason="skewed sf1 fixture not generated "
+    "(python tools/gen_scale.py --out scale_data/sf1skew --factor 10 --skew 0.3)",
+)
+
+
+@_skew_fixture
+@pytest.mark.slow
+def test_salted_join_rebalances_skewed_fixture(spark):
+    """VERDICT r4 item 3: on the REAL skewed fixture (30% of 1M events
+    on one hot user_id), a plain shuffle join pins the hot key's rows
+    on a single post-shuffle partition, while the salted join spreads
+    them across n_salts shards -- measured by per-partition row
+    counts, the local proxy for task sizes."""
+    from etl_upc_syllabus_spark.operators.skew import salted_join
+    from etl_upc_syllabus_spark.sources.tables import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        # AQE off + no broadcast: observe the raw salting effect; 64
+        # partitions so the background load per partition is small
+        # relative to the hot key and balance is measurable
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.shuffle.partitions", "64")
+        events = load_table(spark, _SKEW_DIR, "events")
+        users = (
+            spark.range(15_000)
+            .select(F.col("id").alias("u_id"), (F.col("id") % 7).alias("u_cohort"))
+        )
+
+        def partition_rows(df):
+            return sorted(
+                r["count"]
+                for r in df.withColumn("pid", F.spark_partition_id())
+                .groupBy("pid")
+                .count()
+                .collect()
+            )
+
+        plain = events.join(users, F.col("user_id") == F.col("u_id"))
+        sizes_plain = partition_rows(plain)
+        total = sum(sizes_plain)
+        # the fixture really is skewed: hot partition holds >= 25% of rows
+        assert sizes_plain[-1] >= 0.25 * total, sizes_plain[-5:]
+
+        s = salted_join(events, users, F.col("user_id") == F.col("u_id"), n_salts=8)
+        sizes_salted = partition_rows(s)
+        assert sum(sizes_salted) == total  # semantics preserved
+        import statistics
+
+        median = statistics.median(sizes_salted)
+        # no straggler: biggest task ~ hot/8 + background (~37.5k + 11k
+        # vs 11k median here, ratio ~4.5) -- vs the plain join's 28x
+        assert sizes_salted[-1] <= 5 * median, (sizes_salted[-3:], median)
+        assert sizes_salted[-1] < 0.2 * sizes_plain[-1], (
+            sizes_salted[-1],
+            sizes_plain[-1],
+        )
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
+@_skew_fixture
+@pytest.mark.slow
+def test_aqe_skew_join_engages_on_skewed_fixture(spark):
+    """AQE's zero-code mitigation re-plans the same skewed fixture
+    join: final adaptive plan marks the sort-merge join skew=true."""
+    from etl_upc_syllabus_spark.sources.tables import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # thresholds scaled to the ~12MB fixture (production defaults
+        # are 256MB/64MB); the fixture is written with 64k-row ROW
+        # GROUPS -- AQE splits a skewed partition at map-output
+        # boundaries, so a single-row-group file (1 map task) is
+        # unsplittable and skew-join silently never engages
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        events = load_table(spark, _SKEW_DIR, "events")
+        users = spark.range(15_000).select(
+            F.col("id").alias("u_id"), (F.col("id") % 7).alias("u_cohort")
+        )
+        joined = events.join(users, F.col("user_id") == F.col("u_id"))
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 def test_two_phase_agg_exact(skewed):
     direct = {
         r["k"]: r["total"]

@@ -28,8 +28,15 @@ which preserves exactly the properties a scaling smoke measures:
 region/nation are geography-bounded dimensions and do not scale,
 same as TPC-H.
 
+``--skew F`` additionally concentrates fraction F of all EVENTS rows
+on a single hot user_id (0) -- the viral-user shape that pins a
+shuffled join or agg on one task at 100 TB. The hot rows are chosen
+deterministically (event_id % 100 < F*100), so the skewed fixture is
+reproducible and the skew tests (tests/test_skew.py) can assert the
+mitigations rebalance it.
+
 Usage: python tools/gen_scale.py [--src /root/testdata/sf0.1]
-       [--out scale_data/sf1] [--factor 10]
+       [--out scale_data/sf1] [--factor 10] [--skew 0.3]
 """
 
 from __future__ import annotations
@@ -46,7 +53,7 @@ def _stride(con: duckdb.DuckDBPyConnection, path: str, key: str) -> int:
     return con.execute(f"SELECT max({key}) + 1 FROM '{path}'").fetchone()[0]
 
 
-def generate(src: str, out: str, factor: int) -> None:
+def generate(src: str, out: str, factor: int, skew: float = 0.0) -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
 
@@ -117,7 +124,29 @@ def generate(src: str, out: str, factor: int) -> None:
             t.schema.get_field_index("user_id"), "user_id",
             pa.compute.add(t["user_id"], r * ustride))
         replicas.append(t)
-    pq.write_table(pa.concat_tables(replicas), os.path.join(out, "events.parquet"))
+    allev = pa.concat_tables(replicas)
+    if skew > 0:
+        # deterministic hot-key injection: fraction `skew` of events on
+        # user_id 0 (event_id % 100 < skew*100), the rest untouched
+        ev_mod = pa.compute.subtract(
+            allev["event_id"],
+            pa.compute.multiply(pa.compute.divide(allev["event_id"], 100), 100),
+        )  # integer event_id % 100 (pyarrow.compute has no mod kernel)
+        hot = pa.compute.less(ev_mod, int(round(skew * 100)))
+        uid_type = allev.schema.field("user_id").type
+        allev = allev.set_column(
+            allev.schema.get_field_index("user_id"),
+            "user_id",
+            pa.compute.if_else(hot, pa.scalar(0, type=uid_type), allev["user_id"]),
+        )
+        n_hot = pa.compute.sum(pa.compute.cast(hot, "int64")).as_py()
+        print(f"events skew: {n_hot}/{allev.num_rows} rows on user_id 0")
+    # modest row groups (64k rows): a single-row-group file cannot be
+    # split by the scan, which (a) caps map parallelism at 1 regardless
+    # of cluster size and (b) silently disables AQE skew-join splitting
+    # -- createSkewPartitionSpecs splits at MAP-OUTPUT boundaries, so a
+    # hot partition fed by one map task is unsplittable
+    pq.write_table(allev, os.path.join(out, "events.parquet"), row_group_size=65536)
     print(f"events: x{factor} (ts physical type preserved: {ev.schema.field('ts').type})")
 
 
@@ -126,5 +155,7 @@ if __name__ == "__main__":
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="scale_data/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--skew", type=float, default=0.0,
+                    help="fraction of events concentrated on one hot user_id")
     args = ap.parse_args()
-    generate(args.src, args.out, args.factor)
+    generate(args.src, args.out, args.factor, args.skew)
