@@ -522,7 +522,7 @@ def recursive_cte_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(k) AS BIGINT)   AS k_total,
            CAST(min(k) AS BIGINT)   AS k_min,
            CAST(max(k) AS BIGINT)   AS k_max
-    FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
+    FROM (SELECT event_type, TRY_CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events)
     GROUP BY event_type
     """,
     doc="Spark 4 VARIANT type, the schema-on-read path for heterogeneous "
@@ -533,12 +533,17 @@ def recursive_cte_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
     "between re-inferring/declaring a schema for every producer "
     "variation and ingesting arbitrary JSON once; VARIANT columns "
     "support pushdown-friendly shredded storage in parquet. Oracle: "
-    "DuckDB json_extract of the same paths.",
+    "DuckDB json_extract of the same paths. Extraction uses "
+    "try_variant_get / TRY_CAST on both sides (ADVICE r4) so an "
+    "unexpected $.k payload degrades to NULL instead of erroring one "
+    "engine; exact cross-engine agreement is guaranteed for "
+    "integral-or-absent k (the fixture invariant) -- fractional "
+    "payloads would round in DuckDB vs null in Spark.",
     tags=("json", "variant", "schema-on-read"),
 )
 def variant_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    k = F.expr("try_variant_get(parse_json(props), '$.k', 'long')")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -159,25 +159,28 @@ _STALE_GREEN_BROKEN = frozenset(
 )
 
 
-def _verification_rounds() -> dict[str, int]:
+def _verification_rounds(root: str | None = None) -> dict[str, int]:
     """name -> effective verification round for re-check ordering.
 
-    Reads the driver-written CORRECTNESS_r*.json files from the repo
-    root when present: a green rows+schema+hash verdict advances the
-    name to that round (folding in the static r1 baseline at round 1).
-    A name whose NEWEST entry is broken (``err`` recorded or
-    ``hash_match`` explicitly false) maps to round 0 regardless of any
-    older green verdict -- a stale green must never outrank a fresh
-    failure, or a regression (like the r3 fixture-type change) could
-    sit outside the driver's bounded ~50-query re-check window while
-    looking verified.
+    Reads the driver-written CORRECTNESS_r*.json files from ``root``
+    (default: the repo root) when present: a green rows+schema+hash
+    verdict advances the name to that round (folding in the static r1
+    baseline at round 1). A name whose NEWEST entry is broken (``err``
+    recorded or ``hash_match`` explicitly false) maps to round 0
+    regardless of any older green verdict -- a stale green must never
+    outrank a fresh failure, or a regression (like the r3 fixture-type
+    change) could sit outside the driver's bounded ~50-query re-check
+    window while looking verified. The ``root`` parameter exists so
+    tests can exercise this logic against synthetic records (ADVICE
+    r4) instead of the live repo files.
     """
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     rounds: dict[str, int] = {name: 1 for name in _R1_VERIFIED}
     latest: dict[str, tuple[int, bool]] = {}  # name -> (round, broken)
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):

@@ -476,7 +476,8 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "At 100 TB this is THE technique for recurring fact-fact joins: "
     "pay the shuffle once at write time, never at query time. Tables "
     "are content-keyed by fixture path+mtime so a regenerated fixture "
-    "rebuilds them.",
+    "rebuilds them, and stale keys from earlier generations are "
+    "dropped (warehouse + metastore stay bounded).",
     tags=("join", "bucketing", "layout"),
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,6 +491,17 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{stamp}".encode()).hexdigest()[:10]
     lt, ot = f"bkt_lineitem_{key}", f"bkt_orders_{key}"
+    # GC stale bucketed copies from earlier fixture generations (ADVICE
+    # r4): a regenerated fixture changes `key`, and without this every
+    # regeneration leaks a full bucketed copy of both fact tables into
+    # the warehouse + metastore.
+    for tbl_meta in spark.catalog.listTables():
+        name = tbl_meta.name
+        if (
+            name.startswith(("bkt_lineitem_", "bkt_orders_"))
+            and name not in (lt, ot)
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
     for name, tbl, col in ((lt, "lineitem", "l_orderkey"), (ot, "orders", "o_orderkey")):
         if not spark.catalog.tableExists(name):
             # a fresh derby metastore can coexist with a surviving

@@ -295,8 +295,9 @@ def text_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "UDF/UDAF/UDTF triple, next to pandas_udf_scalar and "
     "grouped_map_rank): a @udtf class lateral-joined against the "
     "documents scan emits one (term, n) row per frequent term per "
-    "document. Arrow-optimized UDTF transfer is enabled for the query's "
-    "lifetime. Semantics are deliberately relational (explode+groupBy "
+    "document. Arrow-optimized transfer is scoped to this UDTF via "
+    "useArrow=True (no session conf mutation). Semantics are "
+    "deliberately relational (explode+groupBy "
     "would express them natively) so the DuckDB oracle can check the "
     "seam itself; a production UDTF would carry logic SQL cannot "
     "(tokenizers, parsers). Per-partition streaming emit -- no state, "
@@ -308,16 +309,16 @@ def udtf_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="term string, n bigint")
+    # useArrow on the decorator scopes Arrow transfer to THIS UDTF --
+    # no session-wide pythonUDTF.arrow.enabled mutation that would leak
+    # into other UDTFs run later in the same session (ADVICE r4)
+    @udtf(returnType="term string, n bigint", useArrow=True)
     class WordHistogram:
         def eval(self, text: str, min_n: int):
             for term, n in Counter((text or "").split(" ")).items():
                 if term and n >= min_n:
                     yield term, n
 
-    # set (not restored: the returned DataFrame is lazy, and the conf
-    # must still hold when the caller executes it)
-    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("word_histogram", WordHistogram)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf")
     return spark.sql(

@@ -49,7 +49,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":  # TIMESTAMP(NANOS) surfaced as int64
+        if ts_type == "bigint":
+            # bigint here is EITHER TIMESTAMP(NANOS) under the legacy
+            # conf OR a genuinely bare int64 ts; only the former may be
+            # divided by 1000. Probe the footer's logical type and
+            # refuse the ambiguous bare case (ADVICE r4) -- the same
+            # guard events_ts_kind applies on the streaming path.
+            from ..streaming.events import events_ts_kind
+
+            if events_ts_kind(path) != "nanos":  # pragma: no cover
+                raise ValueError(
+                    f"events ts at {path} is int64 without a timestamp(ns) "
+                    "logical type; unit unknowable, refusing to guess"
+                )
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             # session tz is UTC (session.py), so the cast is value-preserving;

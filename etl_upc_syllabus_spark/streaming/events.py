@@ -50,8 +50,19 @@ def events_ts_kind(path: str) -> str:
     import pyarrow.parquet as pq
 
     t = pq.read_schema(path).field("ts").type
-    if pa.types.is_integer(t) or getattr(t, "unit", None) == "ns":
+    if getattr(t, "unit", None) == "ns":
         return "nanos"
+    if pa.types.is_integer(t):
+        # A bare integer ts carries NO timestamp logical type: its unit
+        # is unknowable from the footer, and guessing nanos would load
+        # micros-encoded values 1000x off with no error (ADVICE r4).
+        # Every fixture generation so far has carried a real timestamp
+        # logical type; refuse loudly if that ever changes.
+        raise ValueError(
+            f"events ts column at {path} is bare {t} with no timestamp "
+            "logical type; cannot infer its unit -- regenerate the "
+            "fixture with a parquet TIMESTAMP annotation"
+        )
     return "micros_tz" if getattr(t, "tz", None) else "micros"
 
 
