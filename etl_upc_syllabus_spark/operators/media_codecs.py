@@ -281,6 +281,182 @@ def decode_wav(data: bytes) -> tuple[int, int, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# GIF (animated, 8-bit grayscale palette) -- the video-class container
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW: variable-width codes, clear/EOI, LSB bit packing."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = bitbuf = bitcnt = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, bitbuf, bitcnt
+        while bitcnt < width:
+            if pos >= len(data):
+                return eoi
+            bitbuf |= data[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        bitcnt -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        else:  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+
+
+def encode_gif(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Encode grayscale frames as an animated GIF89a (global 256-gray
+    palette, one image block per frame, real LZW compression)."""
+    for fr in frames:
+        if len(fr) != width * height:
+            raise MediaFormatError("frame buffer does not match dimensions")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT, 256 entries
+    for g in range(256):
+        out += bytes((g, g, g))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for fr in frames:
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 100ms delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)  # LZW min code size
+        payload = _lzw_encode(fr)
+        for i in range(0, len(payload), 255):
+            chunk = payload[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode an animated GIF -> (width, height, [frame pixel bytes]).
+
+    Real container walk: header, global color table, extension blocks
+    (skipped), per-frame image descriptors with optional local color
+    tables, sub-block reassembly, LZW decompression, palette lookup
+    (gray value = red channel). Interlace is not supported."""
+    if data[:6] not in (b"GIF89a", b"GIF87a"):
+        raise MediaFormatError("not a GIF")
+    width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    frames: list[bytes] = []
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _x, _y, fw, fh, iflags = struct.unpack_from("<HHHHB", data, pos)
+            pos += 9
+            if iflags & 0x40:
+                raise MediaFormatError("interlaced GIF not supported")
+            table = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                table = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if table is None:
+                raise MediaFormatError("GIF image with no color table")
+            min_code = data[pos]
+            pos += 1
+            payload = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                payload += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(payload), min_code)
+            if len(indices) < fw * fh:
+                raise MediaFormatError("GIF frame truncated")
+            frames.append(bytes(table[3 * i] for i in indices[: fw * fh]))
+        else:
+            raise MediaFormatError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise MediaFormatError("GIF contains no frames")
+    return width, height, frames
+
+
+# ---------------------------------------------------------------------------
 # Sniffing
 # ---------------------------------------------------------------------------
 
@@ -293,4 +469,6 @@ def sniff(data: bytes) -> str | None:
         return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:6] in (b"GIF89a", b"GIF87a"):
+        return "gif"
     return None

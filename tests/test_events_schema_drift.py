@@ -104,6 +104,30 @@ def test_both_physical_types_stream_identically(spark, tmp_path, kind):
     assert got == sorted(_ROWS["ts_us"])
 
 
+def test_bare_int64_ts_is_refused(tmp_path):
+    """ADVICE r4: a ts column shipped as PLAIN int64 (no timestamp
+    logical type) has an unknowable unit; guessing nanos would load
+    micros values 1000x off silently. Both probes must refuse."""
+    from etl_upc_syllabus_spark.streaming.events import events_ts_kind
+
+    d = tmp_path / "bare"
+    os.makedirs(d)
+    table = pa.table(
+        {
+            "event_id": pa.array(_ROWS["event_id"], pa.int64()),
+            "ts": pa.array(_ROWS["ts_us"], pa.int64()),  # NO logical type
+            "user_id": pa.array(_ROWS["user_id"], pa.int64()),
+            "event_type": pa.array(_ROWS["event_type"], pa.string()),
+            "value": pa.array(_ROWS["value"], pa.float64()),
+            "props": pa.array(_ROWS["props"], pa.string()),
+        }
+    )
+    path = str(d / "events.parquet")
+    pq.write_table(table, path)
+    with pytest.raises(ValueError, match="logical type"):
+        events_ts_kind(path)
+
+
 def test_registry_sorts_broken_latest_first(tmp_path):
     """A name whose newest CORRECTNESS entry is broken must map to
     round 0 (ahead of all stale greens) so the driver's bounded
