@@ -405,8 +405,8 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
     (skipped), per-frame image descriptors with optional local color
     tables, sub-block reassembly, LZW decompression, palette lookup
     (gray value = red channel). Interlace is not supported."""
-    if data[:6] not in (b"GIF89a", b"GIF87a"):
-        raise MediaFormatError("not a GIF")
+    if data[:6] not in (b"GIF89a", b"GIF87a") or len(data) < 14:
+        raise MediaFormatError("not a GIF (bad signature or truncated header)")
     width, height, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     gct = None

@@ -1,24 +1,28 @@
 """Multimodal column operators: image/audio/video as opaque binary
 columns with typed metadata (SURVEY.md north star).
 
-The decode kernels are REAL for image and audio: payloads are genuine
-PNG / BMP / WAV files (stdlib codecs in :mod:`.media_codecs` -- zlib
-inflate, PNG filter reversal, CRC verification, RIFF chunk walking) and
-the metadata stage sniffs the container by magic bytes and decodes it.
+The decode kernels are REAL for all three modalities: payloads are
+genuine PNG / BMP (image), WAV (audio) and animated GIF (video) files
+(stdlib codecs in :mod:`.media_codecs` -- zlib inflate, PNG filter
+reversal, CRC verification, RIFF chunk walking, GIF LZW decompression)
+and the decode stages sniff the container by magic bytes and parse it.
 The fixtures carry no media, so :func:`as_media_table` *encodes* real
 files with deterministic dimensions and pixel bytes -- which means the
-oracle can reconstruct the expected width/height/pixel-md5 from doc_id
-alone, and a decoder that faked the decode would hash-mismatch.
+oracle can reconstruct the expected width/height/frame-count/pixel-md5
+from doc_id alone, and a decoder that faked the decode would
+hash-mismatch.
 
-Video is the one honest stub (no stdlib video container): the decoder
-raises ``NotImplementedError`` and the metadata stage degrades to
-length-derived features, mirroring the reference's quarantine-not-crash
-philosophy (reference etl_pipeline.py:17-30).
+The honest limit that remains: true video CODECS (H.264/VP9/AV1) need
+ffmpeg bindings absent from this container; a video payload that is
+not a GIF raises ``NotImplementedError`` and the metadata stage
+degrades to length-derived features, mirroring the reference's
+quarantine-not-crash philosophy (reference etl_pipeline.py:17-30).
 
 At 100 TB: binary payloads ride in their own column so column pruning
-skips them unless a decode stage needs them; decode runs as
-``mapInPandas`` over row-group-sized Arrow batches (one Python worker
-per core, payloads never pass through the driver).
+skips them unless a decode stage needs them; decode runs Arrow-batched
+executor-side (one Python worker per core, payloads never pass through
+the driver), and modality filters push below the Python stage so a
+frames-only consumer never decodes image/audio rows.
 """
 
 from __future__ import annotations
@@ -33,9 +37,11 @@ from pyspark.sql import functions as F
 from .media_codecs import (
     MediaFormatError,
     decode_bmp,
+    decode_gif,
     decode_png,
     decode_wav,
     encode_bmp,
+    encode_gif,
     encode_png,
     encode_wav,
     sniff,
@@ -69,6 +75,19 @@ def _audio_samples(doc_id: int) -> bytes:
     return bytes((doc_id * 3 + i) % _PIX_MOD + _PIX_OFF for i in range(n))
 
 
+def _video_dims(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) of the GIF generated for doc_id."""
+    return doc_id % 7 + 4, doc_id % 5 + 4, doc_id % 12 + 2
+
+
+def _video_frames(doc_id: int) -> list[bytes]:
+    w, h, nf = _video_dims(doc_id)
+    return [
+        bytes((doc_id + f * 7 + i) % _PIX_MOD + _PIX_OFF for i in range(w * h))
+        for f in range(nf)
+    ]
+
+
 def _encode_payload(doc_id: int, media_type: str, text: str) -> bytes:
     if media_type == "image":
         w, h = _image_dims(doc_id)
@@ -79,7 +98,8 @@ def _encode_payload(doc_id: int, media_type: str, text: str) -> bytes:
         return encode_bmp(w, h, px)
     if media_type == "audio":
         return encode_wav(_audio_samples(doc_id))
-    return text.encode("utf-8")  # video: no stdlib container; opaque bytes
+    w, h, _ = _video_dims(doc_id)
+    return encode_gif(w, h, _video_frames(doc_id))
 
 
 def as_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -153,9 +173,23 @@ def decode_audio(payload: bytes) -> dict:
 
 
 def decode_video(payload: bytes) -> dict:
-    raise NotImplementedError(
-        "video decode requires ffmpeg bindings not present in this container"
-    )
+    """REAL video-class decode for animated GIFs: container walk, LZW
+    decompression, palette lookup, one pixel buffer per frame. True
+    video codecs (H.264/VP9/AV1) need ffmpeg bindings absent from this
+    container and raise NotImplementedError -- the metadata stage
+    degrades those rather than failing the job."""
+    if sniff(payload) != "gif":
+        raise NotImplementedError(
+            "non-GIF video decode requires ffmpeg bindings not present "
+            "in this container"
+        )
+    w, h, frames = decode_gif(payload)
+    return {
+        "width": w,
+        "height": h,
+        "n_frames": len(frames),
+        "content_hash": hashlib.md5(b"".join(frames)).hexdigest(),
+    }
 
 
 _DECODERS = {"image": decode_image, "audio": decode_audio, "video": decode_video}
@@ -173,25 +207,25 @@ def sample_frames(media: DataFrame, step: int = 5) -> DataFrame:
     """Frame-sampling stage: one output row per sampled frame (1->N
     fan-out inside mapInPandas -- the UDTF-shaped decode pattern).
 
-    STUB kernel (video only -- no stdlib video codec): n_frames is the
-    deterministic payload-length-derived count and a 'frame' is
-    identified by md5 of the payload text + frame index; a real ffmpeg
-    kernel drops in without touching the Spark plumbing. Only video
-    rows are decoded -- the filter happens BEFORE the Python stage so
-    image/audio payloads never cross the Arrow boundary.
+    REAL kernel: each video payload is an animated GIF; the container
+    is walked, every ``step``-th frame's LZW stream is decompressed to
+    pixels, and the frame is identified by the md5 of its raw pixel
+    bytes -- so the oracle (which reconstructs the same pixels from
+    the generation formula) proves the frames were truly decoded. Only
+    video rows enter the Python stage: the media_type filter pushes
+    below the encode projection, so image/audio rows are never even
+    encoded.
     """
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(payload)
-                text = raw.decode("utf-8")
-                n_frames = len(raw) % 30 + 1
-                for i in range(0, n_frames, step):
+                _w, _h, frames = decode_gif(bytes(payload))
+                for i in range(0, len(frames), step):
                     ids.append(doc_id)
                     idxs.append(i)
-                    hashes.append(hashlib.md5(f"{text}#{i}".encode()).hexdigest())
+                    hashes.append(hashlib.md5(frames[i]).hexdigest())
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes})
 
     videos = media.filter(F.col("media_type") == "video").select("doc_id", "payload")

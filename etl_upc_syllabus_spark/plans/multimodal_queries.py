@@ -35,6 +35,7 @@ from .registry import query
              text
       FROM documents),
     idx AS (SELECT range AS i FROM range(300)),
+    vidx AS (SELECT range AS i FROM range(1100)),
     img AS (
       SELECT d.doc_id,
              md5(string_agg(chr(CAST((d.doc_id + r.i) % 95 + 32 AS INT)), '' ORDER BY r.i)) AS content_hash
@@ -46,36 +47,49 @@ from .registry import query
              md5(string_agg(chr(CAST((d.doc_id * 3 + r.i) % 95 + 32 AS INT)), '' ORDER BY r.i)) AS content_hash
       FROM docs d JOIN idx r ON r.i < d.doc_id % 97 + 16
       WHERE d.media_type = 'audio'
+      GROUP BY d.doc_id),
+    vid AS (
+      SELECT d.doc_id,
+             md5(string_agg(
+               chr(CAST((d.doc_id
+                         + 7 * (r.i // ((d.doc_id % 7 + 4) * (d.doc_id % 5 + 4)))
+                         + (r.i % ((d.doc_id % 7 + 4) * (d.doc_id % 5 + 4)))) % 95 + 32 AS INT)),
+               '' ORDER BY r.i)) AS content_hash
+      FROM docs d JOIN vidx r
+        ON r.i < (d.doc_id % 7 + 4) * (d.doc_id % 5 + 4) * (d.doc_id % 12 + 2)
+      WHERE d.media_type = 'video'
       GROUP BY d.doc_id)
     SELECT d.doc_id, d.media_type,
            CAST(CASE d.media_type
              WHEN 'image' THEN d.doc_id % 13 + 4
-             WHEN 'video' THEN octet_length(encode(d.text)) % 640
+             WHEN 'video' THEN d.doc_id % 7 + 4
              ELSE 0 END AS BIGINT) AS width,
            CAST(CASE d.media_type
              WHEN 'image' THEN d.doc_id % 11 + 4
-             WHEN 'video' THEN (octet_length(encode(d.text)) * 7) % 480
+             WHEN 'video' THEN d.doc_id % 5 + 4
              ELSE 0 END AS BIGINT) AS height,
            CAST(CASE d.media_type
              WHEN 'image' THEN 1
              WHEN 'audio' THEN d.doc_id % 97 + 16
-             ELSE octet_length(encode(d.text)) % 30 + 1 END AS BIGINT) AS n_frames,
+             ELSE d.doc_id % 12 + 2 END AS BIGINT) AS n_frames,
            CASE d.media_type
              WHEN 'image' THEN i.content_hash
              WHEN 'audio' THEN a.content_hash
-             ELSE md5(d.text) END AS content_hash
+             ELSE v.content_hash END AS content_hash
     FROM docs d
     LEFT JOIN img i USING (doc_id)
     LEFT JOIN aud a USING (doc_id)
+    LEFT JOIN vid v USING (doc_id)
     """,
-    doc="Binary media column -> mapInPandas decode stage -> typed metadata. "
-    "The decode is REAL for image/audio: payloads are genuine PNG/BMP/WAV "
-    "files and the kernel sniffs magic bytes, walks chunks, verifies "
-    "CRCs, inflates, reverses PNG scanline filters, and md5s the raw "
-    "pixel/PCM bytes. The oracle reconstructs width/height/pixel-md5 "
-    "from the deterministic generation formula, so only a true decode "
-    "matches. Video (no stdlib codec) degrades to length-derived "
-    "features, mirrored in the oracle.",
+    doc="Binary media column -> Arrow decode stage -> typed metadata. "
+    "The decode is REAL for all three modalities: payloads are genuine "
+    "PNG/BMP (image), WAV (audio) and animated GIF (video) files; the "
+    "kernel sniffs magic bytes, walks chunks, verifies CRCs, inflates, "
+    "reverses PNG scanline filters, LZW-decompresses GIF frames, and "
+    "md5s the raw pixel/PCM/frame bytes. The oracle reconstructs "
+    "width/height/frame-count/pixel-md5 from the deterministic "
+    "generation formula, so only a true decode matches. Non-GIF video "
+    "codecs (ffmpeg territory) degrade to length-derived features.",
     tags=("multimodal", "binary", "mapInPandas", "codec"),
 )
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,21 +101,30 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     """
     WITH vids AS (
-      SELECT doc_id, text,
-             octet_length(encode(text)) % 30 + 1 AS n_frames
-      FROM documents WHERE doc_id % 3 = 2)
-    SELECT doc_id,
-           CAST(i AS BIGINT) AS frame_idx,
-           md5(text || '#' || i::VARCHAR) AS frame_hash
-    FROM vids, UNNEST(range(0, n_frames, 5)) r(i)
+      SELECT doc_id, doc_id % 7 + 4 AS w, doc_id % 5 + 4 AS h,
+             doc_id % 12 + 2 AS nf
+      FROM documents WHERE doc_id % 3 = 2),
+    fidx AS (SELECT range AS f FROM range(15)),
+    pidx AS (SELECT range AS i FROM range(80))
+    SELECT v.doc_id,
+           CAST(f.f AS BIGINT) AS frame_idx,
+           md5(string_agg(
+             chr(CAST((v.doc_id + f.f * 7 + p.i) % 95 + 32 AS INT)),
+             '' ORDER BY p.i)) AS frame_hash
+    FROM vids v
+    JOIN fidx f ON f.f < v.nf AND f.f % 5 = 0
+    JOIN pidx p ON p.i < v.w * v.h
+    GROUP BY v.doc_id, f.f
     """,
     doc="Frame sampling: video rows fan out 1->N inside mapInPandas "
-    "(UDTF-shaped decode; operators/multimodal.py sample_frames). "
-    "Non-video payloads are filtered before the Python stage so they "
-    "never cross the Arrow boundary. Stub kernel = deterministic "
-    "payload-derived frame count + md5 frame ids; a real ffmpeg "
-    "kernel drops in without touching the plumbing.",
-    tags=("multimodal", "mapInPandas", "fanout"),
+    "(UDTF-shaped decode; operators/multimodal.py sample_frames). The "
+    "kernel REALLY decodes each animated GIF -- container walk, LZW "
+    "decompression, palette lookup -- and hashes every sampled "
+    "frame's raw pixel bytes; the oracle reconstructs those exact "
+    "pixels from the generation formula. Non-video rows are filtered "
+    "below the encode projection so they never cross the Arrow "
+    "boundary.",
+    tags=("multimodal", "mapInPandas", "fanout", "codec"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

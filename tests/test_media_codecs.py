@@ -9,10 +9,14 @@ import pytest
 
 from etl_upc_syllabus_spark.operators.media_codecs import (
     MediaFormatError,
+    _lzw_decode,
+    _lzw_encode,
     decode_bmp,
+    decode_gif,
     decode_png,
     decode_wav,
     encode_bmp,
+    encode_gif,
     encode_png,
     encode_wav,
     sniff,
@@ -21,8 +25,11 @@ from etl_upc_syllabus_spark.operators.multimodal import (
     _encode_payload,
     _image_dims,
     _image_pixels,
+    _video_dims,
+    _video_frames,
     decode_audio,
     decode_image,
+    decode_video,
 )
 
 
@@ -89,10 +96,42 @@ def test_wav_tolerates_extra_chunks():
     assert decode_wav(spliced) == (32, 8000, pcm)
 
 
+@pytest.mark.parametrize("w,h,n", [(1, 1, 2), (4, 4, 2), (10, 8, 13), (64, 64, 3)])
+def test_gif_roundtrip(w, h, n):
+    frames = [bytes((f * 7 + i) % 256 for i in range(w * h)) for f in range(n)]
+    assert decode_gif(encode_gif(w, h, frames)) == (w, h, frames)
+
+
+def test_gif_lzw_table_reset():
+    # >4096 LZW codes forces a mid-stream clear + table rebuild
+    data = bytes((i * i * 31 + i * 17 + 5) % 256 for i in range(300 * 300))
+    assert _lzw_decode(_lzw_encode(data)) == data
+
+
+def test_gif_rejects_garbage():
+    with pytest.raises(MediaFormatError):
+        decode_gif(b"GIF89a\x00")
+
+
+def test_decode_video_true_frames():
+    payload = _encode_payload(5, "video", "")  # doc_id 5 -> video row
+    meta = decode_video(payload)
+    w, h, nf = _video_dims(5)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, nf)
+    assert meta["content_hash"] == hashlib.md5(b"".join(_video_frames(5))).hexdigest()
+
+
+def test_decode_video_non_gif_raises_not_implemented():
+    # a real video codec payload (not GIF) is honest ffmpeg territory
+    with pytest.raises(NotImplementedError):
+        decode_video(b"\x00\x00\x00\x18ftypmp42 fake mp4 header")
+
+
 def test_sniff():
     assert sniff(encode_png(2, 2, bytes(4))) == "png"
     assert sniff(encode_bmp(2, 2, bytes(4))) == "bmp"
     assert sniff(encode_wav(b"ab")) == "wav"
+    assert sniff(encode_gif(2, 2, [bytes(4)])) == "gif"
     assert sniff(b"plain text") is None
 
 
