@@ -273,6 +273,45 @@ def resize_thumbnails(media: DataFrame, w: int = 16, h: int = 16) -> DataFrame:
     return images.mapInPandas(resize_batches, schema=THUMB_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sample_rate bigint, duration_us bigint, "
+    "amp_sum bigint, amp_sq_sum bigint"
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Audio feature-extraction stage: REAL WAV decode -> per-clip
+    features (duration, amplitude sum, energy) -- the audio analog of
+    frame sampling for a multimodal training pipeline (e.g. duration
+    filtering and energy-based silence gating before transcription).
+
+    Features are exact integers over the decoded PCM bytes, so the
+    oracle reconstructs them from the generation formula and a kernel
+    that skipped the RIFF parse would mismatch. Audio rows only,
+    filtered below the encode projection.
+    """
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n, rate, pcm = decode_wav(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": n,
+                        "sample_rate": rate,
+                        "duration_us": n * 1_000_000 // rate,
+                        "amp_sum": sum(pcm),
+                        "amp_sq_sum": sum(b * b for b in pcm),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    audio = media.filter(F.col("media_type") == "audio").select("doc_id", "payload")
+    return audio.mapInPandas(feature_batches, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def extract_media_metadata(media: DataFrame) -> DataFrame:
     """Decode/feature-extract stage: mapInPandas over Arrow batches.
 

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import (
     as_media_table,
+    extract_audio_features,
     extract_media_metadata,
     resize_thumbnails,
     sample_frames,
@@ -129,6 +130,36 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(as_media_table(docs, "doc_id", "text"), step=5)
+
+
+@query(
+    "multimodal_audio_features",
+    """
+    WITH aud AS (
+      SELECT doc_id, doc_id % 97 + 16 AS n
+      FROM documents WHERE doc_id % 3 = 1),
+    idx AS (SELECT range AS i FROM range(120))
+    SELECT a.doc_id,
+           CAST(a.n AS BIGINT) AS n_samples,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(a.n * 1000000 // 8000 AS BIGINT) AS duration_us,
+           CAST(sum((a.doc_id * 3 + r.i) % 95 + 32) AS BIGINT) AS amp_sum,
+           CAST(sum(((a.doc_id * 3 + r.i) % 95 + 32) * ((a.doc_id * 3 + r.i) % 95 + 32)) AS BIGINT) AS amp_sq_sum
+    FROM aud a JOIN idx r ON r.i < a.n
+    GROUP BY a.doc_id, a.n
+    """,
+    doc="Audio feature extraction: REAL RIFF/WAVE decode (chunk walk, "
+    "8-bit PCM) -> exact-integer per-clip features (sample count, "
+    "duration, amplitude sum, energy) -- the duration-filter / "
+    "silence-gate primitives of a multimodal training pipeline. The "
+    "oracle recomputes the features from the deterministic sample "
+    "formula, so only a true PCM decode matches. Audio rows only, "
+    "filter pushed below the encode projection.",
+    tags=("multimodal", "mapInPandas", "codec", "audio"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(as_media_table(docs, "doc_id", "text"))
 
 
 @query(
