@@ -1,15 +1,20 @@
 """Multimodal-column queries (binary payload plumbing + REAL decode).
 
-Image and audio payloads are genuine PNG/BMP/WAV files encoded
-executor-side from deterministic doc_id-derived dimensions and ASCII-
-range pixel bytes (operators/media_codecs.py). The Spark query DECODES
-those containers (zlib inflate, PNG filter reversal, CRC verify, RIFF
-chunk walk); the DuckDB oracle reconstructs the expected width/height
-and the md5 of the raw pixel bytes directly from the generation
-formula with chr()/string_agg() -- so a kernel that faked the decode
-(e.g. derived dimensions from payload length) would hash-mismatch.
-Video remains the one honest stub (no stdlib video codec in the
-container): length-derived degraded features, mirrored in the oracle.
+Payloads are genuine PNG/BMP (image), WAV (audio) and animated GIF
+(video) files encoded executor-side from deterministic doc_id-derived
+dimensions and ASCII-range pixel bytes (operators/media_codecs.py).
+The Spark queries DECODE those containers (zlib inflate, PNG filter
+reversal, CRC verify, RIFF chunk walk, GIF LZW decompression); the
+DuckDB oracle reconstructs the expected width/height/frame-count and
+the md5 of the raw pixel bytes directly from the generation formula
+with chr()/string_agg() -- so a kernel that faked the decode (e.g.
+derived dimensions from payload length) would hash-mismatch. The one
+honest limit: true video CODECS (H.264/VP9) are ffmpeg territory and
+raise NotImplementedError in the kernel.
+
+The document scans are fan_out() so the CPU-bound encode/decode Python
+stages parallelize across all cores even on single-row-group fixture
+files.
 """
 
 from __future__ import annotations
@@ -23,7 +28,7 @@ from ..operators.multimodal import (
     resize_thumbnails,
     sample_frames,
 )
-from ..sources.tables import load_table
+from ..sources.tables import fan_out, load_table
 from .registry import query
 
 
@@ -94,7 +99,7 @@ from .registry import query
     tags=("multimodal", "binary", "mapInPandas", "codec"),
 )
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return extract_media_metadata(as_media_table(docs, "doc_id", "text"))
 
 
@@ -128,7 +133,7 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "fanout", "codec"),
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return sample_frames(as_media_table(docs, "doc_id", "text"), step=5)
 
 
@@ -158,7 +163,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "codec", "audio"),
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return extract_audio_features(as_media_table(docs, "doc_id", "text"))
 
 
@@ -191,5 +196,5 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "mapInPandas", "codec"),
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return resize_thumbnails(as_media_table(docs, "doc_id", "text"), w=16, h=16)
