@@ -315,8 +315,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 def extract_media_metadata(media: DataFrame) -> DataFrame:
     """Decode/feature-extract stage: mapInPandas over Arrow batches.
 
-    Image and audio rows go through the REAL decoders above; video rows
-    (decoder raises NotImplementedError) degrade to length-derived fake
+    All three modalities go through the REAL decoders above (PNG/BMP,
+    WAV, animated GIF). A payload in a codec we cannot parse (e.g. a
+    true H.264 video -- NotImplementedError) degrades to length-derived
     features rather than failing the job (quarantine philosophy of
     reference etl_pipeline.py:17-30).
     """
