@@ -530,6 +530,77 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_dynamic_partition_pruning",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE date_part('year', l_shipdate) = 1996
+      AND date_part('quarter', l_shipdate) = 1
+    GROUP BY l_returnflag
+    """,
+    doc="Dynamic partition pruning, the star-schema scale feature: the "
+    "fact table is written once PARTITIONED BY ship month (84 "
+    "partitions), and a join against a date dimension filtered on "
+    "year+quarter prunes the fact scan AT RUNTIME to the 3 matching "
+    "partitions -- the executed plan's PartitionFilters carries a "
+    "dynamicpruningexpression fed by the broadcast dim (asserted in "
+    "tests/test_scale_plans.py). At 100 TB this is the difference "
+    "between scanning 7 years and scanning one quarter when the "
+    "filter lives on dimension attributes the fact doesn't carry. "
+    "Same write-once/query-many economics as join_bucketed_colocated: "
+    "tables are content-keyed by fixture mtime, stale keys GC'd.",
+    tags=("join", "partitioning", "dpp", "scale"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+
+    stamp = os.stat(os.path.join(sf_dir, "lineitem.parquet")).st_mtime_ns
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{stamp}".encode()).hexdigest()[:10]
+    name = f"dpp_lineitem_{key}"
+    for tbl_meta in spark.catalog.listTables():
+        if tbl_meta.name.startswith("dpp_lineitem_") and tbl_meta.name != name:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl_meta.name}")
+    if not spark.catalog.tableExists(name):
+        import shutil
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        (
+            _t(spark, sf_dir, "lineitem")
+            .withColumn("ship_ym", F.date_format("l_shipdate", "yyyy-MM"))
+            .write.partitionBy("ship_ym")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    fact = spark.table(name)
+    # date dimension derived from the raw fixture (separate source, so
+    # the dim subtree is not the partitioned table itself)
+    dates = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").alias("d"))
+        .union(_t(spark, sf_dir, "lineitem").select(F.col("l_shipdate").alias("d")))
+        .select(
+            F.date_format("d", "yyyy-MM").alias("ym"),
+            F.year("d").alias("y"),
+            F.quarter("d").alias("q"),
+        )
+        .distinct()
+    )
+    dim = dates.filter((F.col("y") == 1996) & (F.col("q") == 1))
+    return (
+        fact.join(F.broadcast(dim), fact.ship_ym == dim.ym)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(_dec("l_quantity")).alias("total_qty"),
+        )
+    )
+
+
+@query(
     "join_left_groupby",
     """
     SELECT c_custkey,

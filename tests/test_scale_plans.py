@@ -74,6 +74,20 @@ def test_registered_bucketed_join_single_exchange(spark, sf_dir):
     assert "Exchange" not in join_section
 
 
+def test_dynamic_partition_pruning_engages(spark, sf_dir):
+    """join_dynamic_partition_pruning: the partitioned fact scan's
+    PartitionFilters must carry a dynamicpruningexpression fed by the
+    filtered broadcast dim -- i.e. the runtime prunes fact partitions
+    by dim attributes the fact does not carry. The EXECUTED plan is
+    inspected (DPP subqueries resolve at runtime)."""
+    df = all_specs()["join_dynamic_partition_pruning"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:1500]
+    # and the pruned scan is the managed partitioned table
+    assert "dpp_lineitem_" in plan
+
+
 @pytest.mark.slow
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
     """bucketBy co-location: joining two tables bucketed on the same key
