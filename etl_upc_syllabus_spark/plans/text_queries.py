@@ -325,3 +325,94 @@ def udtf_word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, h.term, h.n "
         "FROM _docs_udtf d, LATERAL word_histogram(d.text, 5) h"
     )
+
+
+#: Fixed retrieval query terms for text_tfidf_topk -- all present in the
+#: fixture vocabulary at every SF.
+_QUERY_TERMS = ("spark", "join", "fast")
+
+
+@query(
+    "text_tfidf_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({fr.TOKENS}) AS term FROM documents),
+    q AS (SELECT doc_id, term, count(*) AS tf
+          FROM tok WHERE term IN ('spark', 'join', 'fast')
+          GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM q GROUP BY term)
+    SELECT q.doc_id,
+           CAST(sum(q.tf * 1000000 // d.df) AS BIGINT) AS score_scaled
+    FROM q JOIN dfreq d USING (term)
+    GROUP BY q.doc_id
+    ORDER BY score_scaled DESC, q.doc_id
+    LIMIT 20
+    """,
+    doc="Sparse retrieval scoring (TF-IDF shape) for query-driven corpus "
+    "curation: per-document term frequencies for a fixed query, inverse "
+    "document frequency as EXACT integer arithmetic (tf * 1e6 div df -- "
+    "no floating-point log, so the oracle hash-matches bit-for-bit), "
+    "top-k by (score, doc_id). Scale shape: the term filter prunes the "
+    "exploded tokens before any shuffle, df is a tiny broadcast, and "
+    "top-k is TakeOrderedAndProject -- never a global sort.",
+    tags=("text", "retrieval", "tfidf"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(ta.tokens("text")).alias("term")
+    ).filter(F.col("term").isin(*_QUERY_TERMS))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("tf * 1000000 div df")).alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "text_inverted_index",
+    f"""
+    WITH tok AS (SELECT DISTINCT doc_id, term
+                 FROM (SELECT doc_id, unnest({fr.TOKENS}) AS term FROM documents)),
+    agg AS (SELECT term, count(*) AS df FROM tok GROUP BY term),
+    ranked AS (SELECT term, doc_id,
+                      row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+               FROM tok)
+    SELECT a.term, CAST(a.df AS BIGINT) AS df,
+           string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id) AS postings
+    FROM agg a JOIN ranked r ON r.term = a.term AND r.rn <= 10
+    WHERE a.df >= 50
+    GROUP BY a.term, a.df
+    """,
+    doc="Inverted-index build (posting lists), the foundation of sparse "
+    "retrieval over a training corpus: distinct (term, doc) pairs -> "
+    "per-term document frequency + the first 10 postings (sorted, "
+    "comma-joined so the oracle compares exact strings). Posting lists "
+    "are CAPPED in the demo to bound row width; at 100 TB the full "
+    "lists shard by (term, bucket(doc_id)) instead -- the groupBy "
+    "shape is identical.",
+    tags=("text", "retrieval", "index"),
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.select("doc_id", F.explode(ta.tokens("text")).alias("term"))
+        .distinct()
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(F.collect_set("doc_id")), 1, 10),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 50)
+    )
