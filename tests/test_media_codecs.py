@@ -156,3 +156,47 @@ def test_decode_audio_true_sample_count():
 def test_decode_image_rejects_non_image():
     with pytest.raises(MediaFormatError):
         decode_image(b"not an image at all")
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+    @settings(max_examples=40, deadline=None)
+    @given(dims=_dims, seed=st.integers(0, 2**31), ch=st.sampled_from([1, 3]))
+    def test_png_roundtrip_property(dims, seed, ch):
+        w, h = dims
+        px = bytes((seed + i * 2654435761) % 256 for i in range(w * h * ch))
+        assert decode_png(encode_png(w, h, px, ch)) == (w, h, ch, px)
+
+    @settings(max_examples=40, deadline=None)
+    @given(dims=_dims, seed=st.integers(0, 2**31), ch=st.sampled_from([1, 3]))
+    def test_bmp_roundtrip_property(dims, seed, ch):
+        w, h = dims
+        px = bytes((seed + i * 40503) % 256 for i in range(w * h * ch))
+        assert decode_bmp(encode_bmp(w, h, px, ch)) == (w, h, ch, px)
+
+    @settings(max_examples=40, deadline=None)
+    @given(pcm=st.binary(min_size=1, max_size=4096))
+    def test_wav_roundtrip_property(pcm):
+        assert decode_wav(encode_wav(pcm)) == (len(pcm), 8000, pcm)
+
+    @settings(max_examples=25, deadline=None)
+    @given(dims=_dims, seed=st.integers(0, 2**31), n=st.integers(1, 8))
+    def test_gif_roundtrip_property(dims, seed, n):
+        w, h = dims
+        frames = [
+            bytes((seed + f * 131 + i * 31) % 256 for i in range(w * h))
+            for f in range(n)
+        ]
+        assert decode_gif(encode_gif(w, h, frames)) == (w, h, frames)
+
+    @settings(max_examples=30, deadline=None)
+    @given(data=st.binary(min_size=0, max_size=8192))
+    def test_lzw_roundtrip_property(data):
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
