@@ -458,6 +458,25 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gc_managed(spark: SparkSession, prefixes: tuple[str, ...], keep: tuple[str, ...]) -> None:
+    """Drop stale content-keyed managed tables AND their orphaned
+    warehouse directories (ADVICE r4): a regenerated fixture changes
+    the key, and a fresh derby metastore cannot DROP tables an earlier
+    session created -- their directories would otherwise accumulate in
+    spark-warehouse forever."""
+    import os
+    import shutil
+
+    for tbl_meta in spark.catalog.listTables():
+        if tbl_meta.name.startswith(prefixes) and tbl_meta.name not in keep:
+            spark.sql(f"DROP TABLE IF EXISTS {tbl_meta.name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    if os.path.isdir(warehouse):
+        for entry in os.listdir(warehouse):
+            if entry.startswith(prefixes) and entry not in keep:
+                shutil.rmtree(os.path.join(warehouse, entry), ignore_errors=True)
+
+
 @query(
     "join_bucketed_colocated",
     """
@@ -495,13 +514,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r4): a regenerated fixture changes `key`, and without this every
     # regeneration leaks a full bucketed copy of both fact tables into
     # the warehouse + metastore.
-    for tbl_meta in spark.catalog.listTables():
-        name = tbl_meta.name
-        if (
-            name.startswith(("bkt_lineitem_", "bkt_orders_"))
-            and name not in (lt, ot)
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
+    _gc_managed(spark, ("bkt_lineitem_", "bkt_orders_"), keep=(lt, ot))
     for name, tbl, col in ((lt, "lineitem", "l_orderkey"), (ot, "orders", "o_orderkey")):
         if not spark.catalog.tableExists(name):
             # a fresh derby metastore can coexist with a surviving
@@ -560,9 +573,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     stamp = os.stat(os.path.join(sf_dir, "lineitem.parquet")).st_mtime_ns
     key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{stamp}".encode()).hexdigest()[:10]
     name = f"dpp_lineitem_{key}"
-    for tbl_meta in spark.catalog.listTables():
-        if tbl_meta.name.startswith("dpp_lineitem_") and tbl_meta.name != name:
-            spark.sql(f"DROP TABLE IF EXISTS {tbl_meta.name}")
+    _gc_managed(spark, ("dpp_lineitem_",), keep=(name,))
     if not spark.catalog.tableExists(name):
         import shutil
 
