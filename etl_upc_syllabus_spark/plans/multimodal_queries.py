@@ -32,9 +32,9 @@ from ..sources.tables import fan_out, load_table
 from .registry import query
 
 
-@query(
-    "multimodal_media_meta",
-    """
+#: Shared with stream_media_decode (plans/streaming_queries.py): the
+#: streaming decode must produce the exact batch result.
+MEDIA_META_ORACLE = """
     WITH docs AS (
       SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
@@ -86,7 +86,12 @@ from .registry import query
     LEFT JOIN img i USING (doc_id)
     LEFT JOIN aud a USING (doc_id)
     LEFT JOIN vid v USING (doc_id)
-    """,
+    """
+
+
+@query(
+    "multimodal_media_meta",
+    MEDIA_META_ORACLE,
     doc="Binary media column -> Arrow decode stage -> typed metadata. "
     "The decode is REAL for all three modalities: payloads are genuine "
     "PNG/BMP (image), WAV (audio) and animated GIF (video) files; the "

@@ -16,6 +16,7 @@ from ..sources.tables import load_table
 from ..streaming import events as ev
 from ..streaming.incremental import incremental_run
 from ..streaming.stateful import stream_user_totals
+from .multimodal_queries import MEDIA_META_ORACLE
 from .registry import query
 
 
@@ -250,3 +251,31 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
         )
     )
+
+
+@query(
+    "stream_media_decode",
+    MEDIA_META_ORACLE,
+    doc="Streaming multimodal ingest: a file-source STREAM over the "
+    "documents fixture runs the same encode-projection + Arrow decode "
+    "stage as the batch multimodal_media_meta (real PNG/BMP/WAV/GIF "
+    "codecs) inside Structured Streaming micro-batches, append mode, "
+    "stateless -- and must produce the EXACT batch result (same "
+    "oracle). This is the continuous-ingest shape of a multimodal "
+    "training-data pipeline: media files land, decode/feature-extract "
+    "runs incrementally, downstream tables stay append-only.",
+    tags=("streaming", "multimodal", "codec"),
+)
+def stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import as_media_table, extract_media_metadata
+
+    schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    meta = extract_media_metadata(as_media_table(docs, "doc_id", "text"))
+    return ev.run_stream_to_table(meta, "append")
