@@ -34,8 +34,6 @@ from pyspark.sql.window import Window as W
 
 from .textanalysis import norm_text, tokens
 
-HEX = "0123456789abcdef"
-
 # MinHash permutation family: h_j(x) = (a_j * x + b_j) mod p over a
 # 31-bit Mersenne prime. One md5 per shingle gives x; the K permutations
 # are then integer-only, so the per-shingle cost is 1 hash + K mul-adds
@@ -274,28 +272,29 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
 
     bit_j(token) = bit j of the 32-bit value of md5(token)[:8];
     signature bit j = majority vote over tokens.
+
+    Plan shape: entirely NARROW (zero shuffles), same rework as
+    minhash_signatures -- the per-token hash values are materialized as
+    an array column once (one md5 per token; no CSE across lambda
+    boundaries, so the inner per-bit transform must see the bound
+    lambda VARIABLE, not the md5 expression), and the bit-majority
+    accumulator is a higher-order aggregate with zip_with. The old
+    explode -> groupBy(id, j) -> groupBy(id) formulation shuffled the
+    corpus twice for the same answer.
     """
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("t")
+    xs = F.transform(
+        F.array_distinct(tokens(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
-    hv = F.expr(
-        "aggregate(sequence(1, 8), CAST(0 AS BIGINT), "
-        f"(acc, i) -> acc * 16 + CAST(locate(substr(md5(t), i, 1), '{HEX}') AS BIGINT) - 1)"
+    withx = df.select(F.col(id_col).alias("id"), xs.alias("xs"))
+    contribs = F.expr(
+        f"aggregate(xs, CAST(array_repeat(0, {bits}) AS ARRAY<BIGINT>), "
+        f"(acc, x) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+        "j -> CAST(2 * pmod(shiftright(x, j), 2) - 1 AS BIGINT)), (a, b) -> a + b))"
     )
-    tok = tok.select("id", hv.alias("hv"))
-    j = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
-    bitv = tok.select("id", "hv", j).select(
+    return withx.select(
         "id",
-        "j",
-        (2 * F.expr("(hv div CAST(pow(2, j) AS BIGINT)) % 2") - 1).alias("contrib"),
-    )
-    per_bit = bitv.groupBy("id", "j").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy("id").agg(
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "s"))),
-                lambda x: F.when(x["s"] > 0, "1").otherwise("0"),
-            ),
-            "",
-        ).alias("simhash")
+            F.transform(contribs, lambda s: F.when(s > 0, "1").otherwise("0")), ""
+        ).alias("simhash"),
     )
