@@ -74,6 +74,17 @@ def test_registered_bucketed_join_single_exchange(spark, sf_dir):
     assert "Exchange" not in join_section
 
 
+def test_managed_table_gc_sweeps_orphans(spark, sf_dir):
+    """ADVICE r4: stale content-keyed managed tables from earlier
+    sessions (whose metastore entries are gone, so DROP TABLE cannot
+    see them) must be swept from the warehouse directory."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(warehouse, "bkt_lineitem_deadbeef00")
+    os.makedirs(orphan, exist_ok=True)
+    all_specs()["join_bucketed_colocated"].fn(spark, sf_dir).count()
+    assert not os.path.exists(orphan)
+
+
 def test_dynamic_partition_pruning_engages(spark, sf_dir):
     """join_dynamic_partition_pruning: the partitioned fact scan's
     PartitionFilters must carry a dynamicpruningexpression fed by the
