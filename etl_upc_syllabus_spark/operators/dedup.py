@@ -286,7 +286,12 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
         F.array_distinct(tokens(text_col)),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
-    withx = df.select(F.col(id_col).alias("id"), xs.alias("xs"))
+    # NULL-text / zero-token docs have no signature: the explode-based
+    # formulation (and the oracle's unnest) dropped them implicitly, so
+    # the narrow rework must filter them explicitly to agree.
+    withx = df.select(F.col(id_col).alias("id"), xs.alias("xs")).filter(
+        F.col("xs").isNotNull() & (F.size("xs") > 0)
+    )
     contribs = F.expr(
         f"aggregate(xs, CAST(array_repeat(0, {bits}) AS ARRAY<BIGINT>), "
         f"(acc, x) -> zip_with(acc, transform(sequence(0, {bits - 1}), "

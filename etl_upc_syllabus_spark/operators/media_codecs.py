@@ -13,9 +13,14 @@ parsing -- rather than a length-derived fake:
   24-bit BGR, with 4-byte row padding.
 - **WAV**: RIFF/WAVE with proper chunk walking (fmt + data, tolerating
   extra chunks), 8-bit unsigned PCM mono.
+- **GIF**: animated GIF89a, 256-gray global palette, real LZW with
+  variable-width codes and table resets.
+- **AVI**: uncompressed RIFF 'AVI ' (hdrl/strl headers, movi LIST of
+  8-bit palettized DIB frames, idx1 index) -- the second video-class
+  container, so video rows exercise two genuinely different walks.
 
-Video has no stdlib container format; it remains the one honest stub in
-``multimodal.py``.
+Compressed video codecs (H.264/VP9/AV1) need ffmpeg and remain the one
+honest ``NotImplementedError`` in ``multimodal.py``.
 
 No analog in the reference (it processes PDFs only); this implements the
 multimodal north star of SURVEY.md with zero new dependencies.
@@ -457,6 +462,144 @@ def decode_gif(data: bytes) -> tuple[int, int, list[bytes]]:
 
 
 # ---------------------------------------------------------------------------
+# AVI (uncompressed 8-bit palettized DIB frames) -- the RIFF video container
+# ---------------------------------------------------------------------------
+
+
+def _riff_list(tag: bytes, body: bytes) -> bytes:
+    return b"LIST" + struct.pack("<I", 4 + len(body)) + tag + body
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+
+def encode_avi(width: int, height: int, frames: list[bytes], fps: int = 10) -> bytes:
+    """Encode grayscale frames as an uncompressed AVI (RIFF 'AVI ').
+
+    Real AVI 1.0 structure: hdrl LIST (avih main header + strl LIST
+    with a 'vids'/'DIB ' stream header and a BITMAPINFOHEADER + 256-
+    entry gray palette), movi LIST with one '00db' DIB chunk per frame
+    (bottom-up rows, 4-byte aligned -- the same pixel swizzle as BMP),
+    and a standard idx1 index. Pure stdlib; BI_RGB, no compression.
+    """
+    for fr in frames:
+        if len(fr) != width * height:
+            raise MediaFormatError("frame buffer does not match dimensions")
+    row_out = (width + 3) & ~3
+    frame_bytes = row_out * height
+
+    def dib(fr: bytes) -> bytes:
+        body = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up
+            body += fr[y * width : (y + 1) * width]
+            body += b"\x00" * (row_out - width)
+        return bytes(body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        len(frames),
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"DIB ",
+        0, 0, 0, 0,  # flags, priority, language, initial frames
+        1, fps,  # dwScale / dwRate -> frame rate
+        0, len(frames), frame_bytes, 0, 0,  # start, length, bufsize, quality, sample size
+        0, 0, width, height,  # rcFrame
+    )
+    palette = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    strf = (
+        struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0, frame_bytes, 0, 0, 256, 0)
+        + palette
+    )
+    strl = _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf))
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl)
+    movi_body = b"".join(_riff_chunk(b"00db", dib(fr)) for fr in frames)
+    movi = _riff_list(b"movi", movi_body)
+    idx, off = bytearray(), 4  # offsets relative to 'movi' fourcc
+    for fr in frames:
+        idx += struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes)  # AVIIF_KEYFRAME
+        off += 8 + frame_bytes + (frame_bytes % 2)
+    body = hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def decode_avi(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Decode an uncompressed AVI -> (width, height, [frame pixels]).
+
+    Real container walk: recursive RIFF LIST traversal, avih/strf
+    header parse, per-'00db' DIB unswizzle (bottom-up + row padding
+    reversal), palette lookup (gray = red channel). Compressed streams
+    (biCompression != 0 or non-'db' chunks) raise MediaFormatError.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise MediaFormatError("not a RIFF/AVI file")
+    width = height = None
+    bits = 8
+    palette = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, bits, palette
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            if tag == b"LIST":
+                walk(body_start + 4, body_start + length)
+            elif tag == b"avih":
+                w, h = struct.unpack_from("<II", data, body_start + 32)
+                width, height = w, h
+            elif tag == b"strf":
+                hdr_size, w, h, _planes, bits_ = struct.unpack_from(
+                    "<IiiHH", data, body_start
+                )
+                (compression,) = struct.unpack_from("<I", data, body_start + 16)
+                if compression != 0 or bits_ != 8:
+                    raise MediaFormatError(
+                        f"unsupported AVI stream: bits={bits_} compression={compression}"
+                    )
+                bits = bits_
+                (n_colors,) = struct.unpack_from("<I", data, body_start + 32)
+                n_colors = n_colors or 256
+                palette = data[body_start + hdr_size : body_start + hdr_size + 4 * n_colors]
+            elif tag[2:4] == b"db":
+                if width is None or palette is None:
+                    raise MediaFormatError("AVI frame chunk before headers")
+                row_in = (width + 3) & ~3
+                if length < row_in * height:
+                    raise MediaFormatError("AVI frame truncated")
+                fr = bytearray(width * height)
+                for i in range(height):
+                    src = body_start + i * row_in
+                    y = height - 1 - i  # bottom-up
+                    fr[y * width : (y + 1) * width] = bytes(
+                        palette[4 * idx + 2]  # red channel of RGBQUAD (b,g,r,0)
+                        for idx in data[src : src + width]
+                    )
+                frames.append(bytes(fr))
+            elif tag[2:4] == b"dc":
+                raise MediaFormatError("compressed AVI frames not supported")
+            pos = body_start + length + (length % 2)  # chunks are word-aligned
+
+    walk(12, len(data))
+    if width is None or not frames:
+        raise MediaFormatError("AVI missing headers or frames")
+    return width, height, frames
+
+
+# ---------------------------------------------------------------------------
 # Sniffing
 # ---------------------------------------------------------------------------
 
@@ -469,6 +612,8 @@ def sniff(data: bytes) -> str | None:
         return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
     if data[:6] in (b"GIF89a", b"GIF87a"):
         return "gif"
     return None

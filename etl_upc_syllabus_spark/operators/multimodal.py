@@ -2,19 +2,19 @@
 columns with typed metadata (SURVEY.md north star).
 
 The decode kernels are REAL for all three modalities: payloads are
-genuine PNG / BMP (image), WAV (audio) and animated GIF (video) files
-(stdlib codecs in :mod:`.media_codecs` -- zlib inflate, PNG filter
-reversal, CRC verification, RIFF chunk walking, GIF LZW decompression)
-and the decode stages sniff the container by magic bytes and parse it.
-The fixtures carry no media, so :func:`as_media_table` *encodes* real
-files with deterministic dimensions and pixel bytes -- which means the
-oracle can reconstruct the expected width/height/frame-count/pixel-md5
-from doc_id alone, and a decoder that faked the decode would
-hash-mismatch.
+genuine PNG / BMP (image), WAV (audio) and animated GIF / uncompressed
+AVI (video) files (stdlib codecs in :mod:`.media_codecs` -- zlib
+inflate, PNG filter reversal, CRC verification, RIFF chunk walking,
+GIF LZW decompression, AVI DIB frame unswizzling) and the decode
+stages sniff the container by magic bytes and parse it. The fixtures
+carry no media, so :func:`as_media_table` *encodes* real files with
+deterministic dimensions and pixel bytes -- which means the oracle can
+reconstruct the expected width/height/frame-count/pixel-md5 from
+doc_id alone, and a decoder that faked the decode would hash-mismatch.
 
-The honest limit that remains: true video CODECS (H.264/VP9/AV1) need
-ffmpeg bindings absent from this container; a video payload that is
-not a GIF raises ``NotImplementedError`` and the metadata stage
+The honest limit that remains: true COMPRESSED video codecs
+(H.264/VP9/AV1) need ffmpeg bindings absent from this container; such
+a payload raises ``NotImplementedError`` and the metadata stage
 degrades to length-derived features, mirroring the reference's
 quarantine-not-crash philosophy (reference etl_pipeline.py:17-30).
 
@@ -28,6 +28,8 @@ frames-only consumer never decodes image/audio rows.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -36,10 +38,12 @@ from pyspark.sql import functions as F
 
 from .media_codecs import (
     MediaFormatError,
+    decode_avi,
     decode_bmp,
     decode_gif,
     decode_png,
     decode_wav,
+    encode_avi,
     encode_bmp,
     encode_gif,
     encode_png,
@@ -88,7 +92,7 @@ def _video_frames(doc_id: int) -> list[bytes]:
     ]
 
 
-def _encode_payload(doc_id: int, media_type: str, text: str) -> bytes:
+def _encode_payload(doc_id: int, media_type: str) -> bytes:
     if media_type == "image":
         w, h = _image_dims(doc_id)
         px = _image_pixels(doc_id)
@@ -99,6 +103,11 @@ def _encode_payload(doc_id: int, media_type: str, text: str) -> bytes:
     if media_type == "audio":
         return encode_wav(_audio_samples(doc_id))
     w, h, _ = _video_dims(doc_id)
+    # Alternate container so BOTH video decoders are exercised; frame
+    # pixels are identical either way, so the metadata oracle is
+    # container-agnostic (video doc_ids are 2 or 5 mod 6).
+    if doc_id % 6 == 2:
+        return encode_avi(w, h, _video_frames(doc_id))
     return encode_gif(w, h, _video_frames(doc_id))
 
 
@@ -106,9 +115,8 @@ def as_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Model a corpus as a multimodal table: (doc_id, media_type, payload).
 
     Payloads are REAL encoded files (PNG/BMP for image rows, WAV for
-    audio rows) built from deterministic doc_id-derived dimensions and
-    pixel bytes; video rows carry opaque utf-8 bytes (no stdlib video
-    codec exists).
+    audio rows, animated GIF or uncompressed AVI for video rows) built
+    from deterministic doc_id-derived dimensions and pixel bytes.
 
     media_type is a RELATIONAL column and the payload a scalar
     pandas_udf PROJECTION (not an opaque mapInPandas): Catalyst pushes
@@ -124,20 +132,19 @@ def as_media_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
     @F.pandas_udf("binary")
-    def encode_payload(
-        doc_id: pd.Series, media_type: pd.Series, text: pd.Series
-    ) -> pd.Series:
+    def encode_payload(doc_id: pd.Series, media_type: pd.Series) -> pd.Series:
         return pd.Series(
-            [
-                _encode_payload(int(i), m, t)
-                for i, m, t in zip(doc_id, media_type, text)
-            ]
+            [_encode_payload(int(i), m) for i, m in zip(doc_id, media_type)]
         )
 
+    # text_col is part of the corpus-table API but the deterministic
+    # encoder derives everything from doc_id -- not feeding it through
+    # the UDF keeps the text column out of the Arrow transfer entirely.
+    del text_col
     return df.select(
         F.col(id_col).alias("doc_id"),
         mt.alias("media_type"),
-        encode_payload(F.col(id_col), mt, F.col(text_col)).alias("payload"),
+        encode_payload(F.col(id_col), mt).alias("payload"),
     )
 
 
@@ -173,17 +180,22 @@ def decode_audio(payload: bytes) -> dict:
 
 
 def decode_video(payload: bytes) -> dict:
-    """REAL video-class decode for animated GIFs: container walk, LZW
-    decompression, palette lookup, one pixel buffer per frame. True
-    video codecs (H.264/VP9/AV1) need ffmpeg bindings absent from this
-    container and raise NotImplementedError -- the metadata stage
-    degrades those rather than failing the job."""
-    if sniff(payload) != "gif":
+    """REAL video decode for animated GIFs (container walk, LZW
+    decompression, palette lookup) and uncompressed AVIs (RIFF LIST
+    traversal, DIB unswizzle) -- one pixel buffer per frame either
+    way. True compressed codecs (H.264/VP9/AV1) need ffmpeg bindings
+    absent from this container and raise NotImplementedError -- the
+    metadata stage degrades those rather than failing the job."""
+    kind = sniff(payload)
+    if kind == "gif":
+        w, h, frames = decode_gif(payload)
+    elif kind == "avi":
+        w, h, frames = decode_avi(payload)
+    else:
         raise NotImplementedError(
-            "non-GIF video decode requires ffmpeg bindings not present "
-            "in this container"
+            "compressed video decode requires ffmpeg bindings not "
+            "present in this container"
         )
-    w, h, frames = decode_gif(payload)
     return {
         "width": w,
         "height": h,
@@ -207,11 +219,13 @@ def sample_frames(media: DataFrame, step: int = 5) -> DataFrame:
     """Frame-sampling stage: one output row per sampled frame (1->N
     fan-out inside mapInPandas -- the UDTF-shaped decode pattern).
 
-    REAL kernel: each video payload is an animated GIF; the container
-    is walked, every ``step``-th frame's LZW stream is decompressed to
-    pixels, and the frame is identified by the md5 of its raw pixel
-    bytes -- so the oracle (which reconstructs the same pixels from
-    the generation formula) proves the frames were truly decoded. Only
+    REAL kernel: each video payload is an animated GIF or an
+    uncompressed AVI; the container is walked (sniffed by magic
+    bytes), every ``step``-th frame is decoded to pixels (LZW
+    decompression for GIF, DIB unswizzle for AVI), and the frame is
+    identified by the md5 of its raw pixel bytes -- so the oracle
+    (which reconstructs the same pixels from the generation formula)
+    proves the frames were truly decoded in BOTH containers. Only
     video rows enter the Python stage: the media_type filter pushes
     below the encode projection, so image/audio rows are never even
     encoded.
@@ -221,7 +235,9 @@ def sample_frames(media: DataFrame, step: int = 5) -> DataFrame:
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                _w, _h, frames = decode_gif(bytes(payload))
+                raw = bytes(payload)
+                dec = decode_avi if sniff(raw) == "avi" else decode_gif
+                _w, _h, frames = dec(raw)
                 for i in range(0, len(frames), step):
                     ids.append(doc_id)
                     idxs.append(i)
@@ -316,10 +332,12 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     """Decode/feature-extract stage: mapInPandas over Arrow batches.
 
     All three modalities go through the REAL decoders above (PNG/BMP,
-    WAV, animated GIF). A payload in a codec we cannot parse (e.g. a
-    true H.264 video -- NotImplementedError) degrades to length-derived
-    features rather than failing the job (quarantine philosophy of
-    reference etl_pipeline.py:17-30).
+    WAV, animated GIF, AVI). A payload in a codec we cannot parse (a
+    true H.264 video -- NotImplementedError) OR a corrupt/truncated
+    container (MediaFormatError, and the struct/zlib errors a malformed
+    header can surface before our own validation does) degrades to
+    length-derived features rather than failing the stage (quarantine
+    philosophy of reference etl_pipeline.py:17-30).
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -329,7 +347,7 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                 raw = bytes(payload)
                 try:
                     feats.append(_DECODERS[mt](raw))
-                except NotImplementedError:
+                except (NotImplementedError, MediaFormatError, struct.error, zlib.error):
                     n = len(raw)
                     feats.append(
                         {

@@ -4,11 +4,12 @@ The scale-correct persistent form is Parquet partitioned by period
 (predicate pushdown + partition pruning for the period/point reads);
 the JSON writers exist for reference-contract parity:
 
-- S4 per-record JSON files named '{name}-{nrc}.json' -- an anti-pattern
-  at scale (millions of tiny driver-written files), kept as a compat
-  writer;
+- S4 per-record JSON files named '{name}-{nrc}.json' -- still a
+  many-tiny-files anti-pattern at scale, but written partition-locally
+  on the executors (only the path manifest reaches the driver);
 - S5 one consolidated JSON array ('all_courses.json', the downstream
-  contract of reference prompt_format.txt:9).
+  contract of reference prompt_format.txt:9) -- rendered executor-side
+  as per-partition fragments, stream-merged by the driver.
 
 Reference bugs fixed rather than reproduced (SURVEY 7 'faithful-vs-
 fixed'): find_by_id globbed '{id}_*.json' which can never match S4's
@@ -21,11 +22,13 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 COURSES_DIRNAME = "courses_parquet"
+_FRAGMENTS_DIRNAME = "_all_courses_fragments"
 
 
 def write_courses_parquet(courses: DataFrame, base_path: str) -> str:
@@ -37,28 +40,72 @@ def write_courses_parquet(courses: DataFrame, base_path: str) -> str:
 
 def write_per_record_json(courses: DataFrame, base_path: str) -> list[str]:
     """S4 compat: one pretty-printed JSON file per course, named
-    '{name}-{nrc}.json' (etl_infrastructure.py:153-158). Collects to the
-    driver by design -- only valid for reference-sized corpora."""
+    '{name}-{nrc}.json' (etl_infrastructure.py:153-158).
+
+    Files are written *executor-side* (partition-local loop over the
+    serialized rows); only the manifest of written paths travels to the
+    driver. On a multi-executor cluster this requires ``base_path`` to
+    be a shared filesystem mount -- the scale-correct persistent form
+    remains :func:`write_courses_parquet`.
+    """
     os.makedirs(base_path, exist_ok=True)
-    written = []
-    for row in courses.toJSON().collect():
-        rec = json.loads(row)
-        fname = f"{rec.get('name') or 'unknown'}-{rec.get('nrc') or 'no-nrc'}.json"
-        path = os.path.join(base_path, fname)
-        with open(path, "w", encoding="utf-8") as fh:
-            json.dump(rec, fh, ensure_ascii=False, indent=2)
-        written.append(path)
-    return written
+
+    def _write_partition(rows):
+        for row in rows:
+            rec = json.loads(row)
+            fname = f"{rec.get('name') or 'unknown'}-{rec.get('nrc') or 'no-nrc'}.json"
+            path = os.path.join(base_path, fname)
+            with open(path, "w", encoding="utf-8") as fh:
+                json.dump(rec, fh, ensure_ascii=False, indent=2)
+            yield path
+
+    return courses.toJSON().mapPartitions(_write_partition).collect()
 
 
 def write_all_courses_json(courses: DataFrame, base_path: str) -> str:
     """S5 compat: single consolidated JSON array (the reference's
-    all_courses.json contract, etl_pipeline.py:52-61)."""
+    all_courses.json contract, etl_pipeline.py:52-61).
+
+    Each partition renders its records as an indented JSON fragment
+    file executor-side; the driver then streams the fragments together
+    in partition order, so the full corpus is never materialized as
+    driver-side Python objects. Output bytes are identical to
+    ``json.dump(records, fh, ensure_ascii=False, indent=4)``.
+    """
     os.makedirs(base_path, exist_ok=True)
     path = os.path.join(base_path, "all_courses.json")
-    records = [json.loads(r) for r in courses.toJSON().collect()]
+    frag_dir = os.path.join(base_path, _FRAGMENTS_DIRNAME)
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    os.makedirs(frag_dir)
+
+    def _write_fragment(idx, rows):
+        # One level of json.dump(list, indent=4) indentation = 4 spaces
+        # before every line of each element; elements joined by ",\n".
+        chunks = [
+            "\n".join("    " + line for line in
+                      json.dumps(json.loads(r), ensure_ascii=False, indent=4).splitlines())
+            for r in rows
+        ]
+        if not chunks:
+            return iter(())
+        frag = os.path.join(frag_dir, f"part-{idx:05d}.jsonfrag")
+        with open(frag, "w", encoding="utf-8") as fh:
+            fh.write(",\n".join(chunks))
+        yield idx, frag
+
+    fragments = sorted(courses.toJSON().mapPartitionsWithIndex(_write_fragment).collect())
     with open(path, "w", encoding="utf-8") as fh:
-        json.dump(records, fh, ensure_ascii=False, indent=4)
+        if not fragments:
+            fh.write("[]")
+        else:
+            fh.write("[\n")
+            for i, (_, frag) in enumerate(fragments):
+                if i:
+                    fh.write(",\n")
+                with open(frag, encoding="utf-8") as src:
+                    shutil.copyfileobj(src, fh)
+            fh.write("\n]")
+    shutil.rmtree(frag_dir, ignore_errors=True)
     return path
 
 

@@ -1,15 +1,17 @@
 """Multimodal-column queries (binary payload plumbing + REAL decode).
 
-Payloads are genuine PNG/BMP (image), WAV (audio) and animated GIF
-(video) files encoded executor-side from deterministic doc_id-derived
-dimensions and ASCII-range pixel bytes (operators/media_codecs.py).
-The Spark queries DECODE those containers (zlib inflate, PNG filter
-reversal, CRC verify, RIFF chunk walk, GIF LZW decompression); the
-DuckDB oracle reconstructs the expected width/height/frame-count and
-the md5 of the raw pixel bytes directly from the generation formula
-with chr()/string_agg() -- so a kernel that faked the decode (e.g.
-derived dimensions from payload length) would hash-mismatch. The one
-honest limit: true video CODECS (H.264/VP9) are ffmpeg territory and
+Payloads are genuine PNG/BMP (image), WAV (audio) and animated GIF /
+uncompressed AVI (video) files encoded executor-side from
+deterministic doc_id-derived dimensions and ASCII-range pixel bytes
+(operators/media_codecs.py). The Spark queries DECODE those containers
+(zlib inflate, PNG filter reversal, CRC verify, RIFF chunk walk, GIF
+LZW decompression, AVI DIB unswizzle); the DuckDB oracle reconstructs
+the expected width/height/frame-count and the md5 of the raw pixel
+bytes directly from the generation formula with chr()/string_agg() --
+container-agnostic, since the AVI and GIF twins of a doc_id carry the
+same frame pixels -- so a kernel that faked the decode (e.g. derived
+dimensions from payload length) would hash-mismatch. The one honest
+limit: compressed video CODECS (H.264/VP9) are ffmpeg territory and
 raise NotImplementedError in the kernel.
 
 The document scans are fan_out() so the CPU-bound encode/decode Python
@@ -94,13 +96,15 @@ MEDIA_META_ORACLE = """
     MEDIA_META_ORACLE,
     doc="Binary media column -> Arrow decode stage -> typed metadata. "
     "The decode is REAL for all three modalities: payloads are genuine "
-    "PNG/BMP (image), WAV (audio) and animated GIF (video) files; the "
-    "kernel sniffs magic bytes, walks chunks, verifies CRCs, inflates, "
-    "reverses PNG scanline filters, LZW-decompresses GIF frames, and "
-    "md5s the raw pixel/PCM/frame bytes. The oracle reconstructs "
+    "PNG/BMP (image), WAV (audio) and animated GIF / uncompressed AVI "
+    "(video) files; the kernel sniffs magic bytes, walks chunks, "
+    "verifies CRCs, inflates, reverses PNG scanline filters, "
+    "LZW-decompresses GIF frames, unswizzles AVI DIB frames, and md5s "
+    "the raw pixel/PCM/frame bytes. The oracle reconstructs "
     "width/height/frame-count/pixel-md5 from the deterministic "
-    "generation formula, so only a true decode matches. Non-GIF video "
-    "codecs (ffmpeg territory) degrade to length-derived features.",
+    "generation formula, so only a true decode matches. Compressed "
+    "video codecs (ffmpeg territory) and corrupt payloads degrade to "
+    "length-derived features (quarantine, not crash).",
     tags=("multimodal", "binary", "mapInPandas", "codec"),
 )
 def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,10 +133,11 @@ def multimodal_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Frame sampling: video rows fan out 1->N inside mapInPandas "
     "(UDTF-shaped decode; operators/multimodal.py sample_frames). The "
-    "kernel REALLY decodes each animated GIF -- container walk, LZW "
-    "decompression, palette lookup -- and hashes every sampled "
-    "frame's raw pixel bytes; the oracle reconstructs those exact "
-    "pixels from the generation formula. Non-video rows are filtered "
+    "kernel REALLY decodes each video -- GIF container walk + LZW "
+    "decompression, or AVI RIFF traversal + DIB unswizzle, sniffed by "
+    "magic bytes -- and hashes every sampled frame's raw pixel bytes; "
+    "the oracle reconstructs those exact pixels from the generation "
+    "formula, container-agnostic. Non-video rows are filtered "
     "below the encode projection so they never cross the Arrow "
     "boundary.",
     tags=("multimodal", "mapInPandas", "fanout", "codec"),

@@ -458,12 +458,33 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixture_key(sf_dir: str, tables: tuple[str, ...]) -> tuple[str, str]:
+    """(dirkey, stampkey) for content-keyed managed-table names.
+
+    dirkey is stable per fixture directory; stampkey changes when the
+    fixture is regenerated. Table names embed both as
+    '{prefix}{dirkey}_{stampkey}' and GC sweeps only within one dirkey
+    (ADVICE r5): alternating runs over two sf_dirs in one warehouse no
+    longer drop and rebuild each other's copies, and a concurrent
+    session on a different fixture dir is never touched.
+    """
+    import hashlib
+    import os
+
+    stamp = "|".join(
+        f"{t}:{os.stat(os.path.join(sf_dir, t + '.parquet')).st_mtime_ns}" for t in tables
+    )
+    dirkey = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:6]
+    return dirkey, hashlib.md5(stamp.encode()).hexdigest()[:10]
+
+
 def _gc_managed(spark: SparkSession, prefixes: tuple[str, ...], keep: tuple[str, ...]) -> None:
     """Drop stale content-keyed managed tables AND their orphaned
     warehouse directories (ADVICE r4): a regenerated fixture changes
     the key, and a fresh derby metastore cannot DROP tables an earlier
     session created -- their directories would otherwise accumulate in
-    spark-warehouse forever."""
+    spark-warehouse forever. Callers pass dirkey-scoped prefixes (see
+    :func:`_fixture_key`), so the sweep stays within one fixture dir."""
     import os
     import shutil
 
@@ -500,21 +521,16 @@ def _gc_managed(spark: SparkSession, prefixes: tuple[str, ...], keep: tuple[str,
     tags=("join", "bucketing", "layout"),
 )
 def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
 
     n_buckets = 8
-    stamp = "|".join(
-        f"{t}:{os.stat(os.path.join(sf_dir, t + '.parquet')).st_mtime_ns}"
-        for t in ("lineitem", "orders")
-    )
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{stamp}".encode()).hexdigest()[:10]
-    lt, ot = f"bkt_lineitem_{key}", f"bkt_orders_{key}"
-    # GC stale bucketed copies from earlier fixture generations (ADVICE
-    # r4): a regenerated fixture changes `key`, and without this every
-    # regeneration leaks a full bucketed copy of both fact tables into
-    # the warehouse + metastore.
-    _gc_managed(spark, ("bkt_lineitem_", "bkt_orders_"), keep=(lt, ot))
+    dirkey, stampkey = _fixture_key(sf_dir, ("lineitem", "orders"))
+    lt, ot = f"bkt_lineitem_{dirkey}_{stampkey}", f"bkt_orders_{dirkey}_{stampkey}"
+    # GC stale bucketed copies from earlier generations of THIS fixture
+    # dir (ADVICE r4/r5): a regenerated fixture changes stampkey, and
+    # without this every regeneration leaks a full bucketed copy of
+    # both fact tables into the warehouse + metastore.
+    _gc_managed(spark, (f"bkt_lineitem_{dirkey}_", f"bkt_orders_{dirkey}_"), keep=(lt, ot))
     for name, tbl, col in ((lt, "lineitem", "l_orderkey"), (ot, "orders", "o_orderkey")):
         if not spark.catalog.tableExists(name):
             # a fresh derby metastore can coexist with a surviving
@@ -567,13 +583,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "partitioning", "dpp", "scale"),
 )
 def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
     import os
 
-    stamp = os.stat(os.path.join(sf_dir, "lineitem.parquet")).st_mtime_ns
-    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|{stamp}".encode()).hexdigest()[:10]
-    name = f"dpp_lineitem_{key}"
-    _gc_managed(spark, ("dpp_lineitem_",), keep=(name,))
+    dirkey, stampkey = _fixture_key(sf_dir, ("lineitem",))
+    name = f"dpp_lineitem_{dirkey}_{stampkey}"
+    _gc_managed(spark, (f"dpp_lineitem_{dirkey}_",), keep=(name,))
     if not spark.catalog.tableExists(name):
         import shutil
 

@@ -258,7 +258,7 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     MEDIA_META_ORACLE,
     doc="Streaming multimodal ingest: a file-source STREAM over the "
     "documents fixture runs the same encode-projection + Arrow decode "
-    "stage as the batch multimodal_media_meta (real PNG/BMP/WAV/GIF "
+    "stage as the batch multimodal_media_meta (real PNG/BMP/WAV/GIF/AVI "
     "codecs) inside Structured Streaming micro-batches, append mode, "
     "stateless -- and must produce the EXACT batch result (same "
     "oracle). This is the continuous-ingest shape of a multimodal "

@@ -52,16 +52,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if ts_type == "bigint":
             # bigint here is EITHER TIMESTAMP(NANOS) under the legacy
             # conf OR a genuinely bare int64 ts; only the former may be
-            # divided by 1000. Probe the footer's logical type and
-            # refuse the ambiguous bare case (ADVICE r4) -- the same
-            # guard events_ts_kind applies on the streaming path.
+            # divided by 1000. events_ts_kind probes the footer's
+            # logical type and raises on the ambiguous bare-int64 case
+            # itself (ADVICE r4/r5), so a plain call + assert suffices.
             from ..streaming.events import events_ts_kind
 
-            if events_ts_kind(path) != "nanos":  # pragma: no cover
-                raise ValueError(
-                    f"events ts at {path} is int64 without a timestamp(ns) "
-                    "logical type; unit unknowable, refusing to guess"
-                )
+            assert events_ts_kind(path) == "nanos"
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             # session tz is UTC (session.py), so the cast is value-preserving;

@@ -80,6 +80,21 @@ def test_simhash_near_dups_close_in_hamming(corpus):
     assert ham(1, 5) > ham(1, 4)  # unrelated doc is farther
 
 
+def test_simhash_drops_null_text(spark):
+    """NULL-text docs emit NO signature row -- matching the oracle's
+    unnest-of-NULL semantics (the narrow HOF rework must not resurrect
+    them as NULL-simhash rows). Empty/whitespace text tokenizes to ['']
+    in BOTH engines (split semantics), so those keep a signature."""
+    df = spark.createDataFrame(
+        [(1, "real tokens here"), (2, None), (3, ""), (4, "   ")],
+        "doc_id bigint, text string",
+    )
+    got = {r["id"]: r["simhash"] for r in dd.simhash_signatures(df, "doc_id", "text").collect()}
+    assert sorted(got) == [1, 3, 4]
+    assert got[3] == got[4]  # both are the signature of the '' token
+    assert all(s is not None for s in got.values())
+
+
 def test_fingerprint_identical_for_dups(spark, corpus):
     from etl_upc_syllabus_spark.operators.textanalysis import fingerprint
 

@@ -11,10 +11,12 @@ from etl_upc_syllabus_spark.operators.media_codecs import (
     MediaFormatError,
     _lzw_decode,
     _lzw_encode,
+    decode_avi,
     decode_bmp,
     decode_gif,
     decode_png,
     decode_wav,
+    encode_avi,
     encode_bmp,
     encode_gif,
     encode_png,
@@ -114,17 +116,72 @@ def test_gif_rejects_garbage():
 
 
 def test_decode_video_true_frames():
-    payload = _encode_payload(5, "video", "")  # doc_id 5 -> video row
+    payload = _encode_payload(5, "video")  # doc_id 5 -> video row
     meta = decode_video(payload)
     w, h, nf = _video_dims(5)
     assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, nf)
     assert meta["content_hash"] == hashlib.md5(b"".join(_video_frames(5))).hexdigest()
 
 
-def test_decode_video_non_gif_raises_not_implemented():
-    # a real video codec payload (not GIF) is honest ffmpeg territory
+def test_decode_video_compressed_raises_not_implemented():
+    # a real compressed codec payload is honest ffmpeg territory
     with pytest.raises(NotImplementedError):
         decode_video(b"\x00\x00\x00\x18ftypmp42 fake mp4 header")
+
+
+@pytest.mark.parametrize("w,h,n", [(4, 4, 1), (6, 5, 4), (7, 3, 2), (13, 2, 3)])
+def test_avi_roundtrip(w, h, n):
+    # widths 6/7/13 exercise the 4-byte DIB row padding reversal
+    frames = [bytes((f * 7 + i) % 256 for i in range(w * h)) for f in range(n)]
+    assert decode_avi(encode_avi(w, h, frames)) == (w, h, frames)
+
+
+def test_avi_rejects_garbage_and_compressed():
+    with pytest.raises(MediaFormatError):
+        decode_avi(b"RIFF\x00\x00\x00\x00AVI ")  # no headers/frames
+    with pytest.raises(MediaFormatError):
+        decode_avi(b"not even riff")
+    # a '00dc' (compressed) frame chunk is refused, not misread
+    good = encode_avi(4, 2, [bytes(8)])
+    with pytest.raises(MediaFormatError):
+        decode_avi(good.replace(b"00db", b"00dc"))
+
+
+def test_decode_video_avi_true_frames():
+    payload = _encode_payload(2, "video")  # doc_id 2 % 6 == 2 -> AVI row
+    assert sniff(payload) == "avi"
+    meta = decode_video(payload)
+    w, h, nf = _video_dims(2)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (w, h, nf)
+    assert meta["content_hash"] == hashlib.md5(b"".join(_video_frames(2))).hexdigest()
+    # the GIF twin of the same dims/frames hashes identically (container-
+    # agnostic oracle contract)
+    assert sniff(_encode_payload(5, "video")) == "gif"
+
+
+def test_metadata_stage_quarantines_corrupt_media(spark):
+    """ADVICE r5: corrupt/truncated payloads (MediaFormatError or the
+    struct/zlib errors a malformed header surfaces) must DEGRADE to
+    length-derived features like unknown codecs do -- never fail the
+    stage."""
+    from etl_upc_syllabus_spark.operators.multimodal import extract_media_metadata
+
+    good_png = _encode_payload(6, "image")
+    rows = [
+        (1, "image", good_png[:20]),              # truncated PNG -> struct/format error
+        (2, "image", good_png[:-4] + b"\x00\x00\x00\x00"),  # bad CRC -> MediaFormatError
+        (3, "audio", b"RIFF\x08\x00\x00\x00WAVEjunk"),      # missing fmt/data
+        (4, "video", b"\x00\x00\x00\x18ftypmp42 compressed"),  # NotImplementedError
+        (5, "image", good_png),                   # control: still really decodes
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, media_type string, payload binary")
+    got = {r["doc_id"]: r for r in extract_media_metadata(df).collect()}
+    assert len(got) == 5
+    w, h = _image_dims(6)
+    assert (got[5]["width"], got[5]["height"]) == (w, h)
+    assert got[5]["content_hash"] == hashlib.md5(_image_pixels(6)).hexdigest()
+    for i in (1, 2, 3, 4):  # degraded rows: md5 of the raw payload bytes
+        assert got[i]["content_hash"] == hashlib.md5(bytes(rows[i - 1][2])).hexdigest()
 
 
 def test_sniff():
@@ -137,7 +194,7 @@ def test_sniff():
 
 @pytest.mark.parametrize("doc_id", [0, 3, 6, 9, 12, 78])  # alternating PNG/BMP
 def test_decode_image_true_dimensions_and_pixels(doc_id):
-    payload = _encode_payload(doc_id, "image", "")
+    payload = _encode_payload(doc_id, "image")
     meta = decode_image(payload)
     w, h = _image_dims(doc_id)
     assert (meta["width"], meta["height"]) == (w, h)
@@ -147,7 +204,7 @@ def test_decode_image_true_dimensions_and_pixels(doc_id):
 
 
 def test_decode_audio_true_sample_count():
-    payload = _encode_payload(7, "audio", "")
+    payload = _encode_payload(7, "audio")
     meta = decode_audio(payload)
     assert meta["n_frames"] == 7 % 97 + 16
     assert meta["width"] == 0 and meta["height"] == 0

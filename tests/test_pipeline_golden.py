@@ -186,6 +186,35 @@ def test_sinks_roundtrip(spark, parsed, tmp_path):
         assert len(json.load(fh)) == 3
 
 
+def test_sinks_executor_side_byte_identity(parsed, tmp_path):
+    """The executor-side fragment merge must reproduce exactly the bytes
+    the old driver-side json.dump produced (S4 indent=2, S5 indent=4),
+    including across an empty DataFrame (S5 -> '[]')."""
+    good, _ = assemble.split_quarantine(parsed)
+    base = str(tmp_path)
+    files = sinks.write_per_record_json(good, base)
+    recs = [json.loads(r) for r in good.toJSON().collect()]
+    for rec in recs:
+        fname = f"{rec['name']}-{rec['nrc']}.json"
+        with open(f"{base}/{fname}", encoding="utf-8") as fh:
+            assert fh.read() == json.dumps(rec, ensure_ascii=False, indent=2)
+    assert len(files) == len(recs)
+
+    all_path = sinks.write_all_courses_json(good.repartition(7), base)
+    with open(all_path, encoding="utf-8") as fh:
+        got = fh.read()
+    assert sorted(json.loads(got), key=lambda r: r["nrc"]) == sorted(recs, key=lambda r: r["nrc"])
+    # formatting is byte-for-byte json.dump(indent=4) of the same order
+    assert got == json.dumps(json.loads(got), ensure_ascii=False, indent=4)
+    # no fragment litter left behind
+    import os
+    assert sinks._FRAGMENTS_DIRNAME not in os.listdir(base)
+
+    empty_path = sinks.write_all_courses_json(good.limit(0), str(tmp_path / "empty"))
+    with open(empty_path, encoding="utf-8") as fh:
+        assert fh.read() == "[]"
+
+
 def test_section_routing_state_machine():
     """S3: tables route by current section; section persists across pages."""
     pages_text = [

@@ -77,12 +77,23 @@ def test_registered_bucketed_join_single_exchange(spark, sf_dir):
 def test_managed_table_gc_sweeps_orphans(spark, sf_dir):
     """ADVICE r4: stale content-keyed managed tables from earlier
     sessions (whose metastore entries are gone, so DROP TABLE cannot
-    see them) must be swept from the warehouse directory."""
+    see them) must be swept from the warehouse directory. ADVICE r5:
+    the sweep is dirkey-scoped -- a copy keyed to a DIFFERENT fixture
+    dir must survive, so alternating sf_dirs stop thrashing."""
+    from etl_upc_syllabus_spark.plans.relational import _fixture_key
+
+    dirkey, _ = _fixture_key(sf_dir, ("lineitem", "orders"))
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    orphan = os.path.join(warehouse, "bkt_lineitem_deadbeef00")
+    orphan = os.path.join(warehouse, f"bkt_lineitem_{dirkey}_deadbeef00")
+    foreign = os.path.join(warehouse, "bkt_lineitem_ffffff_deadbeef00")
     os.makedirs(orphan, exist_ok=True)
-    all_specs()["join_bucketed_colocated"].fn(spark, sf_dir).count()
-    assert not os.path.exists(orphan)
+    os.makedirs(foreign, exist_ok=True)
+    try:
+        all_specs()["join_bucketed_colocated"].fn(spark, sf_dir).count()
+        assert not os.path.exists(orphan)
+        assert os.path.exists(foreign)
+    finally:
+        shutil.rmtree(foreign, ignore_errors=True)
 
 
 def test_dynamic_partition_pruning_engages(spark, sf_dir):
