@@ -214,3 +214,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_signatures(_docs(spark, sf_dir), "doc_id", "text").select(
         F.col("id").alias("doc_id"), "simhash"
     )
+
+
+@query(
+    "dedup_pipeline_e2e",
+    f"""
+    WITH RECURSIVE {fr.shingle_cte(3)},
+    {fr.minhash_ctes(16, 4)},
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM sig l JOIN sig r ON l.band = r.band AND l.bh = r.bh
+                                   AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS n_inter
+              FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b),
+    verified AS (
+        SELECT i.a, i.b FROM inter i
+        JOIN sizes na ON na.doc_id = i.a
+        JOIN sizes nb ON nb.doc_id = i.b
+        WHERE CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter) >= 0.6),
+    edges AS (SELECT a AS u, b AS v FROM verified
+              UNION SELECT b, a FROM verified),
+    walk(u, label) AS (
+        SELECT DISTINCT u, u FROM edges
+      UNION
+        SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.u),
+    comp AS (SELECT u, min(label) AS component FROM walk GROUP BY u)
+    SELECT u AS doc_id, component AS keeper_id
+    FROM comp WHERE component < u
+    """,
+    doc="The PRODUCTION near-dedup flow as one query: shingle -> banded "
+    "MinHash signatures -> LSH bucket-join candidates -> exact-Jaccard "
+    "verification (>= 0.6) -> connected components over the VERIFIED "
+    "pair graph -> survivor selection (drop list: every doc whose "
+    "component keeper is a different, smaller doc_id). Composes "
+    "operators/dedup.py with operators/components.py exactly as a "
+    "100 TB curation pipeline would chain them; the corpus text never "
+    "shuffles (narrow shingle arrays, candidate-restricted verify, "
+    "components iterate over pairs only). Semantic catch-the-dup "
+    "behavior proven on a planted corpus in tests/test_dedup.py.",
+    tags=("dedup", "minhash", "lsh", "components", "pipeline"),
+)
+def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = dd.shingle_sets(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sets)).persist()
+    verified = dd.jaccard_verify(pairs, sets).filter(F.col("jaccard") >= 0.6)
+    comp = connected_components(verified)
+    return comp.filter(F.col("component") < F.col("id")).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("keeper_id")
+    )

@@ -80,6 +80,28 @@ def test_simhash_near_dups_close_in_hamming(corpus):
     assert ham(1, 5) > ham(1, 4)  # unrelated doc is farther
 
 
+def test_dedup_pipeline_e2e_drops_planted_dups(spark, corpus):
+    """The composed production flow (LSH candidates -> jaccard verify ->
+    connected components -> survivor selection) must drop exactly the
+    planted duplicates of doc 1 and keep the unrelated doc."""
+    from etl_upc_syllabus_spark.operators.components import connected_components
+    from pyspark.sql import functions as F
+
+    sets = dd.shingle_sets(corpus, "doc_id", "text", k=3)
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sets))
+    verified = dd.jaccard_verify(pairs, sets).filter(F.col("jaccard") >= 0.6)
+    comp = connected_components(verified)
+    drops = {
+        r["doc_id"]: r["keeper_id"]
+        for r in comp.filter(F.col("component") < F.col("id"))
+        .select(F.col("id").alias("doc_id"), F.col("component").alias("keeper_id"))
+        .collect()
+    }
+    # docs 2 (exact), 3 (normalized) and 4 (near) all fold into keeper 1;
+    # unrelated doc 5 survives untouched
+    assert drops == {2: 1, 3: 1, 4: 1}
+
+
 def test_simhash_drops_null_text(spark):
     """NULL-text docs emit NO signature row -- matching the oracle's
     unnest-of-NULL semantics (the narrow HOF rework must not resurrect
