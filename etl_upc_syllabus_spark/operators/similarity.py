@@ -169,6 +169,57 @@ def kmeans_centroids(
     return emb.sparkSession.createDataFrame(rows, "cid int, c_emb array<double>")
 
 
+def kmeans_lloyd(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means -> final assignment
+    ``(id, cluster)`` after exactly ``n_iter`` assignment rounds.
+
+    The iterative-algorithm shape done Spark-first: each round is one
+    broadcast join against the (tiny) centroid table for the argmin
+    assignment plus one narrow-row shuffle of (cluster, dim_index,
+    value) triples for the element-wise mean -- the corpus vectors
+    themselves never shuffle. Rounds are FIXED (no convergence test)
+    and every engine-unstable boundary is rounded (squared distances
+    and centroid means to 6 decimals), with centroid-id tiebreaks on
+    equal distance -- so the DuckDB oracle replays the exact same
+    trajectory by unrolling the iterations as CTEs. Production tuning
+    (kmeans|| init, convergence deltas) lives in spark.ml KMeans
+    (:func:`kmeans_centroids`); THIS path is the oracle-checkable one,
+    and at 100 TB its per-round cost is a broadcast join + a k*dim
+    aggregate, both linear.
+
+    A cluster that loses all members simply drops out of the centroid
+    table (same semantics in the SQL replay).
+    """
+    e = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = e.filter(F.col("id") < k).select(
+        F.col("id").cast("int").alias("cid"), F.col("v").alias("c_emb")
+    )
+    assigned = assign_ivf_clusters(e, cent, "id", "v")
+    for _ in range(n_iter - 1):
+        cent = (
+            assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"]
+                ).alias("c_emb")
+            )
+            .select(F.col("cluster").cast("int").alias("cid"), "c_emb")
+        )
+        assigned = assign_ivf_clusters(e, cent, "id", "v")
+    return assigned.select("id", F.col("cluster").cast("long").alias("cluster"))
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     id_col: str = "vec_id",

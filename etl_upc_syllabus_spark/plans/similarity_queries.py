@@ -8,6 +8,7 @@ though double summation order differs across engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import similarity as sim
 from ..sources.tables import fan_out, load_table
@@ -131,3 +132,58 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return sim.cosine_topk_lsh(emb, dim=64, k=3)
+
+
+def _lloyd_ctes(k: int, n_iter: int) -> str:
+    """Unrolled Lloyd iterations as CTE text: c0 -> (d1,a1,c1) -> ...
+
+    Mirrors operators.similarity.kmeans_lloyd step for step: rounded
+    squared distances, cid tiebreak, rounded element-wise means. The
+    final assignment CTE is a{n_iter}.
+    """
+    parts = [
+        f"c0 AS (SELECT vec_id::INT AS cid, i, x AS cx FROM dims WHERE vec_id < {k})"
+    ]
+    for t in range(1, n_iter + 1):
+        prev = f"c{t - 1}"
+        parts.append(
+            f"d{t} AS (SELECT d.vec_id, c.cid, "
+            f"round(sum((d.x - c.cx) * (d.x - c.cx)), 6) AS dist "
+            f"FROM dims d JOIN {prev} c ON c.i = d.i GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"a{t} AS (SELECT vec_id, cid AS cluster FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY dist, cid) AS rn FROM d{t}) WHERE rn = 1)"
+        )
+        if t < n_iter:
+            parts.append(
+                f"c{t} AS (SELECT a.cluster AS cid, d.i, round(avg(d.x), 6) AS cx "
+                f"FROM a{t} a JOIN dims d ON d.vec_id = a.vec_id GROUP BY 1, 2)"
+            )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "similarity_kmeans_lloyd",
+    f"""
+    WITH {fr.dims_cte()},
+    {_lloyd_ctes(4, 3)}
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a3
+    """,
+    doc="Deterministic distributed Lloyd's k-means (k=4, 3 fixed "
+    "assignment rounds, prefix-seed init): the iterative-algorithm "
+    "shape as pure DataFrame ops. Per round: broadcast-join argmin "
+    "assignment + a narrow (cluster, dim, value) shuffle for the "
+    "element-wise mean -- corpus vectors never shuffle. Distances and "
+    "means are rounded at every engine boundary so the DuckDB oracle "
+    "replays the identical trajectory with unrolled CTEs. Production "
+    "init/convergence belongs to spark.ml KMeans (recall-checked in "
+    "tests); THIS is the oracle-checkable path.",
+    tags=("similarity", "kmeans", "iterative"),
+)
+def similarity_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim.kmeans_lloyd(emb, k=4, n_iter=3).select(
+        F.col("id").alias("vec_id"), "cluster"
+    )

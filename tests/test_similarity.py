@@ -69,3 +69,39 @@ def test_ivf_kmeans_recall_against_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF-KMeans recall@{k} = {recall:.3f} < 0.8"
+
+
+def test_kmeans_lloyd_recovers_planted_blobs(spark):
+    """3 well-separated blobs; seeds 0/1/2 land one per blob. Lloyd must
+    assign every member to its blob's cluster within the fixed rounds."""
+    import random
+
+    rng = random.Random(11)
+    centers = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for i in range(60):
+        blob = i % 3  # ids 0,1,2 are the seeds and sit in distinct blobs
+        rows.append(
+            (i, [c + rng.uniform(-0.5, 0.5) for c in centers[blob]])
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: r["cluster"] for r in sim.kmeans_lloyd(df, k=3, n_iter=3).collect()}
+    assert len(got) == 60
+    for i, cluster in got.items():
+        assert cluster == i % 3, f"vec {i} landed in {cluster}"
+
+
+def test_kmeans_lloyd_deterministic(spark):
+    """Two runs over a shuffled copy of the same data produce the
+    identical assignment (rounded boundaries + cid tiebreaks)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = {r["id"]: r["cluster"] for r in sim.kmeans_lloyd(df, k=4, n_iter=3).collect()}
+    b = {
+        r["id"]: r["cluster"]
+        for r in sim.kmeans_lloyd(df.repartition(7), k=4, n_iter=3).collect()
+    }
+    assert a == b
