@@ -1,0 +1,129 @@
+"""Gap-based sessionization and funnel analysis over event streams.
+
+Batch counterparts of the streaming session windows in
+``streaming/events.py`` (reference scope: the syllabus reference has no
+event analytics at all; this is part of the large-scale-pipeline
+surface the brief adds). Both operators are pure DataFrame ops:
+
+- :func:`sessionize` is the classic gap rule -- a new session starts
+  when the gap to the user's previous event exceeds ``gap_us``. One
+  hash shuffle on the user key for the window; the running-sum session
+  counter and the boundary flag are computed inside that single sorted
+  partition pass, so at 100 TB the cost is exactly one exchange of the
+  events table keyed by user (the same exchange ANY per-user analysis
+  pays), never a global sort.
+- :func:`session_stats` aggregates per (user, session). The groupBy
+  keys extend the window's partition key, so the rows are already
+  co-located; Spark still plans a second hash exchange on the composite
+  key, but it moves one row per event within already-user-local data.
+  (A mapPartitions re-use of the sort order could elide it; kept
+  declarative deliberately -- AQE coalesces the tiny post-window
+  partitions.)
+- :func:`funnel_reached` computes ordered-stage funnel attainment
+  (stage N counts only events strictly after the user's stage-N-1
+  attainment time). Per stage: one conditional min aggregation plus an
+  equi-join on user -- no window, no self-cross-join, all
+  broadcast-able when the funnel user set is small relative to events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_us: int = 4 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Assign 1-based per-user session ids by the inactivity-gap rule.
+
+    Adds ``session_id`` (bigint) and ``ts_us`` (bigint event time).
+    ``order_col`` breaks ties between equal timestamps so the boundary
+    flag -- and therefore every downstream aggregate -- is
+    deterministic in both engines.
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col, order_col)
+    ts_us = F.unix_micros(F.col(ts_col))
+    new_session = (
+        F.when(ts_us - F.lag(ts_us).over(w) > F.lit(gap_us), 1)
+        .when(F.lag(ts_us).over(w).isNull(), 1)
+        .otherwise(0)
+    )
+    counter = W.partitionBy(user_col).orderBy(ts_col, order_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return events.withColumn("ts_us", ts_us).withColumn(
+        "session_id", F.sum(new_session).over(counter).cast("long")
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session rollup: event count, duration, value total.
+
+    The value total sums as DECIMAL(12,2) and casts back to double --
+    the registry convention for cross-engine-stable float aggregates
+    (double summation order differs between engines).
+    """
+    return sessions.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.sum(F.col(value_col).cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+
+
+def funnel_reached(
+    events: DataFrame,
+    stages: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel: per user, the attainment time of each stage.
+
+    Stage k's attainment is the user's earliest ``stages[k]`` event
+    STRICTLY after their stage k-1 attainment (classic ordered-funnel
+    semantics -- a purchase before the first view does not count).
+    Returns one row per user who completed stage 0, with one
+    ``{stage}_us`` bigint column per stage (-1 = stage not reached).
+
+    Plan: len(stages) conditional-min aggregations chained by equi-joins
+    on the user key -- each join's right side is the (shrinking) set of
+    users who reached the previous stage. No self-cross-join, no window
+    over the full event stream.
+    """
+    ts_us = F.unix_micros(F.col(ts_col))
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("etype"),
+        ts_us.alias("t_us"),
+    )
+    first = stages[0]
+    reached = (
+        ev.filter(F.col("etype") == first)
+        .groupBy("user_id")
+        .agg(F.min("t_us").alias(f"{first}_us"))
+    )
+    prev_col = f"{first}_us"
+    for stage in stages[1:]:
+        nxt = (
+            ev.filter(F.col("etype") == stage)
+            .join(reached.select("user_id", prev_col), "user_id")
+            .filter(F.col("t_us") > F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("t_us").alias(f"{stage}_us"))
+        )
+        reached = reached.join(nxt, "user_id", "left")
+        prev_col = f"{stage}_us"
+    out_cols = [F.col("user_id")] + [
+        F.coalesce(F.col(f"{s}_us"), F.lit(-1)).alias(f"{s}_us") for s in stages
+    ]
+    return reached.select(*out_cols)

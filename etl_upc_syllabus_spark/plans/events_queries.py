@@ -1,0 +1,107 @@
+"""Event-analytics queries: sessionization, funnels, cohort retention.
+
+Batch product-analytics surface over the events table (the streaming
+forms live in streaming_queries; reference scope: none -- this is the
+large-scale-pipeline extension). All three are pure JVM-side
+DataFrame ops; timestamps cross the engine boundary as exact
+``unix_micros`` / ``epoch_us`` bigints (the registry ground rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sessions import funnel_reached, session_stats, sessionize
+from ..sources.tables import load_table
+from .registry import query
+
+_GAP_US = 4 * 3600 * 1_000_000  # 4h inactivity ends a session
+
+
+@query(
+    "events_sessionize",
+    f"""
+    WITH b AS (SELECT user_id, event_id, value, ts, epoch_us(ts) AS ts_us,
+                      CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+                             OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS newb
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    t AS (SELECT *, sum(newb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM b)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           max(ts_us) - min(ts_us) AS duration_us,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM t GROUP BY 1, 2
+    """,
+    doc="Gap-rule sessionization (operators/sessions.py): a 4h inactivity "
+    "gap starts a new per-user session; lag-flag + running-sum counter "
+    "inside ONE user-keyed window pass, then a per-session rollup. At "
+    "100 TB the cost is the single user-key exchange every per-user "
+    "analysis pays -- no global sort, no self-join. The streaming twin "
+    "(session_window watermark state) is stream_sessionization.",
+    tags=("events", "window", "sessionize"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(sessionize(ev, gap_us=_GAP_US))
+
+
+@query(
+    "events_funnel_conversion",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t_us FROM events),
+    v AS (SELECT user_id, min(t_us) AS view_us FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, min(t_us) AS click_us FROM e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND t_us > view_us GROUP BY 1),
+    p AS (SELECT e.user_id, min(t_us) AS purchase_us FROM e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND t_us > click_us GROUP BY 1)
+    SELECT v.user_id, view_us,
+           coalesce(click_us, -1)    AS click_us,
+           coalesce(purchase_us, -1) AS purchase_us
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    doc="Ordered funnel (view -> click -> purchase): stage k counts only "
+    "events strictly after the user's stage k-1 attainment. One "
+    "conditional-min agg + user-key equi-join per stage over a "
+    "shrinking user set (operators/sessions.py funnel_reached) -- no "
+    "window over the raw stream, no self-cross-join.",
+    tags=("events", "funnel"),
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_reached(ev, stages=("view", "click", "purchase"))
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+               FROM events GROUP BY 1),
+    a AS (SELECT e.user_id, f.cw, date_trunc('week', e.ts) AS wk
+          FROM events e JOIN f USING (user_id))
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, wk) / 7 AS BIGINT) AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen ISO week, "
+    "counted distinct in each subsequent active week. Two aggregations "
+    "joined on the user key; the first-seen dim is tiny relative to "
+    "events, so at scale it broadcasts and the events table shuffles "
+    "once (the final distinct-count exchange).",
+    tags=("events", "cohort", "retention"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    active = ev.join(first, "user_id").select(
+        "user_id", "cw", F.date_trunc("week", "ts").alias("wk")
+    )
+    return active.groupBy(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff("wk", "cw") / 7).cast("long").alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))

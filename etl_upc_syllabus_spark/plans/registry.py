@@ -66,6 +66,7 @@ def _load_all() -> None:
     tiers (see ``all_specs``); modules whose queries still need a first
     driver verdict are imported first.
     """
+    from . import events_queries  # noqa: F401
     from . import curation_queries  # noqa: F401
     from . import scd_queries  # noqa: F401
     from . import tpch_gap_queries  # noqa: F401
