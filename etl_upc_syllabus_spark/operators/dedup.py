@@ -303,3 +303,66 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
             F.transform(contribs, lambda s: F.when(s > 0, "1").otherwise("0")), ""
         ).alias("simhash"),
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus (cross-batch dedup).
+
+    The production shape for a continuously-ingesting 100 TB pipeline:
+    the corpus is never re-deduplicated -- each arriving batch is
+    checked against it and only survivors are appended. Two membership
+    probes, both against *derived* tables orders of magnitude smaller
+    than the corpus text:
+
+    - ``exact_dup``: the batch doc's normalized-text md5 exists in the
+      corpus hash set (semi-join on the 16-byte hash);
+    - ``near_dup``: any of the batch doc's MinHash band hashes collides
+      with a corpus band hash (semi-join on (band, band_hash) -- the
+      same banded-LSH index dedup_minhash_lsh builds, which at scale is
+      a persisted table maintained across ingests, so the incremental
+      cost is signatures(batch) + two equi-joins).
+
+    Returns (id, exact_dup, near_dup, keep) for every batch doc, all
+    bigint 0/1 flags; ``keep`` = neither probe hit. Corpus text never
+    shuffles: both probe inputs are narrow projections (hash / HOF
+    signatures), exactly like the full-corpus LSH pipeline.
+    """
+    b_hash = batch.select(
+        F.col(id_col).alias("id"), F.md5(norm_text(text_col)).alias("h")
+    )
+    c_hash = corpus.select(F.md5(norm_text(text_col)).alias("h")).distinct()
+    exact_ids = b_hash.join(c_hash, "h", "left_semi").select("id").distinct()
+
+    b_sig = minhash_signatures(
+        shingle_sets(batch, id_col, text_col, k=k), num_hashes, band_size
+    )
+    c_sig = minhash_signatures(
+        shingle_sets(corpus, id_col, text_col, k=k), num_hashes, band_size
+    ).select("band", "band_hash")
+    near_ids = (
+        b_sig.join(c_sig, ["band", "band_hash"], "left_semi").select("id").distinct()
+    )
+
+    flag = F.lit(1).cast("long")
+    out = (
+        batch.select(F.col(id_col).alias("id"))
+        .join(exact_ids.withColumn("exact_dup", flag), "id", "left")
+        .join(near_ids.withColumn("near_dup", flag), "id", "left")
+    )
+    zero = F.lit(0).cast("long")
+    return out.select(
+        "id",
+        F.coalesce("exact_dup", zero).alias("exact_dup"),
+        F.coalesce("near_dup", zero).alias("near_dup"),
+        F.when(F.coalesce("exact_dup", zero) + F.coalesce("near_dup", zero) > 0, zero)
+        .otherwise(F.lit(1).cast("long"))
+        .alias("keep"),
+    )

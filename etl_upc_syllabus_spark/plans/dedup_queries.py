@@ -264,3 +264,43 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.filter(F.col("component") < F.col("id")).select(
         F.col("id").alias("doc_id"), F.col("component").alias("keeper_id")
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    f"""
+    WITH {fr.shingle_cte(3)},
+    {fr.minhash_ctes(16, 4)},
+    d AS (SELECT doc_id, source, md5({fr.NORM}) AS h FROM documents),
+    corpus AS (SELECT doc_id, h FROM d WHERE source = 'src0'),
+    batch AS (SELECT doc_id, h FROM d WHERE source <> 'src0'),
+    ex AS (SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON c.h = b.h),
+    nr AS (SELECT DISTINCT s.doc_id
+           FROM sig s JOIN batch b ON b.doc_id = s.doc_id
+           JOIN sig cs ON cs.band = s.band AND cs.bh = s.bh
+           JOIN corpus c ON c.doc_id = cs.doc_id)
+    SELECT b.doc_id,
+           CAST(CASE WHEN ex.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS exact_dup,
+           CAST(CASE WHEN nr.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS near_dup,
+           CAST(CASE WHEN ex.doc_id IS NULL AND nr.doc_id IS NULL
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM batch b LEFT JOIN ex ON ex.doc_id = b.doc_id
+                 LEFT JOIN nr ON nr.doc_id = b.doc_id
+    """,
+    doc="Incremental (cross-batch) dedup -- the continuous-ingest "
+    "production shape: a new batch (source != 'src0') is probed against "
+    "the existing corpus ('src0') by exact normalized-hash semi-join AND "
+    "by MinHash band-hash semi-join against the SAME banded-LSH index "
+    "the full-corpus pipeline builds (at scale: a persisted signature "
+    "table maintained across ingests). Corpus text never re-shuffles; "
+    "only hashes and signatures cross the network "
+    "(operators/dedup.py incremental_dedup).",
+    tags=("dedup", "incremental", "minhash"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("source") == "src0")
+    batch = docs.filter(F.col("source") != "src0")
+    return dd.incremental_dedup(batch, corpus, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "exact_dup", "near_dup", "keep"
+    )

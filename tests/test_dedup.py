@@ -226,3 +226,31 @@ def test_lss_components_shuffled_ids_and_skew(spark):
     assert all(cc[n] == 100 for n in [1000, *range(100, 150)])
     assert all(cc[n] == 2 for n in [7, 3, 9, 2, 8])
     assert len(cc) == 56
+
+
+def test_incremental_dedup_flags_cross_batch(spark):
+    corpus = spark.createDataFrame([(1, BASE), (2, OTHER)], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (10, "  THE  " + BASE[4:] + "  "),  # normalized exact dup of 1
+            (11, NEAR),  # near dup of 1 (band collision), not exact
+            (12, "entirely novel text about watermarks and stateful "
+                 "stream aggregation with bounded late data handling"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["id"]: r
+        for r in dd.incremental_dedup(batch, corpus, "doc_id", "text").collect()
+    }
+    assert out[10]["exact_dup"] == 1 and out[10]["keep"] == 0
+    assert out[11]["exact_dup"] == 0
+    assert out[11]["near_dup"] == 1 and out[11]["keep"] == 0
+    assert (out[12]["exact_dup"], out[12]["near_dup"], out[12]["keep"]) == (0, 0, 1)
+
+
+def test_incremental_dedup_empty_corpus_keeps_all(spark):
+    corpus = spark.createDataFrame([], "doc_id long, text string")
+    batch = spark.createDataFrame([(1, BASE), (2, OTHER)], ["doc_id", "text"])
+    rows = dd.incremental_dedup(batch, corpus, "doc_id", "text").collect()
+    assert all(r["keep"] == 1 for r in rows) and len(rows) == 2
