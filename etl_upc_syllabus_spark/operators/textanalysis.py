@@ -135,3 +135,54 @@ def fingerprint(col: Column | str, k: int = 8, stride: int = 4) -> Column:
     k-gram shingles (rolling-hash family; deterministic, portable)."""
     shingles = char_shingles(col, k, stride)
     return F.array_min(F.transform(shingles, F.md5))
+
+
+# Hashed linear classifier (fastText-style inference). The weight table
+# is IMPLICIT: w(bucket) derives from the bucket id by exact integer
+# arithmetic, so both engines reconstruct the identical model with no
+# stored artifact. Production swaps in a broadcast map of trained
+# weights; the plan shape (narrow HOF fold over the token array) is the
+# same either way.
+CLS_DIM = 1024  # hashing-trick bucket count
+CLS_MOD = 2003  # prime; weight lattice size
+_CLS_MIX = 2654435761  # Knuth multiplicative-hash constant
+
+
+def hashed_linear_score(col: Column | str, dim: int = CLS_DIM) -> Column:
+    """Mean implicit-weight activation of the token bag (pre-sigmoid).
+
+    bucket(t) = hex8(md5(t)) % dim; w(b) = ((b*MIX) % MOD - 1001) / 1024.
+    The numerator is exact integer arithmetic and the divisor is a
+    power of two, so every weight -- and every PARTIAL SUM of weights
+    (multiples of 2^-10 bounded far below 2^42) -- is exactly
+    representable in a double. Summation order therefore cannot change
+    the result: Spark's sequential HOF fold and any DuckDB list-sum
+    strategy agree bit-for-bit, with no rounding fence needed before
+    the sigmoid. Returns 0.0 for empty text (empty bag, no activation).
+    """
+    tk = tokens(col)
+    ws = F.transform(
+        tk,
+        lambda t: (
+            (F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % dim)
+            * _CLS_MIX
+            % CLS_MOD
+            - (CLS_MOD - 1) // 2
+        )
+        / F.lit(1024.0),
+    )
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.aggregate(ws, F.lit(0.0), lambda acc, w: acc + w) / n.cast("double")
+    )
+
+
+def fast_sigmoid(z: Column) -> Column:
+    """z -> 0.5 * (1 + z / (1 + |z|)): a rational logistic surrogate.
+
+    Chosen over 1/(1+exp(-z)) deliberately: exp() may differ in the
+    last ulp between Java's Math.exp and DuckDB's libm, which would
+    make oracle hashes flaky at rounding boundaries. Division and abs
+    are IEEE-exact, so this is bit-identical across engines.
+    """
+    return 0.5 * (1.0 + z / (1.0 + F.abs(z)))

@@ -416,3 +416,51 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 50)
     )
+
+
+def _cls_weight_sql() -> str:
+    """DuckDB lambda body mirroring hashed_linear_score's weight."""
+    from ..operators.textanalysis import CLS_DIM, CLS_MOD, _CLS_MIX
+
+    b = f"{fr.hex8_value('md5(t)')} % {CLS_DIM}"
+    return f"(({b}) * {_CLS_MIX} % {CLS_MOD} - {(CLS_MOD - 1) // 2}) / 1024.0"
+
+
+@query(
+    "text_quality_classifier",
+    f"""
+    WITH z AS (
+      SELECT doc_id, lang, {fr.N_TOKENS} AS n_tokens,
+             CASE WHEN {fr.N_TOKENS} = 0 THEN 0.0
+                  ELSE list_aggregate(list_transform({fr.TOKENS},
+                           t -> {{w}}), 'sum') / {fr.N_TOKENS}
+             END AS act
+      FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           round(0.5 * (1 + act / (1 + abs(act))), 6) AS score,
+           CASE WHEN 0.5 * (1 + act / (1 + abs(act))) > 0.5
+                THEN 'keep' ELSE 'drop' END AS label
+    FROM z
+    """.replace("{w}", _cls_weight_sql()),
+    doc="FastText-style quality-classifier inference: hashing-trick token "
+    "buckets -> implicit integer-derived weights -> mean activation -> "
+    "rational sigmoid. Entirely narrow JVM expressions (one HOF fold "
+    "per doc, zero shuffles) -- the linear-model-inference plan shape "
+    "for 100 TB corpus filtering; production swaps the implicit weight "
+    "function for a broadcast trained-weight map "
+    "(operators/textanalysis.py hashed_linear_score). Exact-dyadic "
+    "weights make the fold order-invariant, so both engines agree "
+    "bit-for-bit before any rounding.",
+    tags=("text", "quality", "classifier", "ml"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    act = ta.hashed_linear_score("text")
+    score = ta.fast_sigmoid(act)
+    return docs.select(
+        "doc_id",
+        "lang",
+        ta.token_count("text").alias("n_tokens"),
+        F.round(score, 6).alias("score"),
+        F.when(score > 0.5, "keep").otherwise("drop").alias("label"),
+    )

@@ -34,3 +34,59 @@ def test_column_form_matches_python_kernel(spark, include_comma):
     ]
     want = [P.split_bullets(s, include_comma=include_comma) for s in CASES]
     assert got == want
+
+
+# ---- hashed linear classifier ------------------------------------------
+
+
+def _py_weight(token: str) -> float:
+    """Independent Python replica of the implicit weight function."""
+    import hashlib
+
+    from etl_upc_syllabus_spark.operators.textanalysis import (
+        CLS_DIM,
+        CLS_MOD,
+        _CLS_MIX,
+    )
+
+    b = int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % CLS_DIM
+    return (b * _CLS_MIX % CLS_MOD - (CLS_MOD - 1) // 2) / 1024.0
+
+
+def test_hashed_linear_score_matches_python(spark):
+    from etl_upc_syllabus_spark.operators.textanalysis import hashed_linear_score
+
+    texts = ["spark catalyst optimizer", "the quick brown fox", "x"]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.z for r in df.select(hashed_linear_score("t").alias("z")).collect()]
+    for text, z in zip(texts, got):
+        toks = text.split(" ")
+        want = sum(_py_weight(t) for t in toks) / len(toks)
+        assert z == want  # exact-dyadic weights: bit-for-bit, not approx
+
+
+def test_hashed_linear_score_empty_text_is_zero(spark):
+    from etl_upc_syllabus_spark.operators.textanalysis import (
+        fast_sigmoid,
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame([("",), ("   ",)], "t string")
+    rows = df.select(
+        hashed_linear_score("t").alias("z"),
+        fast_sigmoid(hashed_linear_score("t")).alias("s"),
+    ).collect()
+    assert all(r.z == 0.0 and r.s == 0.5 for r in rows)
+
+
+def test_fast_sigmoid_shape(spark):
+    from pyspark.sql import functions as F
+
+    from etl_upc_syllabus_spark.operators.textanalysis import fast_sigmoid
+
+    df = spark.createDataFrame([(-100.0,), (-1.0,), (0.0,), (1.0,), (100.0,)], "z double")
+    got = [r.s for r in df.select(fast_sigmoid(F.col("z")).alias("s")).collect()]
+    assert got[2] == 0.5
+    assert got == sorted(got)  # monotone
+    assert 0.0 < got[0] < 0.01 and 0.99 < got[4] < 1.0  # saturating
+    assert abs(got[1] - 0.25) < 1e-12 and abs(got[3] - 0.75) < 1e-12
