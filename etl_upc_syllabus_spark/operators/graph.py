@@ -1,0 +1,86 @@
+"""Distributed PageRank as pure DataFrame ops (iterative-algorithm
+surface, alongside k-means in ``similarity`` and connected components
+in ``components``).
+
+Deterministic, oracle-replayable formulation: fixed iteration count,
+and every engine-divergence point is fenced -- rank updates are rounded
+at 12 decimals each round, so double summation order (which differs
+between Spark partial aggregation and DuckDB) cannot change the
+trajectory. All divisions/products act on identical operands in both
+engines and are IEEE-exact.
+
+Scale shape (per round): join ranks into the weighted edge list on the
+src key, aggregate contributions by dst -- two hash exchanges whose
+payload is (node, double) pairs, never any wider row. At 100 TB the
+edge list would be bucketed by src so the per-round join is
+exchange-free on the edge side; ranks (one double per node) are the
+only moving state. ``localCheckpoint`` truncates lineage per round,
+exactly as in connected components (an unbounded iterative plan
+otherwise grows exponentially).
+
+Reference scope: none -- the syllabus reference has no graph surface;
+this is part of the brief's large-scale-pipeline extension (domain/
+entity ranking for corpus curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+ROUND_DP = 12  # per-round rounding fence (see module docstring)
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Fixed-round PageRank over a directed edge list: (node, pr).
+
+    Assumes no dangling nodes (every node appears as a src) -- true for
+    symmetric graphs like co-occurrence; callers with genuinely
+    directed graphs should add back-edges or a dangling-mass term.
+    ``n_iter`` is deliberately fixed (not convergence-tested) so the
+    DuckDB oracle can replay the identical trajectory with unrolled
+    CTEs.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # contribution weight 1/deg: identical-operand division, exact in
+    # both engines; materialized once, reused every round
+    w = e.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("d")).alias("wt"))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    base = 1.0 - damping
+    pr = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        s = (
+            w.join(pr, w.src == pr.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.round(F.sum(F.col("pr") * F.col("wt")), ROUND_DP).alias("s"))
+        )
+        pr = s.select(
+            "node", F.round(F.lit(base / n) + F.lit(damping) * F.col("s"), ROUND_DP).alias("pr")
+        ).localCheckpoint(eager=True)
+    return pr
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Symmetric part co-purchase edges: parts sharing an order.
+
+    Within-order pair expansion is quadratic only in lines-per-order
+    (bounded small -- <= 7 in TPC-H-shaped data), so the edge build is
+    a single co-partitioned self-join on the order key, linear in the
+    fact table at any scale.
+    """
+    li = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )

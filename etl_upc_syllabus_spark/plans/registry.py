@@ -67,6 +67,7 @@ def _load_all() -> None:
     driver verdict are imported first.
     """
     from . import events_queries  # noqa: F401
+    from . import graph_queries  # noqa: F401
     from . import curation_queries  # noqa: F401
     from . import scd_queries  # noqa: F401
     from . import tpch_gap_queries  # noqa: F401

@@ -1,0 +1,55 @@
+"""Planted-graph tests for operators.graph.pagerank (oracle parity for
+the bound query lives in test_oracle_parity.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_upc_syllabus_spark.operators.graph import copurchase_edges, pagerank
+
+
+def _sym(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_pagerank_uniform_on_ring(spark):
+    # symmetric 4-ring: perfectly regular graph -> pr stays 1/N forever
+    edges = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=3).collect()}
+    assert pr == {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
+
+
+def test_pagerank_star_one_round_by_hand(spark):
+    # hub 0 <-> spokes 1,2,3. N=4, deg(hub)=3, deg(spoke)=1.
+    # round 1: s(hub) = 3 * 0.25 = 0.75      -> pr = 0.0375 + 0.85*0.75
+    #          s(spoke) = 0.25/3 (rounded 12) -> pr = 0.0375 + 0.85*that
+    edges = _sym(spark, [(0, 1), (0, 2), (0, 3)])
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=1).collect()}
+    assert pr[0] == pytest.approx(0.675, abs=1e-12)
+    spoke = round(0.0375 + 0.85 * round(0.25 / 3, 12), 12)
+    assert pr[1] == pr[2] == pr[3] == pytest.approx(spoke, abs=1e-12)
+
+
+def test_pagerank_mass_conserved(spark):
+    edges = _sym(spark, [(0, 1), (0, 2), (2, 3), (3, 4), (4, 0)])
+    pr = [r["pr"] for r in pagerank(edges, n_iter=3).collect()]
+    assert sum(pr) == pytest.approx(1.0, abs=1e-9)
+    assert all(p > 0 for p in pr)
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    # hub touches every other node; leaves touch only the hub
+    edges = _sym(spark, [(0, i) for i in range(1, 6)])
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, n_iter=3).collect()}
+    assert pr[0] > max(pr[i] for i in range(1, 6))
+
+
+def test_copurchase_edges_symmetric_no_self(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 10), (2, 10), (3, 99)],
+        ["l_orderkey", "l_partkey"],
+    )
+    got = {(r["src"], r["dst"]) for r in copurchase_edges(li).collect()}
+    want = {(10, 11), (11, 10), (10, 12), (12, 10), (11, 12), (12, 11)}
+    assert got == want  # order 2's dup pair and order 3's singleton drop out
