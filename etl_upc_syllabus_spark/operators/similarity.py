@@ -308,3 +308,71 @@ def cosine_topk_lsh(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization encode: (id, sub, code, dist) long form.
+
+    The vector splits into ``m`` contiguous subspaces of dim/m dims;
+    each subvector is assigned to its nearest of ``k`` per-subspace
+    centroids (squared L2, rounded to 6 dp BEFORE argmin for
+    engine-stable assignment -- the IVF convention; ties break to the
+    smaller centroid id via struct ordering). Centroids are the
+    prefix-seed codebook: slices of the first ``k`` corpus vectors,
+    broadcast into the expression tree as literals -- so the encode is
+    entirely NARROW (zero shuffles): one codegen'd projection over the
+    corpus, which is what makes PQ the memory-compression layer of a
+    100 TB ANN index (64 floats -> m small codes). Production swaps
+    the prefix codebook for per-subspace k-means fits; the plan shape
+    is identical.
+    """
+    dsub = dim // m
+    cents = [
+        [float(v) for v in r[vec_col]]
+        for r in emb.filter(F.col(id_col) < k).orderBy(id_col).collect()
+    ]
+    assert len(cents) == k, f"need {k} seed vectors, found {len(cents)}"
+
+    def sub_dist(sl: Column, cent: list[float]) -> Column:
+        carr = F.array(*[F.lit(c) for c in cent])
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    sl, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    subs = []
+    for j in range(m):
+        sl = F.slice(vec_col, j * dsub + 1, dsub)
+        cands = F.array(
+            *[
+                F.struct(
+                    sub_dist(sl, cents[c][j * dsub : (j + 1) * dsub]).alias("dist"),
+                    F.lit(c).cast("long").alias("cid"),
+                )
+                for c in range(k)
+            ]
+        )
+        best = F.array_min(cands)
+        subs.append(
+            F.struct(
+                F.lit(j).cast("long").alias("sub"),
+                best["cid"].alias("code"),
+                best["dist"].alias("dist"),
+            )
+        )
+    return emb.select(
+        F.col(id_col).alias("id"), F.explode(F.array(*subs)).alias("b")
+    ).select("id", "b.sub", "b.code", "b.dist")

@@ -187,3 +187,36 @@ def similarity_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_lloyd(emb, k=4, n_iter=3).select(
         F.col("id").alias("vec_id"), "cluster"
     )
+
+
+@query(
+    "embedding_pq_encode",
+    f"""
+    WITH {fr.dims_cte()},
+    cdims AS (SELECT vec_id AS cid, (i - 1) // 16 AS sub, i, x AS cx
+              FROM dims WHERE vec_id < 4),
+    sdist AS (SELECT d.vec_id, (d.i - 1) // 16 AS sub, c.cid,
+                     round(sum((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+              FROM dims d JOIN cdims c ON c.i = d.i
+              GROUP BY 1, 2, 3)
+    SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+           CAST(cid AS BIGINT) AS code, dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY dist, cid) AS rn
+          FROM sdist)
+    WHERE rn = 1
+    """,
+    doc="Product-quantization encode: 64-dim vectors -> 4 subspace codes "
+    "(nearest of 4 prefix-seed centroids per 16-dim slice, distances "
+    "rounded before argmin). The codebook is broadcast as expression "
+    "literals, so the encode is a single narrow codegen'd projection -- "
+    "zero shuffles -- turning 256 bytes/vector into 4 codes: the "
+    "memory-compression layer under a 100 TB ANN index "
+    "(operators/similarity.py pq_encode).",
+    tags=("similarity", "pq", "quantization"),
+)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim.pq_encode(emb).select(
+        F.col("id").alias("vec_id"), "sub", "code", "dist"
+    )

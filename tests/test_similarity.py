@@ -105,3 +105,51 @@ def test_kmeans_lloyd_deterministic(spark):
         for r in sim.kmeans_lloyd(df.repartition(7), k=4, n_iter=3).collect()
     }
     assert a == b
+
+
+def test_pq_encode_seed_vectors_code_to_themselves(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(12, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.pq_encode(df, m=2, k=4, dim=8)
+    seed = {
+        (r["id"], r["sub"]): r
+        for r in out.filter(F.col("id") < 4).collect()
+    }
+    for i in range(4):
+        for j in range(2):
+            assert seed[(i, j)]["code"] == i  # own slice is distance 0
+            assert seed[(i, j)]["dist"] == 0.0
+
+
+def test_pq_encode_assigns_nearest_centroid(spark):
+    # centroid slices are axis-aligned; a vector built from centroid 2's
+    # first half and centroid 1's second half must code (2, 1)
+    base = [
+        [float(i == j or i == j + 4) for i in range(8)] for j in range(4)
+    ]  # centroid j: unit spikes at dim j (first half) and j+4 (second half)
+    probe = base[2][:4] + base[1][4:]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)] + [(100, probe)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["sub"]: r["code"]
+        for r in sim.pq_encode(df, m=2, k=4, dim=8).filter(F.col("id") == 100).collect()
+    }
+    assert got == {0: 2, 1: 1}
+
+
+def test_pq_encode_row_count_and_ties(spark):
+    # all-zero corpus: every distance ties at 0 -> smallest cid wins
+    df = spark.createDataFrame(
+        [(i, [0.0] * 8) for i in range(6)], "vec_id long, embedding array<float>"
+    )
+    rows = sim.pq_encode(df, m=2, k=4, dim=8).collect()
+    assert len(rows) == 12  # 6 vectors x 2 subspaces
+    assert all(r["code"] == 0 and r["dist"] == 0.0 for r in rows)
