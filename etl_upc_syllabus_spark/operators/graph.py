@@ -51,9 +51,16 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # contribution weight 1/deg: identical-operand division, exact in
-    # both engines; materialized once, reused every round
-    w = e.join(deg, "src").select("src", "dst", (F.lit(1.0) / F.col("d")).alias("wt"))
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    # both engines. MATERIALIZED once (localCheckpoint): without this,
+    # every round's checkpoint action would re-run the upstream edge
+    # build (e.g. copurchase_edges' self-join + distinct) from scratch
+    # -- measured 3x the whole query's cost at sf0.1.
+    w = (
+        e.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("wt"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = w.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
     base = 1.0 - damping
     pr = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import (
     as_media_table,
+    detect_scene_changes,
     extract_audio_features,
     extract_media_metadata,
     resize_thumbnails,
@@ -208,3 +209,39 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return resize_thumbnails(as_media_table(docs, "doc_id", "text"), w=16, h=16)
+
+
+@query(
+    "multimodal_scene_change",
+    """
+    WITH vids AS (
+      SELECT doc_id, doc_id % 7 + 4 AS w, doc_id % 5 + 4 AS h,
+             doc_id % 12 + 2 AS nf
+      FROM documents WHERE doc_id % 3 = 2),
+    fidx AS (SELECT range AS f FROM range(1, 13)),
+    pidx AS (SELECT range AS j FROM range(0, 80)),
+    tr AS (SELECT v.doc_id, v.w * v.h AS n, fx.f
+           FROM vids v JOIN fidx fx ON fx.f < v.nf),
+    px AS (SELECT t.doc_id, t.n, t.f,
+                  sum(CASE WHEN (t.doc_id + 7 * (t.f - 1) + p.j) % 95 < 88
+                           THEN 7 ELSE 88 END) AS s
+           FROM tr t JOIN pidx p ON p.j < t.n
+           GROUP BY 1, 2, 3)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(n AS BIGINT) AS n_pixels,
+           CAST(s AS BIGINT) AS abs_diff_sum,
+           CAST(CASE WHEN s > 20 * n THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+    FROM px
+    """,
+    doc="Video temporal analysis: per-transition frame-difference energy "
+    "(exact integer sum of per-pixel absolute diffs) + scene-cut flag, "
+    "over REAL GIF/AVI decode -- each transition requires two truly "
+    "decoded frames, and the oracle reconstructs the identical integer "
+    "energies from the generation formula. 1 video row -> nf-1 rows "
+    "inside the Arrow stage; only video rows are encoded/decoded "
+    "(operators/multimodal.py detect_scene_changes).",
+    tags=("multimodal", "video", "mapInPandas", "codec"),
+)
+def multimodal_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return detect_scene_changes(as_media_table(docs, "doc_id", "text"))

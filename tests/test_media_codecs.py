@@ -257,3 +257,41 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_scene_change_detects_planted_cut(spark):
+    from etl_upc_syllabus_spark.operators.multimodal import detect_scene_changes
+
+    w, h = 4, 3
+    quiet = bytes([32] * (w * h))
+    nearly = bytes([33] * (w * h))  # mean |diff| = 1: below threshold
+    cut = bytes([200] * (w * h))  # mean |diff| = 167: hard cut
+    frames = [quiet, nearly, cut, cut]
+    media = spark.createDataFrame(
+        [(1, "video", encode_gif(w, h, frames)), (2, "video", encode_avi(w, h, frames)),
+         (3, "image", b"not a video")],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in detect_scene_changes(media).collect()
+    }
+    # image row filtered out; both containers produce identical analysis
+    assert set(rows) == {(d, f) for d in (1, 2) for f in (1, 2, 3)}
+    for d in (1, 2):
+        assert rows[(d, 1)]["abs_diff_sum"] == w * h  # 32 -> 33
+        assert rows[(d, 1)]["is_cut"] == 0
+        assert rows[(d, 2)]["abs_diff_sum"] == 167 * w * h  # 33 -> 200
+        assert rows[(d, 2)]["is_cut"] == 1
+        assert rows[(d, 3)]["abs_diff_sum"] == 0  # identical frames
+        assert rows[(d, 3)]["is_cut"] == 0
+
+
+def test_scene_change_single_frame_video_emits_nothing(spark):
+    from etl_upc_syllabus_spark.operators.multimodal import detect_scene_changes
+
+    media = spark.createDataFrame(
+        [(1, "video", encode_gif(2, 2, [bytes(4)]))],
+        "doc_id long, media_type string, payload binary",
+    )
+    assert detect_scene_changes(media).count() == 0
