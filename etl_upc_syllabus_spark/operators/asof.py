@@ -26,35 +26,49 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_cols: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    right_ts <= left_ts within the same `on` key (ties: right wins --
-    'at or before' semantics, matching DuckDB ASOF JOIN).
+    """For each left row, attach the nearest right row within the same
+    `on` key: the most recent with right_ts <= left_ts (``backward``,
+    the default -- 'at or before', matching DuckDB ASOF JOIN) or the
+    earliest with right_ts >= left_ts (``forward`` -- 'at or after').
 
-    Returns all left columns plus the requested right columns
-    (null when no right row precedes).
+    Both directions are the same single-shuffle composition; only the
+    side-tag ordering and the window frame flip. Ties are inclusive in
+    both directions: a right row at exactly left_ts matches. Returns
+    all left columns plus the requested right columns (null when no
+    right row qualifies).
     """
-    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # side tags order equal-ts rows so the qualifying right row falls
+    # INSIDE the left row's frame: backward frames end at the current
+    # row, so right (0) sorts before left (1); forward frames start at
+    # the current row, so right (1) sorts after left (0).
+    left_tag = 1 if direction == "backward" else 0
+    lt = left.withColumn("_side", F.lit(left_tag)).withColumn("_ts", F.col(left_ts))
     rt = (
         right.select(
             F.col(on),
             F.col(right_ts).alias("_ts"),
             *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         )
-        .withColumn("_side", F.lit(0))
+        .withColumn("_side", F.lit(1 - left_tag))
     )
     merged = lt.unionByName(rt, allowMissingColumns=True)
-    w = (
-        W.partitionBy(on)
-        .orderBy("_ts", "_side")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    base = W.partitionBy(on).orderBy("_ts", "_side")
+    if direction == "backward":
+        w = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        pick = F.last
+    else:
+        w = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+        pick = F.first
     carried: list[Column] = [
-        F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_cols
+        pick(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_cols
     ]
     return (
         merged.select("*", *carried)
-        .filter(F.col("_side") == 1)
+        .filter(F.col("_side") == left_tag)
         .drop("_side", "_ts", *[f"_r_{c}" for c in right_cols])
     )
 

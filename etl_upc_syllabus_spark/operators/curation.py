@@ -144,3 +144,36 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count_distinct("gram").cast("long").alias("n_shared_grams"))
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_col: Column,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Blocked fuzzy entity matching: (name_a, name_b, lev) pairs.
+
+    Classic entity-resolution shape: candidate pairs come ONLY from a
+    blocking-key equi-self-join (never a cross join -- at 100 TB the
+    block key is what bounds the pair explosion; multi-pass pipelines
+    union several blocking strategies), then each candidate is verified
+    with exact Levenshtein distance (integer, engine-portable). Names
+    are deduplicated before pairing, so the pair space is over distinct
+    entities, and name_a < name_b keeps each pair once.
+    """
+    names = (
+        df.select(F.col(name_col).alias("name")).distinct().withColumn("blk", block_col)
+    )
+    a = names.select(F.col("name").alias("name_a"), "blk")
+    b = names.select(F.col("name").alias("name_b"), "blk")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("lev"),
+        )
+        .filter(F.col("lev") <= max_dist)
+    )

@@ -159,3 +159,32 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = fan_out(load_table(spark, sf_dir, "documents"))
     return cu.decontaminate(d, F.col("doc_id") % 97 == 0, n=3)
+
+
+@query(
+    "entity_fuzzy_match",
+    """
+    WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+    blk AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM n)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+    FROM blk a JOIN blk b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    """,
+    doc="Blocked fuzzy entity matching over distinct part names: "
+    "candidates from a blocking-key (last word) equi-self-join -- never "
+    "a cross join -- verified by exact Levenshtein <= 4. The "
+    "entity-resolution shape for catalog/author/domain merging at "
+    "100 TB: the block key bounds pair explosion, distance verification "
+    "is JVM-side and integer-exact (operators/curation.py "
+    "fuzzy_match_pairs).",
+    tags=("curation", "fuzzy", "entity-resolution"),
+)
+def entity_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part")
+    return cu.fuzzy_match_pairs(
+        parts,
+        "p_name",
+        F.element_at(F.split(F.col("name"), " "), -1),
+        max_dist=4,
+    )

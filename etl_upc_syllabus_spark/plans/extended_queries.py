@@ -554,3 +554,38 @@ def variant_schema_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    """
+    SELECT c.event_id, c.user_id,
+           coalesce(p.event_id, -1) AS next_purchase_id,
+           coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND p.ts >= c.ts
+    """,
+    doc="Forward as-of join ('at or after'): for each click, the user's "
+    "NEXT purchase -- time-to-conversion attribution. Same one-shuffle "
+    "union + window composition as the backward join with the frame and "
+    "side-tag ordering flipped (operators/asof.py direction='forward'); "
+    "oracle uses DuckDB's native forward ASOF (p.ts >= c.ts).",
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce("asof_event_id", F.lit(-1)).alias("next_purchase_id"),
+        F.coalesce(
+            F.unix_micros("asof_ts") - F.unix_micros("ts"), F.lit(-1)
+        ).alias("gap_us"),
+    )

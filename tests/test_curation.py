@@ -87,3 +87,23 @@ def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     plan = cu.decontaminate(d, F.col("doc_id") % 97 == 0, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_fuzzy_match_pairs_blocked(spark):
+    df = spark.createDataFrame(
+        [("red widget",), ("rad widget",), ("red widget",), ("blue bolt",),
+         ("blue widget",), ("completely different widget",)],
+        ["nm"],
+    )
+    out = {
+        (r["name_a"], r["name_b"]): r["lev"]
+        for r in cu.fuzzy_match_pairs(
+            df, "nm", F.element_at(F.split(F.col("name"), " "), -1), max_dist=4
+        ).collect()
+    }
+    # duplicates collapse; cross-block pairs never appear; far pair cut by max_dist
+    assert out == {
+        ("rad widget", "red widget"): 1,
+        ("blue widget", "red widget"): 4,
+        ("blue widget", "rad widget"): 4,
+    }
