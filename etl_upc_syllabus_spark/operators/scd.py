@@ -79,3 +79,35 @@ def scd2_merge(
     return untouched.select(cols).unionByName(closed.select(cols)).unionByName(
         opened.select(cols)
     )
+
+
+def cdc_apply(
+    log: DataFrame,
+    key: str,
+    seq: str,
+    op: str = "op",
+) -> DataFrame:
+    """Compact a CDC change log into the latest snapshot per key.
+
+    The log-compaction half of every lakehouse MERGE / Hudi
+    copy-on-write / Delta CDF apply: each key keeps only its
+    highest-``seq`` entry, and a key whose latest entry is a delete
+    ('D') vanishes from the snapshot. Upserts ('U'/'I') carry their
+    payload columns through.
+
+    Plan: one hash shuffle on the key for the per-key top-1 window
+    (rank by seq desc; at 100 TB the log is already bucketed by key in
+    any sane layout, making even that exchange free). No join against
+    the base table is needed because a compacted log IS the table --
+    callers holding an older snapshot union it in as 'I' entries with
+    seq below the log's range.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(key).orderBy(F.col(seq).desc())
+    latest = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return latest.filter(F.col(op) != "D").drop(op)

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import textanalysis as ta
-from ..operators.scd import scd2_merge
+from ..operators.scd import cdc_apply, scd2_merge
 from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
 from .registry import query
@@ -105,3 +105,35 @@ def vocab_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(20)
     )
+
+
+@query(
+    "cdc_apply_changes",
+    """
+    WITH log AS (SELECT o_orderkey // 8 AS k, o_orderkey AS seq,
+                        CASE WHEN o_orderkey % 11 = 3 THEN 'D' ELSE 'U' END AS op,
+                        o_totalprice AS price, o_orderstatus AS status
+                 FROM orders),
+    r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM log)
+    SELECT k, seq, price, status FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="CDC log compaction (the apply half of lakehouse MERGE / Delta "
+    "CDF / Hudi upsert): a keyed change log (deterministically derived "
+    "from orders: ~8 versions per key, every 11th entry a delete) "
+    "compacts to the latest-per-key snapshot with delete tombstones "
+    "dropped. One key-shuffle window top-1 -- free when the log is "
+    "bucketed by key, which is the layout any CDC sink writes "
+    "(operators/scd.py cdc_apply).",
+    tags=("cdc", "lakehouse", "window"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.expr("o_orderkey div 8").alias("k"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 3, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return cdc_apply(log, key="k", seq="seq")

@@ -107,3 +107,25 @@ def test_fuzzy_match_pairs_blocked(spark):
         ("blue widget", "red widget"): 4,
         ("blue widget", "rad widget"): 4,
     }
+
+
+def test_profile_columns_metrics(spark):
+    from pyspark.sql import functions as F
+
+    from etl_upc_syllabus_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1.5, "a"), (2.5, "b"), (None, "b"), (2.5, None)],
+        "x double, s string",
+    )
+    specs = [
+        ("x", F.col("x"), F.col("x").cast("decimal(12,2)").cast("string")),
+        ("s", F.col("s"), F.col("s")),
+    ]
+    out = {r["column"]: r for r in profile_columns(df, specs).collect()}
+    assert out["x"]["n_rows"] == 4 and out["s"]["n_rows"] == 4
+    assert out["x"]["n_null"] == 1 and out["s"]["n_null"] == 1
+    assert out["x"]["n_distinct"] == 2  # nulls excluded, 2.5 deduped
+    assert out["s"]["n_distinct"] == 2
+    assert (out["x"]["min_s"], out["x"]["max_s"]) == ("1.50", "2.50")
+    assert (out["s"]["min_s"], out["s"]["max_s"]) == ("a", "b")

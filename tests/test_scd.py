@@ -57,3 +57,30 @@ def test_scd2_merge_multi_attr_any_change_closes(spark):
             (1, "A", "y", "2024-06-01", "9999-12-31", 1),
         ]
     )
+
+
+def test_cdc_apply_latest_wins_and_deletes_vanish(spark):
+    from etl_upc_syllabus_spark.operators.scd import cdc_apply
+
+    log = spark.createDataFrame(
+        [
+            # key 1: I -> U -> U : latest U wins
+            (1, 10, "I", 100.0),
+            (1, 11, "U", 150.0),
+            (1, 12, "U", 175.0),
+            # key 2: I -> D : deleted
+            (2, 20, "I", 50.0),
+            (2, 21, "D", 0.0),
+            # key 3: D -> I (resurrection): latest is I, survives
+            (3, 30, "D", 0.0),
+            (3, 31, "I", 75.0),
+            # key 4: single insert
+            (4, 40, "I", 25.0),
+        ],
+        ["k", "seq", "op", "price"],
+    )
+    out = {r["k"]: r for r in cdc_apply(log, key="k", seq="seq").collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1]["seq"] == 12 and out[1]["price"] == 175.0
+    assert out[3]["seq"] == 31 and out[3]["price"] == 75.0
+    assert out[4]["price"] == 25.0
