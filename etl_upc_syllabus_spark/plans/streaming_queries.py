@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 from ..streaming import events as ev
 from ..streaming.incremental import incremental_run
-from ..streaming.stateful import stream_user_totals
+from ..streaming.stateful import stream_user_totals, streaming_cdc_upserts
 from .multimodal_queries import MEDIA_META_ORACLE
 from .registry import query
 
@@ -279,3 +279,40 @@ def stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = extract_media_metadata(as_media_table(docs, "doc_id", "text"))
     return ev.run_stream_to_table(meta, "append")
+
+
+@query(
+    "stream_cdc_upsert",
+    """
+    WITH log AS (SELECT event_id // 8 AS k, event_id AS seq,
+                        CASE WHEN event_id % 11 = 3 THEN 'D' ELSE 'U' END AS op,
+                        value, event_type
+                 FROM events),
+    r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+          FROM log)
+    SELECT k, seq, value, event_type FROM r WHERE rn = 1 AND op <> 'D'
+    """,
+    doc="Streaming lakehouse CDC sink: a keyed change log (derived from "
+    "the event stream, ~8 versions/key, every 11th a delete) is folded "
+    "into per-key latest-version state (applyInPandasWithState), "
+    "emitting the current best version -- tombstones included -- each "
+    "micro-batch; the sink is then compacted at read with the SAME "
+    "batch operator (operators/scd.py cdc_apply), dropping superseded "
+    "emissions and deleted keys. Stream/batch parity: the drained "
+    "result equals the batch CDC oracle "
+    "(streaming/stateful.py streaming_cdc_upserts).",
+    tags=("streaming", "cdc", "stateful", "applyInPandasWithState"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import cdc_apply
+
+    stream = ev.read_events_stream(spark, sf_dir)
+    log = stream.select(
+        F.expr("event_id div 8").alias("k"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 11 == 3, "D").otherwise("U").alias("op"),
+        F.col("value"),
+        F.col("event_type"),
+    )
+    emissions = ev.run_stream_to_table(streaming_cdc_upserts(log), "update")
+    return cdc_apply(emissions, key="k", seq="seq")

@@ -66,3 +66,54 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("user_id")
         .agg(F.max("n_events").alias("n_events"), F.max("total_cents").alias("total_cents"))
     )
+
+
+CDC_OUTPUT_SCHEMA = "k bigint, seq bigint, op string, value double, event_type string"
+CDC_STATE_SCHEMA = "seq bigint, op string, value double, event_type string"
+
+
+def _update_latest_version(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    best = state.get if state.exists else None
+    for pdf in batches:
+        top = pdf.loc[pdf["seq"].idxmax()]
+        if best is None or int(top["seq"]) > best[0]:
+            best = (int(top["seq"]), str(top["op"]), float(top["value"]), str(top["event_type"]))
+    state.update(best)
+    yield pd.DataFrame(
+        {
+            "k": [key[0]],
+            "seq": [best[0]],
+            "op": [best[1]],
+            "value": [best[2]],
+            "event_type": [best[3]],
+        }
+    )
+
+
+def streaming_cdc_upserts(log: DataFrame) -> DataFrame:
+    """Streaming latest-version-per-key maintenance (update mode).
+
+    Each micro-batch folds its rows into per-key (seq, op, payload)
+    state -- keeping the highest sequence seen across ALL batches --
+    and emits the key's current best version, tombstones included. The
+    emission stream is itself a CDC log: a downstream reader compacts
+    it with the same batch operator (operators/scd.py cdc_apply) to
+    drop superseded emissions and delete tombstones. That two-layer
+    shape (stateful upsert stream -> log-structured sink -> compacting
+    reader) is exactly how a lakehouse CDC sink works; emitting
+    tombstones rather than swallowing them is what lets the reader
+    retract keys deleted in later batches.
+    """
+    return (
+        log.select("k", "seq", "op", "value", "event_type")
+        .groupBy("k")
+        .applyInPandasWithState(
+            _update_latest_version,
+            outputStructType=CDC_OUTPUT_SCHEMA,
+            stateStructType=CDC_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

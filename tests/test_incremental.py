@@ -45,3 +45,46 @@ def test_incremental_processes_only_new_files(spark, tmp_path):
     n3 = incremental_run(spark, src, sink, ckpt, SCHEMA, double_v)
     assert n3 == 0
     assert spark.read.parquet(sink).count() == 150
+
+
+def test_streaming_cdc_upsert_cross_batch_retraction(spark, tmp_path):
+    """Two micro-batches: batch 2 deletes a key emitted live in batch 1
+    and offers a STALE lower-seq update for another -- the compacted
+    read must retract the former and ignore the latter."""
+    import os
+
+    from etl_upc_syllabus_spark.operators.scd import cdc_apply
+    from etl_upc_syllabus_spark.streaming.events import run_stream_to_table
+    from etl_upc_syllabus_spark.streaming.stateful import streaming_cdc_upserts
+
+    d = str(tmp_path / "cdclog")
+    schema = "k long, seq long, op string, value double, event_type string"
+    b1 = spark.createDataFrame(
+        [(1, 1, "U", 10.0, "a"), (2, 2, "U", 5.0, "b")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(2, 3, "D", 0.0, "b"), (1, 0, "U", 99.0, "stale")], schema
+    )
+    b1.coalesce(1).write.parquet(d)
+    b2.coalesce(1).write.mode("append").parquet(d)
+    files = sorted(
+        (f for f in os.listdir(d) if f.endswith(".parquet")),
+        key=lambda f: os.path.getmtime(os.path.join(d, f)),
+    )
+    # force deterministic batch order by mtime
+    for i, f in enumerate(files):
+        os.utime(os.path.join(d, f), (1000 + i, 1000 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    emissions = run_stream_to_table(streaming_cdc_upserts(stream), "update")
+    # the raw emission log must contain key 2's live version AND its
+    # tombstone (two batches), proving the state crossed batches
+    em = [(r["k"], r["seq"], r["op"]) for r in emissions.collect()]
+    assert (2, 2, "U") in em and (2, 3, "D") in em
+    out = {r["k"]: r for r in cdc_apply(emissions, key="k", seq="seq").collect()}
+    assert set(out) == {1}
+    assert out[1]["seq"] == 1 and out[1]["value"] == 10.0  # stale seq 0 ignored
