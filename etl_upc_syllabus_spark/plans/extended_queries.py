@@ -624,12 +624,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(min(l_shipdate), '%Y-%m-%d'), strftime(max(l_shipdate), '%Y-%m-%d')
     FROM lineitem
     """,
-    doc="Single-pass table profiling: null counts, distinct "
-    "cardinalities, and rendered min/max for five mixed-type columns in "
-    "ONE aggregation (Spark plans the multi-distinct as one Expand + "
-    "aggregate) -- versus the naive per-column rescan that reads a "
-    "100 TB table five times. The oracle spells the same profile as "
-    "five UNION'd aggregates (operators/profiling.py profile_columns).",
+    doc="Table profiling: null counts, distinct cardinalities, and "
+    "rendered min/max per column as UNION'd single-column hash "
+    "aggregates -- on a columnar source each branch scans exactly one "
+    "column (ReadSchema-pruned), so five branches read the same bytes "
+    "as one five-column scan. The one-.agg() multi-distinct "
+    "formulation plans as Expand + multi-key SortAggregates: measured "
+    "4x slower at sf0.1 and a full-width expanded sort at 100 TB "
+    "(operators/profiling.py profile_columns).",
     tags=("profiling", "observability", "agg"),
 )
 def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,3 +647,44 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("l_shipdate", F.col("l_shipdate"), F.date_format("l_shipdate", "yyyy-MM-dd")),
     ]
     return profile_columns(li, specs)
+
+
+@query(
+    "feature_standardize",
+    """
+    WITH s AS (SELECT l_returnflag,
+                      count(*) AS n,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sx,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                               * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxx
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           round((l.l_extendedprice - s.sx / s.n)
+                 / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 6) AS z_price
+    FROM lineitem l JOIN s USING (l_returnflag)
+    """,
+    doc="Group-wise z-score standardization (feature engineering for "
+    "model inputs): per-group mean/std derived from EXACT decimal power "
+    "sums (the agg_stats technique -- identical float operands in both "
+    "engines), broadcast back onto the fact rows, z computed row-local. "
+    "One shuffle for the 3-row stats aggregate; the 100 TB fact table "
+    "is never shuffled -- versus the window-function formulation that "
+    "re-sorts the whole table per group.",
+    tags=("feature", "standardize", "agg"),
+)
+def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(14,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    std = F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+    return li.join(F.broadcast(s), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round((F.col("l_extendedprice") - mean) / std, 6).alias("z_price"),
+    )

@@ -61,3 +61,65 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     pr = pagerank(copurchase_edges(li), n_iter=3)
     return pr.select(F.col("node").alias("part_key"), F.round("pr", 9).alias("pagerank"))
+
+
+@query(
+    "copurchase_affinity_topk",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n_orders AS (SELECT count(DISTINCT ok) AS n FROM li),
+    item AS (SELECT pk, count(*) AS n_item FROM li GROUP BY 1),
+    pair AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_both
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+             GROUP BY 1, 2)
+    SELECT part_a, part_b, n_both,
+           round(CAST(n_both * n.n AS DOUBLE) / (ia.n_item * ib.n_item), 6) AS lift
+    FROM pair JOIN item ia ON ia.pk = part_a
+              JOIN item ib ON ib.pk = part_b
+              CROSS JOIN n_orders n
+    ORDER BY n_both DESC, lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Market-basket affinity: top-20 co-purchased part pairs by "
+    "support with exact integer-ratio lift (n_both * N / (n_a * n_b), "
+    "identical division operands in both engines). The pair expansion "
+    "is the bounded within-order self-join (quadratic only in "
+    "lines-per-order); per-item counts broadcast back onto the pair "
+    "table and the global order count is the broadcast-scalar pattern. "
+    "Top-k plans as TakeOrderedAndProject -- per-partition heaps, no "
+    "global sort.",
+    tags=("graph", "affinity", "topk"),
+)
+def copurchase_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = li.select(F.count_distinct("ok").alias("n"))
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
