@@ -127,3 +127,47 @@ def funnel_reached(
         F.coalesce(F.col(f"{s}_us"), F.lit(-1)).alias(f"{s}_us") for s in stages
     ]
     return reached.select(*out_cols)
+
+
+DEBOUNCE_SCHEMA = "user_id bigint, event_id bigint, ts_us bigint"
+
+
+def debounce(
+    events: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """True debounce: keep an event only if it is the user's first, or
+    more than ``gap_us`` after the user's last KEPT event.
+
+    This is NOT the sessionize boundary rule (which compares to the
+    previous event): debounce compares to the previous *survivor*, a
+    genuinely sequential recurrence no window function expresses --
+    e.g. t = 0, 5, 9 with gap 6 keeps {0, 9} (9 - 0 > 6) where the
+    session rule keeps only {0}. Implemented as a per-key sequential
+    scan inside applyInPandas: one shuffle on the user key, each key's
+    recurrence runs in Arrow-batched Python bounded by that key's row
+    count -- the standard shape for per-entity sequential state in
+    batch (the streaming twin is applyInPandasWithState). The oracle
+    replays the identical recurrence with a DuckDB recursive CTE.
+    """
+    import pandas as pd
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_t", "_o"])
+        kept_rows = []
+        last = None
+        for t, o, u in zip(pdf["_t"], pdf["_o"], pdf["_u"]):
+            if last is None or t - last > gap_us:
+                kept_rows.append((u, o, t))
+                last = t
+        return pd.DataFrame(kept_rows, columns=["user_id", "event_id", "ts_us"])
+
+    prepped = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(order_col).alias("_o"),
+        F.unix_micros(F.col(ts_col)).alias("_t"),
+    )
+    return prepped.groupBy("_u").applyInPandas(scan, schema=DEBOUNCE_SCHEMA)

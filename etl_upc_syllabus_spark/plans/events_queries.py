@@ -105,3 +105,41 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
         (F.datediff("wk", "cw") / 7).cast("long").alias("week_offset"),
     ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+_DEBOUNCE_GAP_US = 2 * 3600 * 1_000_000  # 2h
+
+
+@query(
+    "events_debounce",
+    f"""
+    WITH RECURSIVE ord AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events),
+    deb AS (
+      SELECT user_id, event_id, t, rn, t AS last_kept, TRUE AS kept
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.t, o.rn,
+             CASE WHEN o.t - d.last_kept > {_DEBOUNCE_GAP_US}
+                  THEN o.t ELSE d.last_kept END,
+             o.t - d.last_kept > {_DEBOUNCE_GAP_US}
+      FROM ord o JOIN deb d ON o.user_id = d.user_id AND o.rn = d.rn + 1)
+    SELECT user_id, event_id, t AS ts_us FROM deb WHERE kept
+    """,
+    doc="True per-user debounce (keep only events > 2h after the last "
+    "KEPT event): a sequential recurrence over each user's timeline "
+    "that no window function expresses -- kept-ness depends on the "
+    "previous survivor, not the previous event. One user-key shuffle "
+    "into applyInPandas, each key's scan bounded by its own rows; the "
+    "oracle replays the identical recurrence as a DuckDB recursive CTE "
+    "(operators/sessions.py debounce). The per-key-sequential batch "
+    "twin of applyInPandasWithState.",
+    tags=("events", "debounce", "applyInPandas", "stateful"),
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sessions import debounce
+
+    ev = load_table(spark, sf_dir, "events")
+    return debounce(ev, gap_us=_DEBOUNCE_GAP_US)

@@ -688,3 +688,52 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.round((F.col("l_extendedprice") - mean) / std, 6).alias("z_price"),
     )
+
+
+@query(
+    "feature_quantile_bucket",
+    """
+    WITH q AS (SELECT quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS b
+               FROM lineitem),
+    rb AS (SELECT [round(b[1], 6), round(b[2], 6), round(b[3], 6)] AS b FROM q),
+    assigned AS (SELECT l_extendedprice AS x,
+                        1 + len(list_filter(rb.b, v -> l_extendedprice > v)) AS bucket
+                 FROM lineitem, rb)
+    SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n,
+           min(CAST(CAST(x AS DECIMAL(14,2)) AS VARCHAR)) AS lo_s,
+           max(CAST(CAST(x AS DECIMAL(14,2)) AS VARCHAR)) AS hi_s
+    FROM assigned GROUP BY 1
+    """,
+    doc="Quantile discretization (equi-depth bucketing, the "
+    "feature-engineering binning step): exact interpolated quartile "
+    "boundaries from ONE aggregation, broadcast as a 1-row scalar onto "
+    "the fact rows (the broadcast-of-scalar-aggregate pattern -- the "
+    "fact table is never sorted or shuffled for the assignment), bucket "
+    "via a HOF count-of-smaller-boundaries. Boundaries are rounded at "
+    "6 dp in both engines before comparison. Production swaps exact "
+    "percentile for approx_percentile at 100 TB; the plan shape is "
+    "identical.",
+    tags=("feature", "quantile", "bucketing"),
+)
+def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.agg(
+        F.array(
+            *[
+                F.round(F.expr(f"percentile(l_extendedprice, {p}D)"), 6)
+                for p in (0.25, 0.5, 0.75)
+            ]
+        ).alias("b")
+    )
+    assigned = li.select("l_extendedprice").crossJoin(F.broadcast(q)).select(
+        F.col("l_extendedprice").alias("x"),
+        (
+            1
+            + F.size(F.filter("b", lambda v: F.col("x") > v))
+        ).cast("long").alias("bucket"),
+    )
+    return assigned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("x").cast("decimal(14,2)").cast("string")).alias("lo_s"),
+        F.max(F.col("x").cast("decimal(14,2)").cast("string")).alias("hi_s"),
+    )

@@ -127,3 +127,26 @@ def test_funnel_strictly_after(spark):
     )
     row = funnel_reached(df, stages=("view", "click")).collect()[0]
     assert row["click_us"] == row["view_us"] + 5 * 1_000_000
+
+
+def test_debounce_compares_to_last_kept_not_last_event(spark):
+    from etl_upc_syllabus_spark.operators.sessions import debounce, sessionize
+
+    # t = 0, 5, 9 with gap 6: debounce keeps {0, 9} (9 - 0 > 6); the
+    # session-boundary rule would keep only {0} (no gap-to-previous > 6)
+    df = _ev(spark, [(1, 1, "view", 0, 0.0), (2, 1, "view", 5, 0.0), (3, 1, "view", 9, 0.0)])
+    gap = 6 * 1_000_000
+    kept = sorted(r["event_id"] for r in debounce(df, gap_us=gap).collect())
+    assert kept == [1, 3]
+    n_sessions = (
+        sessionize(df, gap_us=gap).agg(F.max("session_id")).collect()[0][0]
+    )
+    assert n_sessions == 1  # the rule genuinely differs
+
+
+def test_debounce_first_event_always_kept_per_user(spark):
+    from etl_upc_syllabus_spark.operators.sessions import debounce
+
+    df = _ev(spark, [(1, 1, "view", 0, 0.0), (2, 2, "view", 1, 0.0), (3, 2, "view", 2, 0.0)])
+    out = {(r["user_id"], r["event_id"]) for r in debounce(df, gap_us=10**9).collect()}
+    assert out == {(1, 1), (2, 2)}
