@@ -737,3 +737,43 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("x").cast("decimal(14,2)").cast("string")).alias("lo_s"),
         F.max(F.col("x").cast("decimal(14,2)").cast("string")).alias("hi_s"),
     )
+
+
+@query(
+    "source_schema_evolution",
+    """
+    SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS pop
+    FROM nation WHERE n_nationkey % 2 = 0
+    UNION ALL
+    SELECT n_nationkey, n_name, n_nationkey * 1000 AS pop
+    FROM nation WHERE n_nationkey % 2 = 1
+    """,
+    doc="Schema evolution on read: two parquet batches land with "
+    "DIFFERENT schemas (the second adds a `pop` column -- the standard "
+    "additive drift of a long-lived ingest), and a single "
+    "mergeSchema+recursiveFileLookup read reconciles them, NULL-filling "
+    "the pre-drift batch. The oracle spells the reconciliation "
+    "explicitly. At 100 TB this is why the reader declares "
+    "mergeSchema rather than trusting the first footer -- silent "
+    "column loss is the alternative. (Runtime schema-drift handling "
+    "for the events fixture itself lives in sources/tables.py "
+    "events_ts_kind.)",
+    tags=("source", "schema-evolution"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="spark_schema_evo_")
+    v1 = nation.filter(F.col("n_nationkey") % 2 == 0).select("n_nationkey", "n_name")
+    v2 = nation.filter(F.col("n_nationkey") % 2 == 1).select(
+        "n_nationkey", "n_name", (F.col("n_nationkey") * 1000).alias("pop")
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/batch1")
+    v2.write.mode("overwrite").parquet(f"{base}/batch2")
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    return back.select("n_nationkey", "n_name", F.col("pop").cast("long"))
