@@ -143,3 +143,60 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return debounce(ev, gap_us=_DEBOUNCE_GAP_US)
+
+
+@query(
+    "timeseries_gap_fill",
+    """
+    WITH f AS (SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders
+               WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM f),
+    allspine AS (SELECT CAST(gs.g AS DATE) AS d
+                 FROM generate_series(DATE '1992-01-01', DATE '2003-12-31',
+                                      INTERVAL 1 DAY) gs(g)),
+    spine AS (SELECT d FROM allspine, bounds WHERE d BETWEEN lo AND hi),
+    daily AS (SELECT d, CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS rev,
+                     count(*) AS n
+              FROM f GROUP BY 1),
+    j AS (SELECT s.d, daily.rev, coalesce(daily.n, 0) AS n_orders
+          FROM spine s LEFT JOIN daily USING (d))
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           coalesce(rev, 0.0) AS revenue,
+           n_orders,
+           CAST(CASE WHEN rev IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gap_filled,
+           coalesce(last_value(rev IGNORE NULLS)
+                    OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 0.0) AS ff_revenue
+    FROM j
+    """,
+    doc="Time-series gap filling: a calendar spine (sequence of every "
+    "day between the sparse series' bounds) left-joins the daily "
+    "aggregate, zero-fills missing days, and forward-fills the last "
+    "seen value with last(ignorenulls). The sequential window runs over "
+    "the AGGREGATED day spine (|days| rows, broadcast-scalar bounds), "
+    "never the fact table -- the fact pays one groupBy(day) exchange "
+    "regardless of scale. The classic warehouse densification step "
+    "before any rolling-window feature.",
+    tags=("timeseries", "gapfill", "window"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000)
+    ).select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+    daily = f.groupBy("d").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    bounds = f.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("d"))
+    j = spine.join(daily, "d", "left")
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return j.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.when(F.col("rev").isNull(), 1).otherwise(0).cast("long").alias("gap_filled"),
+        F.coalesce(F.last("rev", ignorenulls=True).over(w), F.lit(0.0)).alias("ff_revenue"),
+    )
