@@ -48,17 +48,30 @@ def pagerank(
     DuckDB oracle can replay the identical trajectory with unrolled
     CTEs.
     """
+    from pyspark import StorageLevel
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # contribution weight 1/deg: identical-operand division, exact in
-    # both engines. MATERIALIZED once (localCheckpoint): without this,
-    # every round's checkpoint action would re-run the upstream edge
-    # build (e.g. copurchase_edges' self-join + distinct) from scratch
-    # -- measured 3x the whole query's cost at sf0.1.
+    # both engines. MATERIALIZED once: without this, every round's
+    # action re-runs the upstream edge build (e.g. copurchase_edges'
+    # self-join + distinct) from scratch -- measured 3x the whole
+    # query's cost at sf0.1. persist(MEMORY_AND_DISK), NOT
+    # localCheckpoint: the edge list is the big loop invariant
+    # (~|edges| rows), and localCheckpoint truncates lineage, so a
+    # cache block evicted under memory pressure is unrecoverable --
+    # observed as 'Block rdd_N does not exist' executor failures at
+    # sf10. persist keeps the lineage for recompute, and DISK_ONLY
+    # keeps the big cache out of the unified memory pool entirely --
+    # MEMORY_AND_DISK's protected storage half starved the distinct's
+    # hash aggregate at sf10 (SparkOutOfMemoryError); one sequential
+    # disk read per round is the honest, bounded cost. localCheckpoint remains correct for the
+    # SMALL per-round rank vector below, where truncation is the
+    # point and the state always fits.
     w = (
         e.join(deg, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("wt"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.DISK_ONLY)
     )
     nodes = w.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
@@ -73,6 +86,10 @@ def pagerank(
         pr = s.select(
             "node", F.round(F.lit(base / n) + F.lit(damping) * F.col("s"), ROUND_DP).alias("pr")
         ).localCheckpoint(eager=True)
+    # the final pr is checkpoint-materialized and no longer references
+    # w's lineage; release the cached edge copy so repeated calls in
+    # one session don't accumulate storage
+    w.unpersist()
     return pr
 
 
