@@ -161,6 +161,11 @@ def fuzzy_match_pairs(
     with exact Levenshtein distance (integer, engine-portable). Names
     are deduplicated before pairing, so the pair space is over distinct
     entities, and name_a < name_b keeps each pair once.
+
+    ``block_col`` is evaluated against the deduplicated name column,
+    which is exposed as ``name`` -- e.g.
+    ``F.element_at(F.split(F.col("name"), " "), -1)`` blocks on the
+    last word.
     """
     names = (
         df.select(F.col(name_col).alias("name")).distinct().withColumn("blk", block_col)
