@@ -777,3 +777,32 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base)
     )
     return back.select("n_nationkey", "n_name", F.col("pop").cast("long"))
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH a AS (SELECT c_custkey, nullif(c_nationkey % 5, 0) AS k FROM customer),
+    b AS (SELECT n_nationkey, nullif(n_nationkey % 5, 0) AS k FROM nation)
+    SELECT coalesce(a.k, -1) AS k, count(*) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY 1
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): planted NULL "
+    "keys on both sides match each other instead of vanishing -- the "
+    "semantics entity-resolution joins need for optional keys. Spark "
+    "plans <=> as a hash join (null hashes to a bucket) rather than "
+    "the null-dropping equi-join; the small side broadcasts.",
+    tags=("join", "null-safe"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k")
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("k")
+    )
+    joined = cust.join(F.broadcast(nat), cust["k"].eqNullSafe(nat["k"]))
+    return joined.groupBy(F.coalesce(cust["k"], F.lit(-1)).alias("k")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
