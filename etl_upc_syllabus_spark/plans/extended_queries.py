@@ -710,17 +710,26 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the fact rows (the broadcast-of-scalar-aggregate pattern -- the "
     "fact table is never sorted or shuffled for the assignment), bucket "
     "via a HOF count-of-smaller-boundaries. Boundaries are rounded at "
-    "6 dp in both engines before comparison. Production swaps exact "
-    "percentile for approx_percentile at 100 TB; the plan shape is "
-    "identical.",
+    "6 dp in both engines before comparison. The percentile input is "
+    "the (value, frequency) pre-aggregate -- bounded by the distinct "
+    "domain, not the row count -- so the exact path survives scale; "
+    "unbounded-domain columns swap in approx_percentile, same plan "
+    "shape.",
     tags=("feature", "quantile", "bucketing"),
 )
 def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    q = li.agg(
+    # exact percentile over the (value, frequency) pre-aggregate, not
+    # the raw rows: Spark's exact percentile materializes a per-task
+    # value->count map, and feeding it 60M raw rows OOMed the sf10
+    # bench; the distinct-value domain is bounded (prices), so one
+    # cheap groupBy turns the percentile input into |distinct| rows
+    # with identical semantics (frequency-weighted exact percentile).
+    vc = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("cnt"))
+    q = vc.agg(
         F.array(
             *[
-                F.round(F.expr(f"percentile(l_extendedprice, {p}D)"), 6)
+                F.round(F.expr(f"percentile(l_extendedprice, {p}D, cnt)"), 6)
                 for p in (0.25, 0.5, 0.75)
             ]
         ).alias("b")
