@@ -421,3 +421,49 @@ def detect_scene_changes(media: DataFrame, cut_mean_threshold: int = 20) -> Data
 
     videos = media.filter(F.col("media_type") == "video").select("doc_id", "payload")
     return videos.mapInPandas(scene_batches, schema=SCENE_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id bigint, src_w bigint, src_h bigint, ahash string"
+
+
+def perceptual_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprints.
+
+    REAL kernel: decode (PNG or BMP), nearest-neighbor resample to
+    ``grid`` x ``grid``, then one bit per cell -- 1 iff the cell
+    exceeds the thumbnail mean. The mean compare is exact integer
+    arithmetic (px * grid^2 > sum), so the hash is bit-identical in
+    the SQL oracle with no float anywhere.
+
+    This is the container-independent image-dedup primitive: the SAME
+    pixels encoded as PNG and as BMP produce the SAME ahash (proven in
+    tests), so grouping by ahash catches re-encoded/duplicate images
+    the byte-level exact dedup can never see. Near-dup extends by
+    hamming distance over the bit string -- same banding trick as
+    SimHash. Image rows only; Arrow-batched.
+    """
+    n_cells = grid * grid
+
+    def ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                kind = sniff(raw)
+                W, H, _, px = decode_png(raw) if kind == "png" else decode_bmp(raw)
+                cells = [
+                    px[(y * H // grid) * W + (x * W // grid)]
+                    for y in range(grid)
+                    for x in range(grid)
+                ]
+                s = sum(cells)
+                ids.append(doc_id)
+                ws.append(W)
+                hs.append(H)
+                hashes.append("".join("1" if c * n_cells > s else "0" for c in cells))
+            yield pd.DataFrame(
+                {"doc_id": ids, "src_w": ws, "src_h": hs, "ahash": hashes}
+            )
+
+    images = media.filter(F.col("media_type") == "image").select("doc_id", "payload")
+    return images.mapInPandas(ahash_batches, schema=AHASH_SCHEMA)

@@ -245,3 +245,39 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_scene_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return detect_scene_changes(as_media_table(docs, "doc_id", "text"))
+
+
+@query(
+    "multimodal_image_ahash",
+    """
+    WITH imgs AS (
+      SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    cells AS (
+      SELECT i.doc_id, i.w, i.h, g.range AS cell,
+             (i.doc_id + ((g.range // 8) * i.h // 8) * i.w
+                       + ((g.range % 8) * i.w // 8)) % 95 + 32 AS val
+      FROM imgs i, range(64) g),
+    sums AS (SELECT doc_id, sum(val) AS s FROM cells GROUP BY 1)
+    SELECT c.doc_id, CAST(c.w AS BIGINT) AS src_w, CAST(c.h AS BIGINT) AS src_h,
+           string_agg(CASE WHEN c.val * 64 > m.s THEN '1' ELSE '0' END,
+                      '' ORDER BY c.cell) AS ahash
+    FROM cells c JOIN sums m USING (doc_id)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Perceptual average-hash over REAL PNG/BMP decode: 8x8 "
+    "nearest-neighbor thumbnail, one bit per cell via EXACT integer "
+    "mean compare (px*64 > sum) -- the container-independent image "
+    "fingerprint (identical pixels hash identically from either "
+    "codec, proven in tests), so ahash-groupBy catches re-encoded "
+    "duplicates byte-exact dedup cannot. Near-dup extends by hamming "
+    "banding, the SimHash trick. The oracle reconstructs the same "
+    "bits from the generation formula "
+    "(operators/multimodal.py perceptual_ahash).",
+    tags=("multimodal", "image", "dedup", "mapInPandas"),
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import perceptual_ahash
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return perceptual_ahash(as_media_table(docs, "doc_id", "text"))

@@ -295,3 +295,26 @@ def test_scene_change_single_frame_video_emits_nothing(spark):
         "doc_id long, media_type string, payload binary",
     )
     assert detect_scene_changes(media).count() == 0
+
+
+def test_ahash_container_independent(spark):
+    from etl_upc_syllabus_spark.operators.multimodal import perceptual_ahash
+
+    w, h = 10, 7
+    px = bytes((x * 23 + y * 7) % 200 for y in range(h) for x in range(w))
+    other = bytes(255 - b for b in px)
+    media = spark.createDataFrame(
+        [
+            (1, "image", encode_png(w, h, px)),
+            (2, "image", encode_bmp(w, h, px)),   # same pixels, other codec
+            (3, "image", encode_png(w, h, other)),
+            (4, "video", b"ignored"),
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in perceptual_ahash(media).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["ahash"] == rows[2]["ahash"]  # container-independent
+    assert rows[1]["ahash"] != rows[3]["ahash"]
+    assert len(rows[1]["ahash"]) == 64 and set(rows[1]["ahash"]) <= {"0", "1"}
+    assert (rows[1]["src_w"], rows[1]["src_h"]) == (w, h)
