@@ -281,3 +281,40 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return perceptual_ahash(as_media_table(docs, "doc_id", "text"))
+
+
+@query(
+    "multimodal_audio_fingerprint",
+    """
+    WITH auds AS (
+      SELECT doc_id, doc_id % 97 + 16 AS n
+      FROM documents WHERE doc_id % 3 = 1),
+    samp AS (
+      SELECT a.doc_id, g.range AS i, g.range // 8 AS f,
+             (a.doc_id * 3 + g.range) % 95 + 32 AS val
+      FROM auds a JOIN range(112) g ON g.range < (a.n // 8) * 8),
+    frames AS (SELECT doc_id, f, sum(val) AS e FROM samp GROUP BY 1, 2),
+    bits AS (SELECT cur.doc_id, cur.f,
+                    CASE WHEN nxt.e > cur.e THEN '1' ELSE '0' END AS b
+             FROM frames cur JOIN frames nxt
+               ON nxt.doc_id = cur.doc_id AND nxt.f = cur.f + 1)
+    SELECT a.doc_id, CAST(a.n AS BIGINT) AS n_samples,
+           CAST(a.n // 8 AS BIGINT) AS n_frames,
+           coalesce(string_agg(b.b, '' ORDER BY b.f), '') AS fingerprint
+    FROM auds a LEFT JOIN bits b USING (doc_id)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Audio fingerprinting over REAL RIFF/WAVE decode: 8-sample "
+    "energy windows, one bit per adjacent-window energy delta "
+    "(integer-exact, the Chromaprint quantization reduced to its "
+    "deterministic core). Container-independent like the image aHash; "
+    "near-dup matching extends by hamming banding. The oracle "
+    "reconstructs the identical bit strings from the generation "
+    "formula (operators/multimodal.py audio_fingerprint).",
+    tags=("multimodal", "audio", "dedup", "mapInPandas"),
+)
+def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_fingerprint
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    return audio_fingerprint(as_media_table(docs, "doc_id", "text"))

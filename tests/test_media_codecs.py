@@ -318,3 +318,20 @@ def test_ahash_container_independent(spark):
     assert rows[1]["ahash"] != rows[3]["ahash"]
     assert len(rows[1]["ahash"]) == 64 and set(rows[1]["ahash"]) <= {"0", "1"}
     assert (rows[1]["src_w"], rows[1]["src_h"]) == (w, h)
+
+
+def test_audio_fingerprint_energy_deltas(spark):
+    from etl_upc_syllabus_spark.operators.multimodal import audio_fingerprint
+
+    # 24 samples = 3 full windows: energies 8*10, 8*200, 8*50 -> bits "10"
+    pcm = bytes([10] * 8 + [200] * 8 + [50] * 8)
+    short = bytes([99] * 7)  # 0 full windows -> empty fingerprint
+    media = spark.createDataFrame(
+        [(1, "audio", encode_wav(pcm)), (2, "audio", encode_wav(short)),
+         (3, "image", b"ignored")],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in audio_fingerprint(media).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["fingerprint"] == "10" and rows[1]["n_frames"] == 3
+    assert rows[2]["fingerprint"] == "" and rows[2]["n_frames"] == 0
