@@ -464,3 +464,67 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("score"),
         F.when(score > 0.5, "keep").otherwise("drop").alias("label"),
     )
+
+
+@query(
+    "text_bm25_topk",
+    f"""
+    WITH dl AS (SELECT doc_id, {fr.N_TOKENS} AS dl FROM documents),
+    stats AS (SELECT sum(dl) AS t, count(*) AS n FROM dl),
+    tok AS (SELECT doc_id, unnest({fr.TOKENS}) AS term FROM documents),
+    q AS (SELECT doc_id, term, count(*) AS tf
+          FROM tok WHERE term IN ('spark', 'join', 'fast')
+          GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM q GROUP BY term),
+    scored AS (
+      SELECT q.doc_id,
+             (((s.n - d.df + 1) * 1000000 // (d.df + 1))
+              * (22 * s.t * q.tf))
+             // (10 * s.t * q.tf + 3 * s.t + 9 * l.dl * s.n) AS s_term
+      FROM q JOIN dfreq d USING (term)
+             JOIN dl l USING (doc_id)
+             CROSS JOIN stats s)
+    SELECT doc_id, CAST(sum(s_term) AS BIGINT) AS bm25_scaled
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25_scaled DESC, doc_id
+    LIMIT 20
+    """,
+    doc="BM25 retrieval scoring (k1=1.2, b=0.75), the production sparse "
+    "ranker: per-term score with document-length normalization, every "
+    "operand INTEGER -- k1/b rationals are cleared by scaling numerator "
+    "and denominator by 10*T (num = 22*T*tf; den = 10*T*tf + 3*T + "
+    "9*dl*N), idf is the integer-ratio surrogate of text_tfidf_topk -- "
+    "so both engines agree bit-for-bit with no log/float anywhere. "
+    "Corpus stats (T, N) are a broadcast scalar; df broadcasts; the "
+    "term filter prunes before any shuffle; top-k is TakeOrdered. "
+    "(Rare-term overflow bound: idf_scaled*num < 2^63 holds for the "
+    "common-term queries this models; DECIMAL(38) is the escape hatch.)",
+    tags=("text", "retrieval", "bm25"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    dl = d.select("doc_id", ta.token_count("text").alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("t"), F.count(F.lit(1)).alias("n"))
+    tok = d.select("doc_id", F.explode(ta.tokens("text")).alias("term")).filter(
+        F.col("term").isin(*_QUERY_TERMS)
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "(((n - df + 1) * 1000000 div (df + 1)) * (22 * t * tf))"
+                " div (10 * t * tf + 3 * t + 9 * dl * n)"
+            ).alias("s_term"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s_term").cast("long").alias("bm25_scaled"))
+        .orderBy(F.desc("bm25_scaled"), "doc_id")
+        .limit(20)
+    )
