@@ -22,6 +22,7 @@ files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     as_media_table,
@@ -318,3 +319,42 @@ def multimodal_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return audio_fingerprint(as_media_table(docs, "doc_id", "text"))
+
+
+@query(
+    "multimodal_dedup_e2e",
+    """
+    WITH imgs AS (
+      SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    cells AS (
+      SELECT i.doc_id, g.range AS cell,
+             (i.doc_id + ((g.range // 8) * i.h // 8) * i.w
+                       + ((g.range % 8) * i.w // 8)) % 95 + 32 AS val
+      FROM imgs i, range(64) g),
+    sums AS (SELECT doc_id, sum(val) AS s FROM cells GROUP BY 1),
+    hashes AS (
+      SELECT c.doc_id,
+             string_agg(CASE WHEN c.val * 64 > m.s THEN '1' ELSE '0' END,
+                        '' ORDER BY c.cell) AS ahash
+      FROM cells c JOIN sums m USING (doc_id) GROUP BY c.doc_id)
+    SELECT ahash, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM hashes GROUP BY ahash
+    """,
+    doc="End-to-end perceptual image dedup: REAL decode -> aHash -> "
+    "group by fingerprint -> min-id survivor per group (the exact-dedup "
+    "keeper rule applied to perceptual identity). One Arrow decode pass "
+    "+ one 8-byte-key shuffle; re-encoded duplicates (same pixels, "
+    "different container/bytes) collapse where byte-level dedup sees "
+    "distinct blobs. The production near-dup extension bands the hash "
+    "for hamming-tolerant grouping, the SimHash pipeline shape.",
+    tags=("multimodal", "image", "dedup", "e2e"),
+)
+def multimodal_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import perceptual_ahash
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    hashes = perceptual_ahash(as_media_table(docs, "doc_id", "text"))
+    return hashes.groupBy("ahash").agg(
+        F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies")
+    )

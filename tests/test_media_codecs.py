@@ -335,3 +335,24 @@ def test_audio_fingerprint_energy_deltas(spark):
     assert set(rows) == {1, 2}
     assert rows[1]["fingerprint"] == "10" and rows[1]["n_frames"] == 3
     assert rows[2]["fingerprint"] == "" and rows[2]["n_frames"] == 0
+
+
+def test_multimodal_dedup_e2e_collapses_reencoded(spark):
+    from etl_upc_syllabus_spark.operators.multimodal import perceptual_ahash
+    from pyspark.sql import functions as F
+
+    w, h = 8, 8
+    px = bytes((x * 31 + y * 3) % 180 for y in range(h) for x in range(w))
+    media = spark.createDataFrame(
+        [(1, "image", encode_png(w, h, px)), (2, "image", encode_bmp(w, h, px)),
+         (3, "image", encode_png(w, h, bytes(255 - b for b in px)))],
+        "doc_id long, media_type string, payload binary",
+    )
+    groups = (
+        perceptual_ahash(media)
+        .groupBy("ahash")
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_n = sorted((r["n"], r["keeper"]) for r in groups)
+    assert by_n == [(1, 3), (2, 1)]  # PNG+BMP twins collapse, keeper = min id
