@@ -200,3 +200,102 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rev").isNull(), 1).otherwise(0).cast("long").alias("gap_filled"),
         F.coalesce(F.last("rev", ignorenulls=True).over(w), F.lit(0.0)).alias("ff_revenue"),
     )
+
+
+@query(
+    "events_rfm_segmentation",
+    """
+    WITH maxts AS (SELECT max(epoch_us(ts)) AS now_us FROM events
+                   WHERE event_type = 'purchase'),
+    rfm AS (
+      SELECT user_id,
+             CAST((m.now_us - max(epoch_us(ts))) // 86400000000 AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      FROM events, maxts m
+      WHERE event_type = 'purchase'
+      GROUP BY user_id, m.now_us)
+    SELECT user_id, recency_days, frequency, monetary,
+           CASE WHEN recency_days <= 3 AND frequency >= 15 THEN 'champion'
+                WHEN recency_days <= 7 THEN 'active'
+                WHEN frequency >= 10 THEN 'loyal_lapsing'
+                ELSE 'at_risk' END AS segment
+    FROM rfm
+    """,
+    doc="RFM segmentation (recency / frequency / monetary per customer "
+    "with fixed deterministic band thresholds): one filtered aggregate "
+    "over purchases plus the broadcast-scalar corpus max-timestamp -- "
+    "the classic entity-scoring shape; the purchase filter pushes to "
+    "the scan, and the events table shuffles once on the user key.",
+    tags=("events", "rfm", "segmentation"),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t_us"), "value"
+    )
+    now = purchases.agg(F.max("t_us").alias("now_us"))
+    rfm = (
+        purchases.crossJoin(F.broadcast(now))
+        .groupBy("user_id", "now_us")
+        .agg(
+            F.max("t_us").alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.expr("(now_us - last_us) div 86400000000").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    seg = (
+        F.when((F.col("recency_days") <= 3) & (F.col("frequency") >= 15), "champion")
+        .when(F.col("recency_days") <= 7, "active")
+        .when(F.col("frequency") >= 10, "loyal_lapsing")
+        .otherwise("at_risk")
+    )
+    return rfm.select("user_id", "recency_days", "frequency", "monetary", seg.alias("segment"))
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    pairs AS (SELECT from_type, to_type, count(*) AS n
+              FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    totals AS (SELECT from_type, sum(n) AS n_from FROM pairs GROUP BY 1)
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(p.n * 1000000 // t.n_from AS BIGINT) AS prob_ppm
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+    doc="Behavioral Markov transition matrix: per-user event bigrams "
+    "(lead over the user-keyed timeline -- the same single exchange "
+    "sessionization pays), counted into a |types|^2 matrix with "
+    "integer-exact ppm transition probabilities (n * 1e6 div n_from, "
+    "no float). The sequence-model foundation for next-event "
+    "prediction and anomalous-flow detection.",
+    tags=("events", "markov", "sequence"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000 div n_from").cast("long").alias("prob_ppm"),
+    )

@@ -220,3 +220,52 @@ def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pq_encode(emb).select(
         F.col("id").alias("vec_id"), "sub", "code", "dist"
     )
+
+
+@query(
+    "embedding_outlier_detection",
+    f"""
+    WITH {fr.dims_cte()},
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    cent AS (SELECT l.label, d.i, round(avg(d.x), 6) AS cx
+             FROM dims d JOIN lbl l USING (vec_id) GROUP BY 1, 2),
+    dist AS (SELECT d.vec_id, l.label,
+                    round(sum((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+             FROM dims d JOIN lbl l USING (vec_id)
+                         JOIN cent c ON c.label = l.label AND c.i = d.i
+             GROUP BY 1, 2)
+    SELECT vec_id, CAST(label AS BIGINT) AS label, dist,
+           CAST(CASE WHEN rn <= 5 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY dist DESC, vec_id) AS rn
+          FROM dist)
+    """,
+    doc="Embedding-space quality control: per-label centroid (rounded "
+    "elementwise mean, the kmeans fence), per-vector squared distance "
+    "to its own centroid, top-5-farthest-per-label flagged as outliers "
+    "(rank-based -- no threshold tuning, deterministic ties by id). "
+    "The training-data filter that catches mislabeled/corrupted "
+    "vectors; centroids are a narrow (label, dim) aggregate broadcast "
+    "back, the corpus shuffles once.",
+    tags=("similarity", "embedding", "outlier", "qc"),
+)
+def embedding_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "label", "i", F.col("xf").cast("double").alias("x"))
+    cent = dims.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("cx"))
+    dist = (
+        dims.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sum((F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))), 6).alias("dist"))
+    )
+    w = W.partitionBy("label").orderBy(F.desc("dist"), "vec_id")
+    return dist.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        "dist",
+        F.when(F.col("rn") <= 5, 1).otherwise(0).cast("long").alias("is_outlier"),
+    )
