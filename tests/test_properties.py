@@ -100,3 +100,78 @@ def test_calendar_invariant_under_row_order(spark):
         cal = assemble.weekly_calendar(df)
         results.append([(r["week"], tuple(r["lines"])) for r in cal.collect()])
     assert results[0] == results[1] == results[2]
+
+
+# ---- session-operator properties (hypothesis) ---------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _event_offsets(draw):
+    # up to 3 users, each with up to 12 events at second offsets; ties allowed
+    n = draw(st.integers(1, 12))
+    users = draw(st.lists(st.integers(1, 3), min_size=n, max_size=n))
+    offs = draw(st.lists(st.integers(0, 5000), min_size=n, max_size=n))
+    return list(zip(range(1, n + 1), users, offs))
+
+
+def _py_debounce(rows, gap_us):
+    """Reference implementation: per-user sequential keep-if-gap scan."""
+    kept = set()
+    byuser: dict = {}
+    for eid, uid, off in rows:
+        byuser.setdefault(uid, []).append((off * 1_000_000, eid))
+    for uid, evs in byuser.items():
+        last = None
+        for t, eid in sorted(evs):
+            if last is None or t - last > gap_us:
+                kept.add(eid)
+                last = t
+    return kept
+
+
+@settings(max_examples=15, deadline=None)
+@given(_event_offsets(), st.integers(1, 600))
+def test_debounce_matches_python_reference(spark, rows, gap_s):
+    import datetime as dt
+
+    from etl_upc_syllabus_spark.operators.sessions import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(eid, t0 + dt.timedelta(seconds=off), uid) for eid, uid, off in rows],
+        "event_id long, ts timestamp, user_id long",
+    )
+    gap_us = gap_s * 1_000_000
+    got = {r["event_id"] for r in debounce(df, gap_us=gap_us).collect()}
+    assert got == _py_debounce(rows, gap_us)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_event_offsets())
+def test_sessionize_invariants(spark, rows):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_upc_syllabus_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(eid, t0 + dt.timedelta(seconds=off), uid) for eid, uid, off in rows],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = sessionize(df, gap_us=300 * 1_000_000).collect()
+    assert len(out) == len(rows)  # sessionize never drops or duplicates rows
+    by_user: dict = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append((r["ts_us"], r["event_id"], r["session_id"]))
+    for evs in by_user.values():
+        sids = [s for _, _, s in sorted(evs)]
+        # session ids start at 1, are monotone non-decreasing in time
+        # order, and never jump by more than 1
+        assert sids[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(sids, sids[1:]))
