@@ -815,3 +815,115 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.coalesce(cust["k"], F.lit(-1)).alias("k")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+@query(
+    "dq_expectations_audit",
+    """
+    SELECT 'qty_in_range' AS rule, count(*) AS n_checked,
+           CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_positive', count(*),
+           CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_unit_interval', count(*),
+           CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 1.0
+                         THEN 0 ELSE 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'returnflag_domain', count(*),
+           CAST(sum(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                         THEN 0 ELSE 1 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderkey_not_null', count(*),
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'fk_order_exists', count(*),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    FROM lineitem
+    """,
+    doc="Data-contract validation (expectations audit): range, domain, "
+    "null, and referential-integrity rules evaluated as counting "
+    "aggregates -- the row-level rules fuse into single scans "
+    "(conditional sums, no per-rule rescans of the checked columns), "
+    "and the FK orphan check is a left-anti join against the parent "
+    "keys, never a row-by-row lookup. The landing-gate every ingest "
+    "runs before publishing a partition; violations quarantine rather "
+    "than fail (the P7 philosophy applied to relational contracts).",
+    tags=("dq", "expectations", "audit"),
+)
+def dq_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    viol = lambda ok: F.sum(F.when(ok, 0).otherwise(1)).cast("long")  # noqa: E731
+    rules = [
+        ("qty_in_range", F.col("l_quantity").between(1, 50)),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("discount_unit_interval", F.col("l_discount").between(0.0, 1.0)),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+        ("orderkey_not_null", F.col("l_orderkey").isNotNull()),
+    ]
+    row = li.agg(
+        n.alias("_n"),
+        *[viol(ok).alias(f"_v_{name}") for name, ok in rules],
+    )
+    structs = [
+        F.struct(
+            F.lit(name).alias("rule"),
+            F.col("_n").alias("n_checked"),
+            F.col(f"_v_{name}").alias("n_violations"),
+        )
+        for name, _ in rules
+    ]
+    scalar_rules = row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+    orphans = (
+        li.join(orders.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
+    fk = (
+        li.agg(n.alias("n_checked"))
+        .crossJoin(F.broadcast(orphans))
+        .select(F.lit("fk_order_exists").alias("rule"), "n_checked", "n_violations")
+    )
+    return scalar_rules.unionByName(fk)
+
+
+@query(
+    "privacy_k_anonymity",
+    """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+      FROM customer GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, class_size,
+           CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS below_k
+    FROM classes
+    """,
+    doc="k-anonymity audit (k=5) over the quasi-identifier tuple "
+    "(nation, market segment): every equivalence class's size plus a "
+    "below-k flag -- classes smaller than k re-identify individuals "
+    "and must be suppressed or generalized before release. One "
+    "groupBy; the privacy gate a dataset passes before leaving the "
+    "trust boundary, complementing the PII scrub (which handles "
+    "direct identifiers; this handles linkage risk).",
+    tags=("privacy", "k-anonymity", "governance"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            F.when(F.col("class_size") < 5, 1).otherwise(0).cast("long").alias("below_k"),
+        )
+    )
