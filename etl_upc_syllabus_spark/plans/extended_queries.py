@@ -927,3 +927,46 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("class_size") < 5, 1).otherwise(0).cast("long").alias("below_k"),
         )
     )
+
+
+def _zorder_expr() -> str:
+    """Bit-interleave of two 10-bit keys (shared Spark/DuckDB SQL text)."""
+    return " + ".join(
+        f"(((pk >> {b}) & 1) << {2 * b}) + (((sk >> {b}) & 1) << {2 * b + 1})"
+        for b in range(10)
+    )
+
+
+@query(
+    "layout_zorder_key",
+    f"""
+    WITH keys AS (SELECT l_orderkey, l_linenumber,
+                         l_partkey % 1024 AS pk, l_suppkey % 1024 AS sk
+                  FROM lineitem)
+    SELECT l_orderkey, l_linenumber,
+           CAST(pk AS BIGINT) AS pk, CAST(sk AS BIGINT) AS sk,
+           CAST({{z}} AS BIGINT) AS zkey
+    FROM keys
+    """.replace("{z}", _zorder_expr()),
+    doc="Z-order (Morton) clustering key: bit-interleave of two 10-bit "
+    "dimension keys, pure integer shifts identical in both engines. "
+    "Writing a table sorted by zkey co-locates rows close in BOTH "
+    "dimensions into the same files, so min/max file statistics prune "
+    "2-D range predicates -- the Delta OPTIMIZE ZORDER layout, "
+    "expressed as a derivable column any writer can sortWithinPartitions "
+    "by. The query materializes the key itself (value-checkable); the "
+    "pruning effect is a property of the files it orders.",
+    tags=("layout", "zorder", "pruning"),
+)
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 1024).cast("long").alias("pk"),
+        (F.col("l_suppkey") % 1024).cast("long").alias("sk"),
+    )
+    return keys.select(
+        "l_orderkey", "l_linenumber", "pk", "sk",
+        F.expr(_zorder_expr()).cast("long").alias("zkey"),
+    )
