@@ -66,6 +66,7 @@ def _load_all() -> None:
     tiers (see ``all_specs``); modules whose queries still need a first
     driver verdict are imported first.
     """
+    from . import stats_queries  # noqa: F401
     from . import events_queries  # noqa: F401
     from . import graph_queries  # noqa: F401
     from . import curation_queries  # noqa: F401

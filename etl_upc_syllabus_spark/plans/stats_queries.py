@@ -1,0 +1,290 @@
+"""Statistical-analytics queries: closed-form regression, A/B test
+inference, Benford data-quality audit, and robust (MAD) anomaly flags.
+
+Cross-engine determinism strategy (the reason these hash-match):
+
+- every corpus-sized SUM that feeds later arithmetic is either an
+  exact integer/DECIMAL aggregate (bit-identical across engines) or a
+  per-group double sum rounded at a fixed dp (the repo-wide q1
+  convention, registry.py ground rules);
+- once the aggregates are exact-and-identical, the closed-form math
+  (multiply / subtract / divide / sqrt) is IEEE-754 correctly-rounded
+  in both engines, so the *derived statistics are bit-identical* --
+  only transcendental functions (ln) need a rounding fence.
+
+The reference has no statistics surface at all; this is part of the
+engine-completion layer the blueprint's phase 3 calls for
+(SURVEY.md section 7).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import fan_out, load_table
+from .registry import query
+
+# month index since 1992-01: identical integer expression both engines
+_MONTH_SPARK = "(year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1"
+_MONTH_SQL = "(year(l_shipdate) - 1992) * 12 + month(l_shipdate) - 1"
+
+
+@query(
+    "stats_linear_regression",
+    f"""
+    WITH monthly AS (
+      SELECT CAST({_MONTH_SQL} AS BIGINT) AS m,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2)
+                  AS DECIMAL(18,2)) AS y
+      FROM lineitem GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE)            AS n,
+             CAST(sum(m) AS DOUBLE)              AS sx,
+             CAST(sum(y) AS DOUBLE)              AS sy,
+             CAST(sum(m * y) AS DOUBLE)          AS sxy,
+             CAST(sum(m * m) AS DOUBLE)          AS sxx,
+             -- DECIMAL(19) operands force DuckDB onto int128 decimal
+             -- multiply (18+18 stays int64 and overflows at sf>=0.01);
+             -- 19+19=38 is still inside DuckDB's width cap
+             CAST(sum(CAST(y AS DECIMAL(19,2)) * CAST(y AS DECIMAL(19,2)))
+                  AS DOUBLE)                     AS syy
+      FROM monthly)
+    SELECT CAST(n AS BIGINT) AS n_months,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Ordinary-least-squares trend of monthly revenue vs month index, "
+    "closed form from ONE pass of map-combinable sums (n, Sx, Sy, Sxy, "
+    "Sxx, Syy) -- the distributed-regression shape: partial sums "
+    "combine associatively, so 100 TB needs one scan + one 6-number "
+    "reduce, no driver iteration. Parity design: the monthly sums are "
+    "exact DECIMAL (engine-identical), cast once to double, and every "
+    "later op is IEEE-deterministic, so slope/intercept/r2 are "
+    "bit-identical before the display rounding.",
+    tags=("stats", "regression", "analytics"),
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(F.expr(_MONTH_SPARK).cast("long").alias("m")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .cast("decimal(18,2)")
+        .alias("y")
+    )
+    s = monthly.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("m").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("m") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return s.select(
+        n.cast("long").alias("n_months"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
+@query(
+    "stats_ab_test_ztest",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 180
+                 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1, 2),
+    v AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+             CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS DOUBLE) AS c0,
+             CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS DOUBLE) AS c1
+      FROM u),
+    z AS (
+      SELECT n0, n1, c0, c1,
+             (c1 / n1 - c0 / n0)
+               / sqrt((c0 + c1) / (n0 + n1) * (1 - (c0 + c1) / (n0 + n1))
+                      * (1 / n0 + 1 / n1)) AS zs
+      FROM v)
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
+           CAST(c0 AS BIGINT) AS conv_control, CAST(c1 AS BIGINT) AS conv_treatment,
+           round(c0 / n0, 6) AS rate_control, round(c1 / n1, 6) AS rate_treatment,
+           round(zs, 6) AS z_score,
+           CAST(CASE WHEN abs(zs) > 1.959964 THEN 1 ELSE 0 END AS BIGINT)
+             AS significant_95
+    FROM z
+    """,
+    doc="Two-proportion pooled z-test over the events stream (variant = "
+    "user parity, conversion = a high-value purchase -- the plain "
+    "purchase flag saturates at rate 1.0 in this fixture, degenerating "
+    "the pooled variance to 0): per-user collapse, "
+    "4-counter conditional aggregate, closed-form z. The experimentation "
+    "readout every event pipeline needs; at 100 TB it is one per-user "
+    "shuffle then a scalar reduce. All counters are exact integers, so "
+    "the z statistic is bit-identical across engines (IEEE div/sqrt); "
+    "the significance flag compares the unrounded value.",
+    tags=("stats", "abtest", "events"),
+)
+def stats_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).cast("long").alias("variant")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 180), 1
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    v = u.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("double").alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("double")
+        .alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("double")
+        .alias("c1"),
+    )
+    n0, n1, c0, c1 = F.col("n0"), F.col("n1"), F.col("c0"), F.col("c1")
+    pp = (c0 + c1) / (n0 + n1)
+    zs = (c1 / n1 - c0 / n0) / F.sqrt(pp * (1 - pp) * (1 / n0 + 1 / n1))
+    return v.select(
+        n0.cast("long").alias("n_control"),
+        n1.cast("long").alias("n_treatment"),
+        c0.cast("long").alias("conv_control"),
+        c1.cast("long").alias("conv_treatment"),
+        F.round(c0 / n0, 6).alias("rate_control"),
+        F.round(c1 / n1, 6).alias("rate_treatment"),
+        F.round(zs, 6).alias("z_score"),
+        F.when(F.abs(zs) > 1.959964, 1).otherwise(0).cast("long").alias("significant_95"),
+    )
+
+
+# Benford expectations ln(1+1/d)/ln(10), rounded 6 dp in Python once and
+# inlined as literals in BOTH engines -- no cross-engine ln() at all.
+_BENFORD = {d: round(math.log10(1 + 1 / d), 6) for d in range(1, 10)}
+
+
+@query(
+    "dq_benford_first_digit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM lineitem),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM obs),
+    exp(digit, e) AS (VALUES {", ".join(f"({d}, {e})" for d, e in _BENFORD.items())})
+    SELECT o.digit, o.n,
+           round(o.n / t.t, 6) AS observed_pct,
+           e.e AS benford_pct,
+           round((o.n - t.t * e.e) * (o.n - t.t * e.e) / (t.t * e.e), 6)
+             AS chi2_term
+    FROM obs o JOIN exp e ON e.digit = o.digit CROSS JOIN tot t
+    """,
+    doc="Benford first-significant-digit audit of the price column: "
+    "digit histogram vs the log expectation, per-digit chi-square "
+    "contribution. The data-quality screen for fabricated/truncated "
+    "numeric feeds. First digit is taken from the exact cents INTEGER "
+    "(int-to-string is engine-stable; no float formatting), Benford "
+    "expectations are Python-rounded literals, so no transcendental is "
+    "evaluated inside either engine. One scan + a 9-row reduce at any "
+    "scale. TPC-H prices are range-bounded so the audit correctly "
+    "reports a Benford violation -- the point of the check.",
+    tags=("dq", "benford", "audit"),
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    digits = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    exp = spark.createDataFrame(
+        [(d, e) for d, e in _BENFORD.items()], "digit BIGINT, e DOUBLE"
+    )
+    o = obs.join(F.broadcast(exp), "digit").crossJoin(F.broadcast(tot))
+    dev = F.col("n") - F.col("t") * F.col("e")
+    return o.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("observed_pct"),
+        F.col("e").alias("benford_pct"),
+        F.round(dev * dev / (F.col("t") * F.col("e")), 6).alias("chi2_term"),
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, round(quantile_cont(d, 0.5), 6) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type,
+           round(d.value, 6) AS value,
+           round(d.d / (1.4826 * m.mad), 4) AS mad_score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.d / (1.4826 * m.mad) > 3.0
+    """,
+    doc="Robust per-type anomaly flags: median / MAD (the "
+    "outlier-insensitive z-score) with flag at 3 sigma-equivalents. "
+    "Both medians run over the (value, frequency) pre-aggregate -- "
+    "bounded by the distinct domain, the same sf10-OOM fix as "
+    "feature_quantile_bucket -- and are rounded at 6 dp, after which "
+    "the score arithmetic is IEEE-identical in both engines, so the "
+    ">3.0 cut has no boundary risk. The monitoring primitive for "
+    "metric streams: two narrow aggregates + two broadcast joins back.",
+    tags=("stats", "anomaly", "mad", "events"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = fan_out(load_table(spark, sf_dir, "events"))
+
+    def wmedian(df: DataFrame, col: str, out: str) -> DataFrame:
+        vc = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("cnt"))
+        return vc.groupBy("event_type").agg(
+            F.round(F.expr(f"percentile({col}, 0.5D, cnt)"), 6).alias(out)
+        )
+
+    med = wmedian(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("d"),
+    )
+    mad = wmedian(dev, "d", "mad")
+    score = F.col("d") / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(score > 3.0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(score, 4).alias("mad_score"),
+        )
+    )
