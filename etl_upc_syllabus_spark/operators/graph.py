@@ -108,3 +108,60 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts -> (node, n_triangles).
+
+    Degree-ordered edge orientation (the MapReduce triangle-counting
+    formulation): each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, so every triangle is
+    enumerated exactly once from its lowest vertex and -- critically for
+    skewed graphs -- wedge fan-out per node is bounded by the node's
+    ORIENTED out-degree, O(sqrt(|E|)) even at hub nodes. The naive
+    all-wedges join is quadratic in hub degree and dies at 100 TB; this
+    one survives because hubs (high degree) sit on the receiving end of
+    almost all their edges.
+
+    Three shuffles: degree aggregate, wedge self-join on the low
+    vertex, closing-edge semi-join. Payload is (long, long) pairs
+    throughout -- no attribute data moves.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = und.join(
+        deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    x, y = o.alias("x"), o.alias("y")
+    v_first = (F.col("x.dv") < F.col("y.dv")) | (
+        (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
+    )
+    wedges = x.join(y, (F.col("x.u") == F.col("y.u")) & v_first).select(
+        F.col("x.u").alias("u"), F.col("x.v").alias("v"), F.col("y.v").alias("w")
+    )
+    closing = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    return (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

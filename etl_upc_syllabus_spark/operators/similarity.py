@@ -376,3 +376,57 @@ def pq_encode(
     return emb.select(
         F.col(id_col).alias("id"), F.explode(F.array(*subs)).alias("b")
     ).select("id", "b.sub", "b.code", "b.dist")
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    kc: int = 4,
+    dim: int = 64,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes.
+
+    The query path of a product-quantized ANN index: per query, a tiny
+    lookup table d[sub][code] of exact squared distances from the
+    query's subvectors to every subspace centroid; a candidate's
+    approximate distance is then just m table lookups + adds over its
+    CODES -- the raw vectors are never touched at query time. That is
+    the point at 100 TB: the corpus-side state is m small ints per
+    vector (the pq_encode output, built narrowly), the LUT is
+    |queries| x m x kc rows broadcast to every executor, and the scan
+    is one codegen'd join + sum. Distances are rounded at 6 dp (the
+    repo ANN convention); ranking ties break by candidate id.
+    """
+    dsub = dim // m
+    codes = pq_encode(emb, id_col, vec_col, m=m, k=kc, dim=dim)
+    rows = emb.filter(F.col(id_col) < max(kc, n_queries)).orderBy(id_col).collect()
+    vecs = {r[id_col]: [float(v) for v in r[vec_col]] for r in rows}
+    cents = [vecs[i] for i in range(kc)]
+    lut_rows = []
+    for qid, qv in vecs.items():
+        if qid >= n_queries:
+            continue
+        for j in range(m):
+            for c in range(kc):
+                d = sum(
+                    (qv[j * dsub + t] - cents[c][j * dsub + t]) ** 2
+                    for t in range(dsub)
+                )
+                lut_rows.append((qid, j, c, round(d, 6)))
+    lut = emb.sparkSession.createDataFrame(
+        lut_rows, "query_id BIGINT, sub BIGINT, code BIGINT, d DOUBLE"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("id"))
+        .groupBy("query_id", F.col("id").alias("cand_id"))
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = W.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return adc.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -123,3 +123,47 @@ def copurchase_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_both"), F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "graph_triangle_count",
+    """
+    WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+              FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY 1),
+    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                      THEN a ELSE b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                      THEN b ELSE a END AS v,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                      THEN db.d ELSE da.d END AS dv
+          FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+    wedges AS (SELECT x.u, x.v, y.v AS w
+               FROM o x JOIN o y ON x.u = y.u
+               WHERE x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v)),
+    tri AS (SELECT u, v, w FROM wedges wg
+            WHERE EXISTS (SELECT 1 FROM o WHERE o.u = wg.v AND o.v = wg.w))
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([u, v, w]) AS node FROM tri)
+    GROUP BY 1
+    """,
+    doc="Triangle counting over the part co-purchase graph via "
+    "degree-ordered edge orientation: every triangle enumerates once "
+    "from its lowest-(degree,id) vertex, bounding wedge fan-out at hub "
+    "nodes by oriented out-degree (O(sqrt(|E|))) -- the formulation "
+    "that survives skewed 100 TB graphs where the naive wedge join is "
+    "quadratic in hub degree. Per-node triangle membership counts; "
+    "three narrow (long,long) shuffles (operators/graph.py "
+    "triangle_counts).",
+    tags=("graph", "triangles", "clustering"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return triangle_counts(copurchase_edges(li))

@@ -183,3 +183,39 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("first_doc"),
         F.max("doc_id").cast("long").alias("last_doc"),
     )
+
+
+@query(
+    "sample_weighted_reservoir",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             round(ln(({fr.hex8_value("md5(doc_id::VARCHAR || '#wres')")} + 1)
+                      / 4294967296.0) / n_chars, 9) AS k
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, lang, n_chars, k
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+    doc="Weighted reservoir sampling (Efraimidis-Spirakis A-ES): each "
+    "doc draws a deterministic uniform u from its salted content hash "
+    "and competes with key ln(u)/weight (weight = n_chars, "
+    "log-domain form of u^(1/w)); the global top-50 by key IS an exact "
+    "weighted-without-replacement sample. One narrow projection plus a "
+    "TakeOrdered top-k -- a single pass, no per-partition state, "
+    "mergeable across 1000 executors, and reproducible across "
+    "runs/engines/partitionings (the property rand() sampling cannot "
+    "give). Key is rounded at 9 dp with doc_id tiebreak so the cutoff "
+    "is engine-stable.",
+    tags=("sampling", "reservoir", "weighted", "llm-pipeline"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#wres")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + 1) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(50)
+    )

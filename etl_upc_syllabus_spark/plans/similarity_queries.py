@@ -269,3 +269,48 @@ def embedding_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         F.when(F.col("rn") <= 5, 1).otherwise(0).cast("long").alias("is_outlier"),
     )
+
+
+@query(
+    "similarity_topk_pq_adc",
+    f"""
+    WITH {fr.dims_cte()},
+    cdims AS (SELECT vec_id AS cid, (i - 1) // 16 AS sub, i, x AS cx
+              FROM dims WHERE vec_id < 4),
+    sdist AS (SELECT d.vec_id, (d.i - 1) // 16 AS sub, c.cid,
+                     round(sum((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+              FROM dims d JOIN cdims c ON c.i = d.i
+              GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, sub, cid AS code
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                                 ORDER BY dist, cid) AS rn
+                    FROM sdist)
+              WHERE rn = 1),
+    qd AS (SELECT vec_id AS query_id, (i - 1) // 16 AS sub, i, x
+           FROM dims WHERE vec_id < 10),
+    lut AS (SELECT q.query_id, q.sub, c.cid AS code,
+                   round(sum((q.x - c.cx) * (q.x - c.cx)), 6) AS d
+            FROM qd q JOIN cdims c ON c.i = q.i GROUP BY 1, 2, 3),
+    adc AS (SELECT l.query_id, co.vec_id AS cand_id,
+                   round(sum(l.d), 6) AS adc_dist
+            FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+            WHERE l.query_id != co.vec_id GROUP BY 1, 2),
+    ranked AS (SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_dist, cand_id) AS BIGINT) AS rank
+               FROM adc)
+    SELECT query_id, cand_id, adc_dist, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="PQ asymmetric-distance (ADC) top-5 for 10 queries: per-query "
+    "LUT of exact query-to-centroid subspace distances (|q| x m x kc "
+    "rows, broadcast), candidate distance = m lookups + adds over the "
+    "pq_encode CODES -- raw vectors are never read at query time, which "
+    "is the memory/IO story of a product-quantized 100 TB ANN index "
+    "(compressed corpus state: m small ints per vector). Completes the "
+    "ANN family: bruteforce exact baseline, LSH bucketed, IVF "
+    "cluster-probed, PQ compressed (operators/similarity.py "
+    "pq_adc_topk).",
+    tags=("similarity", "ann", "pq", "adc"),
+)
+def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim.pq_adc_topk(emb)

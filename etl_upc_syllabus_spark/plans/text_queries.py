@@ -528,3 +528,135 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_scaled"), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "text_pmi_collocations",
+    f"""
+    WITH tok AS (SELECT string_split({fr.NORM}, ' ') AS tk
+                 FROM documents WHERE length({fr.NORM}) > 0),
+    big AS (SELECT tk[i] AS w1, tk[i + 1] AS w2
+            FROM tok, UNNEST(range(1, len(tk))) r(i) WHERE len(tk) >= 2),
+    uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cx
+            FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1),
+    nu AS (SELECT CAST(sum(cx) AS DOUBLE) AS n FROM uni),
+    np AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM big),
+    pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cxy
+           FROM big GROUP BY 1, 2)
+    SELECT w1, w2, cxy,
+           round(ln((CAST(cxy AS DOUBLE) / np.n)
+                    / ((CAST(ua.cx AS DOUBLE) / nu.n)
+                       * (CAST(ub.cx AS DOUBLE) / nu.n))), 6) AS pmi
+    FROM pc JOIN uni ua ON ua.w = pc.w1
+            JOIN uni ub ON ub.w = pc.w2
+            CROSS JOIN nu CROSS JOIN np
+    WHERE cxy >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+    doc="Pointwise-mutual-information collocation mining: adjacent-token "
+    "bigram counts vs unigram marginals, PMI-ranked top 20 (min support "
+    "5). The phrase-discovery step of corpus analysis / tokenizer "
+    "curricula. Bigram expansion is a narrow per-doc HOF (no explode of "
+    "the corpus before counting -- pairs aggregate map-side); the only "
+    "data-sized shuffles are the two vocabulary-bounded groupBys. The "
+    "PMI ratio is evaluated with an identical IEEE operation order in "
+    "both engines; ln is the lone transcendental and is fenced by the "
+    "6 dp round.",
+    tags=("text", "pmi", "collocations", "llm-pipeline"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select(ta.tokens("text").alias("tk")).filter(
+        F.length(ta.norm_text("text")) > 0
+    )
+    big = (
+        tok.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    uni = (
+        tok.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cx"))
+    )
+    nu = uni.agg(F.sum("cx").cast("double").alias("n_uni"))
+    np_ = big.agg(F.count(F.lit(1)).cast("double").alias("n_pairs"))
+    pc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cxy"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("cx").alias("cx1"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("cx").alias("cx2"))
+    pmi = F.round(
+        F.log(
+            (F.col("cxy").cast("double") / F.col("n_pairs"))
+            / (
+                (F.col("cx1").cast("double") / F.col("n_uni"))
+                * (F.col("cx2").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        pc.filter(F.col("cxy") >= 5)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(np_))
+        .select("w1", "w2", "cxy", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "tokenizer_bpe_merge_pairs",
+    f"""
+    WITH tok AS (SELECT string_split({fr.NORM}, ' ') AS tk
+                 FROM documents WHERE length({fr.NORM}) > 0),
+    wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
+           FROM (SELECT unnest(tk) AS w FROM tok)
+           WHERE length(w) >= 2 GROUP BY 1),
+    pairs AS (SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+              FROM wc, UNNEST(range(1, length(w))) r(i))
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n_merge
+    FROM pairs GROUP BY 1
+    ORDER BY n_merge DESC, pair LIMIT 20
+    """,
+    doc="The pair-statistics step of BPE tokenizer training: corpus "
+    "word frequencies, then every adjacent symbol pair weighted by word "
+    "frequency, top-20 merge candidates (the argmax of round 1; "
+    "training iterates this with the winning pair merged). The corpus "
+    "collapses to the vocabulary in the FIRST groupBy -- pair expansion "
+    "runs over distinct words, not raw tokens, so the expensive stage "
+    "is bounded by |vocab| at any corpus size. Pure integer counts; "
+    "character-indexed substr agrees across engines.",
+    tags=("text", "bpe", "tokenizer", "llm-pipeline"),
+)
+def tokenizer_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select(ta.tokens("text").alias("tk")).filter(
+        F.length(ta.norm_text("text")) > 0
+    )
+    wc = (
+        tok.select(F.explode("tk").alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("n_merge"))
+        .orderBy(F.desc("n_merge"), "pair")
+        .limit(20)
+    )
