@@ -288,3 +288,158 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(score, 4).alias("mad_score"),
         )
     )
+
+
+def _ewma_expr() -> str:
+    """Truncated-EWMA as a lag-chain with exact-decimal literal weights.
+
+    alpha=0.3, 10-tap truncation: weight_j = 3*7^j / 10^(j+1) is an
+    exact decimal, rendered identically into BOTH engines' SQL, and the
+    left-associative addition chain fixes the summation order -- so the
+    smoothed value is bit-identical across engines (no in-engine
+    power(), no HOF ordering ambiguity). Missing taps (series warmup)
+    are zero-padded.
+    """
+    over = "OVER (PARTITION BY event_type ORDER BY day)"
+    terms = []
+    for j in range(10):
+        num, den = 3 * 7**j, 10 ** (j + 1)
+        # exact decimal string: num / den with den a power of ten
+        s = str(num)
+        dp = len(str(den)) - 1
+        s = s.rjust(dp, "0")
+        w = "0." + s[-dp:] if len(s) == dp else s[:-dp] + "." + s[-dp:]
+        if j == 0:
+            terms.append(f"{w} * y")
+        else:
+            terms.append(f"{w} * coalesce(lag(y, {j}) {over}, 0.0)")
+    return " + ".join(terms)
+
+
+@query(
+    "events_ewma_smoothing",
+    f"""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             round(sum(value), 6) AS y
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day, y, round({_ewma_expr()}, 6) AS ewma
+    FROM daily
+    """,
+    doc="Exponentially-weighted moving average of the daily metric per "
+    "event type (alpha=0.3, 10-tap truncated kernel -- the tail weight "
+    "beyond 10 taps is <3%, zero-padded warmup). The recursive EWMA "
+    "definition is inherently sequential; the truncated form is a "
+    "fixed dot-product with constant weights, expressible as a lag "
+    "chain inside ONE window pass -- embarrassingly parallel across "
+    "keys, no iteration, no state. Weights are exact-decimal literals "
+    "shared verbatim by both engines and the addition order is fixed "
+    "by the expression text, so the smoothed series is bit-identical "
+    "before the display rounding.",
+    tags=("stats", "ewma", "timeseries", "events"),
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    return daily.select(
+        "event_type", "day", "y", F.expr(f"round({_ewma_expr()}, 6)").alias("ewma")
+    )
+
+
+@query(
+    "privacy_l_diversity",
+    """
+    WITH s AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS sens
+      FROM customer),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS class_size,
+             CAST(count(DISTINCT sens) AS BIGINT) AS l_distinct
+      FROM s GROUP BY 1, 2)
+    SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+           CAST(CASE WHEN l_distinct < 3 THEN 1 ELSE 0 END AS BIGINT)
+             AS below_l
+    FROM classes
+    """,
+    doc="l-diversity audit (l=3) over the same quasi-identifier classes "
+    "as privacy_k_anonymity, with account-balance band as the sensitive "
+    "attribute: a class can be k-anonymous yet still leak (everyone in "
+    "it shares one sensitive value), so release gates need BOTH checks. "
+    "Distinct-sensitive count per class, below-l flag; one "
+    "groupBy+distinct aggregate.",
+    tags=("privacy", "l-diversity", "governance"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("sens")
+    )
+    return (
+        cust.select("c_nationkey", "c_mktsegment", sens)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("sens").alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            "l_distinct",
+            F.when(F.col("l_distinct") < 3, 1).otherwise(0).cast("long").alias("below_l"),
+        )
+    )
+
+
+@query(
+    "dq_heavy_hitters",
+    """
+    WITH kc AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n
+                FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t,
+                   CAST(avg(n) AS DOUBLE) AS a FROM kc),
+    ranked AS (SELECT k, n, CAST(row_number() OVER (
+                   ORDER BY n DESC, k) AS BIGINT) AS rank FROM kc)
+    SELECT r.k AS key, r.n, r.rank,
+           round(r.n / t.t, 6) AS share,
+           round(r.n / t.a, 4) AS skew_factor
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rank <= 20
+    """,
+    doc="Heavy-hitter / skew diagnostic on the join key: top-20 keys by "
+    "frequency with corpus share and skew factor (count / mean count). "
+    "The pre-flight check that decides whether a 100 TB join needs "
+    "salting or AQE skew handling BEFORE it runs (operators/skew.py is "
+    "the mitigation; this is the detector). One groupBy bounded by the "
+    "key domain + a broadcast scalar; top-k via TakeOrdered.",
+    tags=("dq", "skew", "profiling"),
+)
+def dq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = kc.agg(
+        F.sum("n").cast("double").alias("t"), F.avg("n").cast("double").alias("a")
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = kc.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), "k")).cast("long")
+    ).filter(F.col("rank") <= 20)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        F.col("k").alias("key"),
+        "n",
+        "rank",
+        F.round(F.col("n") / F.col("t"), 6).alias("share"),
+        F.round(F.col("n") / F.col("a"), 4).alias("skew_factor"),
+    )
