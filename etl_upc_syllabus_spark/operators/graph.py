@@ -123,17 +123,29 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     one survives because hubs (high degree) sit on the receiving end of
     almost all their edges.
 
-    Three shuffles: degree aggregate, wedge self-join on the low
-    vertex, closing-edge semi-join. Payload is (long, long) pairs
-    throughout -- no attribute data moves.
+    The undirected edge list feeds two consumers (degree aggregate +
+    orientation join) and the ORIENTED list feeds three (both wedge
+    sides + the closing-edge probe); Catalyst does not share common
+    subplans across consumers, so both are persisted MEMORY_AND_DISK
+    with lineage intact (the pagerank edge-invariant lesson: persist
+    big loop/DAG invariants, never localCheckpoint them) and
+    materialized EAGERLY so every consumer is guaranteed an
+    InMemoryTableScan -- without this the plan re-derives the whole
+    distinct+join chain per consumer (32 exchanges measured; 4 in the
+    final plan with). Payload is (long, long, long) tuples throughout
+    -- no attribute data moves.
     """
+    from pyspark import StorageLevel
+
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    und.count()
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -150,7 +162,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    o.count()
     x, y = o.alias("x"), o.alias("y")
     v_first = (F.col("x.dv") < F.col("y.dv")) | (
         (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))

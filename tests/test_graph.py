@@ -53,3 +53,30 @@ def test_copurchase_edges_symmetric_no_self(spark):
     got = {(r["src"], r["dst"]) for r in copurchase_edges(li).collect()}
     want = {(10, 11), (11, 10), (10, 12), (12, 10), (11, 12), (12, 11)}
     assert got == want  # order 2's dup pair and order 3's singleton drop out
+
+
+def test_triangle_counts_k4(spark):
+    # K4: C(4,3)=4 triangles; each node participates in C(3,2)=3
+    from etl_upc_syllabus_spark.operators.graph import triangle_counts
+
+    k4 = _sym(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(k4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_path_and_star_have_none(spark):
+    from etl_upc_syllabus_spark.operators.graph import triangle_counts
+
+    path = _sym(spark, [(0, 1), (1, 2), (2, 3)])
+    assert triangle_counts(path).count() == 0
+    star = _sym(spark, [(0, i) for i in range(1, 6)])
+    assert triangle_counts(star).count() == 0
+
+
+def test_triangle_counts_two_triangles_sharing_edge(spark):
+    # 0-1-2 and 1-2-3: edge (1,2) shared; nodes 1,2 in two triangles
+    from etl_upc_syllabus_spark.operators.graph import triangle_counts
+
+    g = _sym(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(g).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}
