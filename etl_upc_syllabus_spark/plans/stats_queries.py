@@ -1,5 +1,7 @@
 """Statistical-analytics queries: closed-form regression, A/B test
-inference, Benford data-quality audit, and robust (MAD) anomaly flags.
+inference, Benford data-quality audit, robust (MAD) anomaly flags,
+truncated-EWMA smoothing, an l-diversity release gate, and a
+heavy-hitter skew detector.
 
 Cross-engine determinism strategy (the reason these hash-match):
 
