@@ -110,30 +110,12 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
-    """Per-node triangle counts -> (node, n_triangles).
+def _oriented(edges: DataFrame):
+    """(und, deg, oriented) shared by the triangle family.
 
-    Degree-ordered edge orientation (the MapReduce triangle-counting
-    formulation): each undirected edge is oriented from its
-    lower-(degree, id) endpoint to the higher one, so every triangle is
-    enumerated exactly once from its lowest vertex and -- critically for
-    skewed graphs -- wedge fan-out per node is bounded by the node's
-    ORIENTED out-degree, O(sqrt(|E|)) even at hub nodes. The naive
-    all-wedges join is quadratic in hub degree and dies at 100 TB; this
-    one survives because hubs (high degree) sit on the receiving end of
-    almost all their edges.
-
-    The undirected edge list feeds two consumers (degree aggregate +
-    orientation join) and the ORIENTED list feeds three (both wedge
-    sides + the closing-edge probe); Catalyst does not share common
-    subplans across consumers, so both are persisted MEMORY_AND_DISK
-    with lineage intact (the pagerank edge-invariant lesson: persist
-    big loop/DAG invariants, never localCheckpoint them) and
-    materialized EAGERLY so every consumer is guaranteed an
-    InMemoryTableScan -- without this the plan re-derives the whole
-    distinct+join chain per consumer (32 exchanges measured; 4 in the
-    final plan with). Payload is (long, long, long) tuples throughout
-    -- no attribute data moves.
+    und (distinct undirected edges) and the oriented list are persisted
+    MEMORY_AND_DISK and materialized eagerly -- see triangle_counts
+    docstring for why.
     """
     from pyspark import StorageLevel
 
@@ -164,6 +146,40 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     o.count()
+    return und, deg, o
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts -> (node, n_triangles).
+
+    Degree-ordered edge orientation (the MapReduce triangle-counting
+    formulation): each undirected edge is oriented from its
+    lower-(degree, id) endpoint to the higher one, so every triangle is
+    enumerated exactly once from its lowest vertex and -- critically for
+    skewed graphs -- wedge fan-out per node is bounded by the node's
+    ORIENTED out-degree, O(sqrt(|E|)) even at hub nodes. The naive
+    all-wedges join is quadratic in hub degree and dies at 100 TB; this
+    one survives because hubs (high degree) sit on the receiving end of
+    almost all their edges.
+
+    The undirected edge list feeds two consumers (degree aggregate +
+    orientation join) and the ORIENTED list feeds three (both wedge
+    sides + the closing-edge probe); Catalyst does not share common
+    subplans across consumers, so both are persisted MEMORY_AND_DISK
+    with lineage intact (the pagerank edge-invariant lesson: persist
+    big loop/DAG invariants, never localCheckpoint them) and
+    materialized EAGERLY so every consumer is guaranteed an
+    InMemoryTableScan -- without this the plan re-derives the whole
+    distinct+join chain per consumer (32 exchanges measured; 4 in the
+    final plan with). Payload is (long, long, long) tuples throughout
+    -- no attribute data moves.
+    """
+    _, _, o = _oriented(edges)
+    return _tri_of(o)
+
+
+def _tri_of(o: DataFrame) -> DataFrame:
+    """(node, n_triangles) from a persisted oriented edge list."""
     x, y = o.alias("x"), o.alias("y")
     v_first = (F.col("x.dv") < F.col("y.dv")) | (
         (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
@@ -177,4 +193,34 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient -> (node, d, n_triangles, cc).
+
+    cc(v) = 2*T(v) / (d(v)*(d(v)-1)) for d(v) >= 2: the fraction of a
+    node's neighbor pairs that are themselves connected -- the
+    community-structure signal on top of raw triangle counts. Shares
+    the persisted oriented wedge pipeline with triangle_counts via
+    _oriented; the degree aggregate is narrow and joins the triangle
+    counts LEFT so triangle-free nodes report cc = 0 instead of
+    vanishing.
+    """
+    _, deg, o = _oriented(edges)
+    tri = _tri_of(o)
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "d",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("cc"),
+        )
     )

@@ -167,3 +167,53 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return triangle_counts(copurchase_edges(li))
+
+
+@query(
+    "graph_clustering_coefficient",
+    """
+    WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    edges AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+              FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges WHERE src <> dst),
+    deg AS (SELECT node, count(*) AS d
+            FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+            GROUP BY 1),
+    o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                      THEN a ELSE b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                      THEN b ELSE a END AS v,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+                      THEN db.d ELSE da.d END AS dv
+          FROM und JOIN deg da ON da.node = a JOIN deg db ON db.node = b),
+    wedges AS (SELECT x.u, x.v, y.v AS w
+               FROM o x JOIN o y ON x.u = y.u
+               WHERE x.dv < y.dv OR (x.dv = y.dv AND x.v < y.v)),
+    tri AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM (SELECT unnest([u, v, w]) AS node
+                  FROM wedges wg
+                  WHERE EXISTS (SELECT 1 FROM o
+                                WHERE o.u = wg.v AND o.v = wg.w))
+            GROUP BY 1)
+    SELECT dg.node, CAST(dg.d AS BIGINT) AS d,
+           coalesce(t.n_triangles, 0) AS n_triangles,
+           round(2.0 * coalesce(t.n_triangles, 0) / (dg.d * (dg.d - 1)), 6)
+             AS cc
+    FROM deg dg LEFT JOIN tri t ON t.node = dg.node
+    WHERE dg.d >= 2
+    """,
+    doc="Local clustering coefficient per node: 2T/(d(d-1)) over the "
+    "co-purchase graph, triangle-free nodes reporting 0 -- the "
+    "community-structure readout on top of graph_triangle_count, "
+    "sharing its persisted degree-ordered wedge pipeline "
+    "(operators/graph.py clustering_coefficient). The LEFT join keeps "
+    "the full deg>=2 node set; all arithmetic is exact-int ratios "
+    "rounded at 6 dp.",
+    tags=("graph", "triangles", "clustering"),
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import clustering_coefficient
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return clustering_coefficient(copurchase_edges(li))

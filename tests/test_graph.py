@@ -80,3 +80,16 @@ def test_triangle_counts_two_triangles_sharing_edge(spark):
     g = _sym(spark, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(g).collect()}
     assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_clustering_coefficient_k4_and_path(spark):
+    from etl_upc_syllabus_spark.operators.graph import clustering_coefficient
+
+    k4 = _sym(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    got = {r["node"]: (r["d"], r["n_triangles"], r["cc"])
+           for r in clustering_coefficient(k4).collect()}
+    assert got == {i: (3, 3, 1.0) for i in range(4)}
+
+    path = _sym(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {r["node"]: r["cc"] for r in clustering_coefficient(path).collect()}
+    assert got == {1: 0.0, 2: 0.0}  # endpoints have d=1 -> excluded
