@@ -113,6 +113,12 @@ def main() -> None:
         timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
+    # stop the JVM BEFORE printing: Spark's child process shares stdout
+    # and can interleave late GC/log lines (observed: a G1 GCLocker
+    # warning landing after the JSON at sf10), which breaks any
+    # take-the-last-line consumer. With the JVM down, the JSON line is
+    # guaranteed to be the final stdout write.
+    spark.stop()
     print(
         json.dumps(
             {

@@ -263,33 +263,11 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("stats", "anomaly", "mad", "events"),
 )
 def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import anomaly
+
     ev = fan_out(load_table(spark, sf_dir, "events"))
-
-    def wmedian(df: DataFrame, col: str, out: str) -> DataFrame:
-        vc = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("cnt"))
-        return vc.groupBy("event_type").agg(
-            F.round(F.expr(f"percentile({col}, 0.5D, cnt)"), 6).alias(out)
-        )
-
-    med = wmedian(ev, "value", "med")
-    dev = ev.join(F.broadcast(med), "event_type").select(
-        "event_id",
-        "event_type",
-        "value",
-        F.abs(F.col("value") - F.col("med")).alias("d"),
-    )
-    mad = wmedian(dev, "d", "mad")
-    score = F.col("d") / (1.4826 * F.col("mad"))
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .filter(score > 3.0)
-        .select(
-            "event_id",
-            "event_type",
-            F.round("value", 6).alias("value"),
-            F.round(score, 4).alias("mad_score"),
-        )
-    )
+    ref = anomaly.mad_reference(ev)
+    return anomaly.mad_flags(ev.select("event_id", "event_type", "value"), ref)
 
 
 def _ewma_expr() -> str:

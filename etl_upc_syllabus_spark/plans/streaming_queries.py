@@ -316,3 +316,36 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emissions = ev.run_stream_to_table(streaming_cdc_upserts(log), "update")
     return cdc_apply(emissions, key="k", seq="seq")
+
+
+@query(
+    "stream_anomaly_flags",
+    """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, round(quantile_cont(d, 0.5), 6) AS mad
+      FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type,
+           round(d.value, 6) AS value,
+           round(d.d / (1.4826 * m.mad), 4) AS mad_score
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.d / (1.4826 * m.mad) > 3.0
+    """,
+    doc="Streaming twin of events_anomaly_mad: per-type median/MAD "
+    "reference trained in batch, the event stream scored per "
+    "micro-batch by a stateless broadcast join + 3-sigma-equivalent "
+    "filter (no watermark or state store -- the monitor scales with "
+    "stream rate, not history). Same oracle as the batch query by "
+    "stream/batch symmetry.",
+    tags=("streaming", "anomaly", "mad", "stream-static"),
+)
+def stream_anomaly_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import stream_anomaly_scoring
+
+    return stream_anomaly_scoring(spark, sf_dir)

@@ -660,3 +660,74 @@ def tokenizer_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_merge"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_zipf_fit",
+    f"""
+    WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                FROM (SELECT unnest(string_split({fr.NORM}, ' ')) AS w
+                      FROM documents WHERE length({fr.NORM}) > 0)
+                GROUP BY 1),
+    ranked AS (SELECT freq, CAST(row_number() OVER (
+                   ORDER BY freq DESC, w) AS BIGINT) AS rnk FROM wc),
+    pts AS (SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+                   round(ln(CAST(freq AS DOUBLE)), 9) AS y
+            FROM ranked WHERE rnk <= 200),
+    s AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pts)
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+    doc="Zipf's-law fit of the corpus vocabulary: log-log OLS of "
+    "frequency vs rank over the top 200 terms (slope near -1 for "
+    "natural language; sharp deviation flags boilerplate/spam corpora "
+    "-- a standard corpus-health check before tokenizer training). "
+    "The corpus collapses to the vocabulary in one groupBy, the top-200 "
+    "rank cut bounds the fit input, and each ln is rounded at 9 dp "
+    "before the closed-form sums so the transcendental is fenced in "
+    "both engines.",
+    tags=("text", "zipf", "corpus-stats", "llm-pipeline"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    wc = (
+        d.filter(F.length(ta.norm_text("text")) > 0)
+        .select(F.explode(ta.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = wc.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("freq"), "w")).cast("long")
+    ).filter(F.col("rnk") <= 200)
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )

@@ -455,3 +455,22 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     return run_stream_to_table(deduped, "append")
+
+
+def stream_anomaly_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-batch / score-on-stream anomaly flags: the per-type
+    median/MAD reference is computed once in batch (exact percentile
+    over the (value, frequency) pre-aggregate), then the live event
+    stream is scored by a STATELESS broadcast join + filter -- no
+    watermark, no state store, append-safe at any stream rate. The
+    production metric-monitor deployment shape; oracle = the batch MAD
+    query, by stream/batch symmetry (operators/anomaly.py).
+    """
+    from ..operators.anomaly import mad_flags, mad_reference
+    from ..sources.tables import load_table
+
+    ref = mad_reference(load_table(spark, sf_dir, "events"))
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    return run_stream_to_table(mad_flags(stream, ref), "append")
