@@ -970,3 +970,148 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "pk", "sk",
         F.expr(_zorder_expr()).cast("long").alias("zkey"),
     )
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH big AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 7000),
+    cnt AS (SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' GROUP BY 1)
+    SELECT coalesce(b.c_custkey, cnt.c_custkey) AS custkey,
+           CAST(CASE WHEN b.c_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT)
+             AS in_dim,
+           coalesce(cnt.n_orders, 0) AS n_orders
+    FROM big b FULL OUTER JOIN cnt ON b.c_custkey = cnt.c_custkey
+    """,
+    doc="FULL OUTER join, completing the join family: high-balance "
+    "customers x recent order counts, keeping unmatched rows from BOTH "
+    "sides (dim-only customers with 0 orders; active customers outside "
+    "the dim slice). Full outer cannot broadcast either side (both "
+    "must produce unmatched rows), so it plans as a shuffle join on "
+    "the key -- the one join shape where that is the correct plan at "
+    "any scale.",
+    tags=("join", "full-outer"),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    big = cust.filter(F.col("c_acctbal") > 7000).select("c_custkey", "c_name")
+    cnt = (
+        orders.filter(F.col("o_orderdate") >= "1997-01-01")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    b, c = big.alias("b"), cnt.alias("c")
+    return b.join(c, F.col("b.c_custkey") == F.col("c.c_custkey"), "full_outer").select(
+        F.coalesce(F.col("b.c_custkey"), F.col("c.c_custkey")).alias("custkey"),
+        F.when(F.col("b.c_custkey").isNull(), 0).otherwise(1).cast("long").alias("in_dim"),
+        F.coalesce(F.col("c.n_orders"), F.lit(0)).alias("n_orders"),
+    )
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.price_s
+    FROM customer c,
+    LATERAL (SELECT o_orderkey,
+                    CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS STRING)
+                      AS price_s
+             FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey <= 200
+"""
+
+
+@query(
+    "join_lateral_topn",
+    _LATERAL_SQL,
+    doc="Correlated LATERAL subquery join (per-customer top-2 orders by "
+    "price): the SQL-standard per-row dependent join Spark supports "
+    "since 3.4, run as the LITERAL SAME string in both engines (the "
+    "sql_passthrough contract). Catalyst de-correlates it into a "
+    "window-rank plan -- same shape as window_topk_per_group -- so the "
+    "lateral surface costs nothing over the DataFrame formulation.",
+    tags=("join", "lateral", "sql"),
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "set_ops_all",
+    """
+    WITH a AS (SELECT o_orderpriority AS p FROM orders
+               WHERE year(o_orderdate) = 1996),
+    b AS (SELECT o_orderpriority AS p FROM orders
+          WHERE year(o_orderdate) = 1997),
+    ex AS (SELECT 'except_all' AS op, p
+           FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)),
+    ia AS (SELECT 'intersect_all' AS op, p
+           FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+    SELECT op, p, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM ex UNION ALL SELECT * FROM ia) GROUP BY 1, 2
+    """,
+    doc="Multiset set operations (EXCEPT ALL / INTERSECT ALL), the bag "
+    "semantics the distinct set_ops query cannot express: per-priority "
+    "order bags from 1994 vs 1995, surplus and common multiplicities "
+    "counted. Spark plans both as aggregate+generate over counted "
+    "groups -- no row-by-row anti join -- so cost is bounded by the "
+    "distinct domain.",
+    tags=("setops", "except-all", "intersect-all"),
+)
+def set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    b = orders.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_orderpriority").alias("p")
+    )
+    ex = a.exceptAll(b).select(F.lit("except_all").alias("op"), "p")
+    ia = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "p")
+    return ex.unionAll(ia).groupBy("op", "p").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_minmax_by",
+    """
+    WITH keyed AS (
+      SELECT c_nationkey,
+             c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey
+               AS k
+      FROM customer)
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           arg_max(c_custkey, k) AS richest_cust,
+           arg_min(c_custkey, k) AS poorest_cust
+    FROM keyed GROUP BY 1
+    """,
+    doc="max_by / min_by (argmax aggregates): per nation, the customer "
+    "holding the extreme account balance -- the point-lookup aggregate "
+    "that otherwise needs a window + filter pass. Ties are broken "
+    "deterministically by folding the row id into the ordering key as "
+    "exact integer cents*1e7+custkey (collision-free since custkey < "
+    "1e7), because max_by alone is nondeterministic on equal keys in "
+    "any parallel engine. One shuffle, map-side combinable.",
+    tags=("agg", "max-by", "argmax"),
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    k = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * 10000000
+        + F.col("c_custkey")
+    ).alias("k")
+    return (
+        cust.select("c_nationkey", "c_custkey", k)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.expr("max_by(c_custkey, k)").alias("richest_cust"),
+            F.expr("min_by(c_custkey, k)").alias("poorest_cust"),
+        )
+    )

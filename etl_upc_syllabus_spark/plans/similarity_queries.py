@@ -314,3 +314,82 @@ def embedding_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return sim.pq_adc_topk(emb)
+
+
+@query(
+    "similarity_ann_recall",
+    f"""
+    WITH {fr.dims_cte()},
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY vec_id),
+    dots AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id, sum(q.x * c.x) AS dot
+             FROM dims q JOIN dims c ON q.i = c.i
+             WHERE q.vec_id < 10 AND q.vec_id != c.vec_id
+             GROUP BY 1, 2),
+    sims AS (SELECT query_id, cand_id,
+                    round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON nq.vec_id = query_id
+                       JOIN norms nc ON nc.vec_id = cand_id),
+    bf AS (SELECT query_id, cand_id FROM (
+             SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rank
+             FROM sims) WHERE rank <= 5),
+    cdims AS (SELECT vec_id AS cid, (i - 1) // 16 AS sub, i, x AS cx
+              FROM dims WHERE vec_id < 4),
+    sdist AS (SELECT d.vec_id, (d.i - 1) // 16 AS sub, c.cid,
+                     round(sum((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+              FROM dims d JOIN cdims c ON c.i = d.i
+              GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, sub, cid AS code
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                                 ORDER BY dist, cid) AS rn
+                    FROM sdist)
+              WHERE rn = 1),
+    qd AS (SELECT vec_id AS query_id, (i - 1) // 16 AS sub, i, x
+           FROM dims WHERE vec_id < 10),
+    lut AS (SELECT q.query_id, q.sub, c.cid AS code,
+                   round(sum((q.x - c.cx) * (q.x - c.cx)), 6) AS d
+            FROM qd q JOIN cdims c ON c.i = q.i GROUP BY 1, 2, 3),
+    adcd AS (SELECT l.query_id, co.vec_id AS cand_id,
+                    round(sum(l.d), 6) AS adc_dist
+             FROM codes co JOIN lut l ON l.sub = co.sub AND l.code = co.code
+             WHERE l.query_id != co.vec_id GROUP BY 1, 2),
+    adc AS (SELECT query_id, cand_id FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY adc_dist, cand_id) AS rank
+              FROM adcd) WHERE rank <= 5),
+    hits AS (SELECT bf.query_id, CAST(count(adc.cand_id) AS BIGINT) AS n_hits
+             FROM bf LEFT JOIN adc
+               ON adc.query_id = bf.query_id AND adc.cand_id = bf.cand_id
+             GROUP BY 1)
+    SELECT query_id, n_hits, round(n_hits / 5.0, 2) AS recall_at_5
+    FROM hits
+    """,
+    doc="ANN quality evaluation: recall@5 of the PQ-ADC index against "
+    "the exact brute-force top-5, per query -- the measurement loop "
+    "every production ANN deployment runs before trading accuracy for "
+    "the compressed-index speed. Composes the two existing pipelines "
+    "and joins their top-k sets; the eval itself is a tiny join over "
+    "|queries| x k rows, so it runs at full corpus scale as cheaply as "
+    "the index queries themselves.",
+    tags=("similarity", "ann", "recall", "evaluation"),
+)
+def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    bf = sim.cosine_topk_bruteforce(emb, k=5).select("query_id", "cand_id")
+    adc = sim.pq_adc_topk(emb, k=5).select(
+        F.col("query_id").alias("aq"), F.col("cand_id").alias("ac")
+    )
+    hits = (
+        bf.join(
+            adc,
+            (F.col("query_id") == F.col("aq")) & (F.col("cand_id") == F.col("ac")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("ac").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits") / 5.0, 2).alias("recall_at_5"),
+    )
