@@ -140,3 +140,48 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
         assert joined.count() == 5000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+
+
+@pytest.mark.slow
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: with a selective filter on the small
+    (creation) side of a shuffle join, Spark injects a bloom filter
+    into the probe-side scan (BloomFilterMightContain), pruning fact
+    rows BEFORE the exchange -- the runtime analog of DPP for non-
+    partition keys, and the knob a 100 TB selective join relies on.
+    The thresholds are lowered because the local fixture is tiny; on a
+    real cluster the defaults (10M rows creation / 10 GB probe) gate
+    the same rewrite."""
+    from etl_upc_syllabus_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    restore = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    try:
+        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        part = load_table(spark, "/root/testdata/sf0.001", "part").filter(
+            F.col("p_partkey") % 97 == 0
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_partkey").count()
+        plan = _plan(j)
+        assert "might_contain" in plan.lower()
+        assert j.count() > 0
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
