@@ -731,3 +731,108 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
         F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
     )
+
+
+@query(
+    "text_bigram_logprob",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split({fr.NORM}, ' ') AS tk
+                 FROM documents WHERE length({fr.NORM}) > 0),
+    big AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+            FROM tok, UNNEST(range(1, len(tk))) r(i) WHERE len(tk) >= 2),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS n1
+           FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1),
+    v AS (SELECT CAST(count(*) AS BIGINT) AS vs FROM c1),
+    scored AS (SELECT b.doc_id,
+                      round(ln((CAST(c2.n2 AS DOUBLE) + 1)
+                               / (CAST(c1.n1 AS DOUBLE) + vs)), 9) AS lp
+               FROM big b JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+                          JOIN c1 ON c1.w = b.w1
+                          CROSS JOIN v)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lp) / count(*), 6) AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+    doc="Bigram language-model fluency score (the perplexity-proxy "
+    "quality filter): add-one-smoothed P(w2|w1) trained on the corpus "
+    "itself, per-doc mean log-probability. Low scores flag boilerplate "
+    "and token salad that n-char heuristics miss. The count tables are "
+    "vocabulary/bigram-vocabulary bounded (broadcastable against a "
+    "100 TB corpus); each ln is 9-dp-rounded before the per-doc mean "
+    "so the transcendental is fenced.",
+    tags=("text", "lm", "quality", "llm-pipeline"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.filter(F.length(ta.norm_text("text")) > 0).select(
+        "doc_id", ta.tokens("text").alias("tk")
+    )
+    big = (
+        tok.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 2), "
+                    "i -> struct(tk[i] AS w1, tk[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = (
+        tok.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    v = c1.agg(F.count(F.lit(1)).alias("vs"))
+    lp = F.round(
+        F.log(
+            (F.col("n2").cast("double") + 1) / (F.col("n1").cast("double") + F.col("vs"))
+        ),
+        9,
+    )
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )
+
+
+@query(
+    "feature_hash_vector",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split({fr.NORM}, ' ')) AS w
+                 FROM documents
+                 WHERE length({fr.NORM}) > 0 AND doc_id < 50)
+    SELECT doc_id,
+           CAST({fr.hex8_value("md5(w || '#fh')")} % 64 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY 1, 2
+    """,
+    doc="Feature hashing (the hashing trick): tokens mapped straight to "
+    "a fixed 64-dim count vector by salted content hash -- no vocabulary "
+    "pass, no fit state, unbounded-vocab-safe, the standard cheap "
+    "featurizer for classifier gates at corpus scale. Shown for the "
+    "first 50 docs (value-checkable long form); one narrow projection "
+    "plus one bounded groupBy.",
+    tags=("text", "feature-hashing", "llm-pipeline"),
+)
+def feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = (
+        d.filter((F.length(ta.norm_text("text")) > 0) & (F.col("doc_id") < 50))
+        .select("doc_id", F.explode(ta.tokens("text")).alias("w"))
+    )
+    h = F.md5(F.concat(F.col("w"), F.lit("#fh")))
+    bucket = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 64).alias("bucket")
+    return tok.select("doc_id", bucket).groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
