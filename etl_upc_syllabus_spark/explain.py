@@ -47,7 +47,9 @@ def audit_row(name: str, tree: str, formatted: str) -> dict[str, object]:
     parts = re.split(r"^\((\d+)\) ", formatted, flags=re.M)
     for i in range(1, len(parts) - 1, 2):
         nid, body = parts[i], parts[i + 1]
-        opname = body.split("\n", 1)[0].split(" ")[0].strip()
+        # strip AQE annotations like "SortMergeJoin(skew=true)" so the
+        # exact-name match still counts annotated operators
+        opname = body.split("\n", 1)[0].split(" ")[0].split("(")[0].strip()
         ops.setdefault(nid, opname)
         bodies.setdefault(nid, body)
     if ops:

@@ -43,18 +43,30 @@ def mad_reference(events: DataFrame, key: str = "event_type", col: str = "value"
     return med.join(mad, key)
 
 
-def mad_flags(scored: DataFrame, ref: DataFrame, key: str = "event_type") -> DataFrame:
+def mad_flags(
+    scored: DataFrame,
+    ref: DataFrame,
+    key: str = "event_type",
+    col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
     """Rows of `scored` whose value deviates > 3 sigma-equivalents from
     the per-key median. Stateless: broadcast the tiny reference, filter.
-    Works identically on a batch DataFrame and a streaming one."""
-    score = F.abs(F.col("value") - F.col("med")) / (MAD_TO_SIGMA * F.col("mad"))
+    Works identically on a batch DataFrame and a streaming one.
+
+    Keys with mad = 0 (a majority-constant column) have no robust scale
+    and are excluded up front: without the guard Spark's non-ANSI
+    divide yields NULL (nothing flagged) while IEEE engines yield +inf
+    (everything deviating flagged) -- a silent cross-engine divergence.
+    The oracle carries the same `mad > 0` predicate."""
+    score = F.abs(F.col(col) - F.col("med")) / (MAD_TO_SIGMA * F.col("mad"))
     return (
-        scored.join(F.broadcast(ref), key)
+        scored.join(F.broadcast(ref.filter(F.col("mad") > 0)), key)
         .filter(score > THRESHOLD)
         .select(
-            "event_id",
+            id_col,
             key,
-            F.round("value", 6).alias("value"),
+            F.round(col, 6).alias(col),
             F.round(score, 4).alias("mad_score"),
         )
     )

@@ -183,8 +183,16 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     executors' aggregate disk; single-box benching of this operator
     stops at sf1 (4.7x for 10x data, sub-linear).
     """
-    _, _, o = _oriented(edges)
-    return _tri_of(o)
+    und, _, o = _oriented(edges)
+    # materialize the SMALL node-level result (localCheckpoint is the
+    # sanctioned tool for bounded state), then release the big edge
+    # caches -- same discipline as pagerank's w.unpersist(): without it
+    # every graph query leaves |E|-sized pinned caches competing with
+    # later queries' hash aggregates for the unified memory pool.
+    tri = _tri_of(o).localCheckpoint(eager=True)
+    und.unpersist()
+    o.unpersist()
+    return tri
 
 
 def _tri_of(o: DataFrame) -> DataFrame:
@@ -216,9 +224,9 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     counts LEFT so triangle-free nodes report cc = 0 instead of
     vanishing.
     """
-    _, deg, o = _oriented(edges)
+    und, deg, o = _oriented(edges)
     tri = _tri_of(o)
-    return (
+    cc = (
         deg.filter(F.col("d") >= 2)
         .join(tri, "node", "left")
         .select(
@@ -232,4 +240,7 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
                 6,
             ).alias("cc"),
         )
-    )
+    ).localCheckpoint(eager=True)  # small node-level state; see triangle_counts
+    und.unpersist()
+    o.unpersist()
+    return cc

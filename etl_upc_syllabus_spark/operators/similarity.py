@@ -310,6 +310,15 @@ def cosine_topk_lsh(
     )
 
 
+def _prefix_vectors(
+    emb: DataFrame, id_col: str, vec_col: str, n: int
+) -> dict[int, list[float]]:
+    """{id: vector} for the first ``n`` ids -- the one driver collect
+    shared by the PQ encode codebook and the ADC query set."""
+    rows = emb.filter(F.col(id_col) < n).orderBy(id_col).collect()
+    return {r[id_col]: [float(v) for v in r[vec_col]] for r in rows}
+
+
 def pq_encode(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -317,6 +326,7 @@ def pq_encode(
     m: int = 4,
     k: int = 4,
     dim: int = 64,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """Product-quantization encode: (id, sub, code, dist) long form.
 
@@ -334,10 +344,9 @@ def pq_encode(
     is identical.
     """
     dsub = dim // m
-    cents = [
-        [float(v) for v in r[vec_col]]
-        for r in emb.filter(F.col(id_col) < k).orderBy(id_col).collect()
-    ]
+    if cents is None:
+        pv = _prefix_vectors(emb, id_col, vec_col, k)
+        cents = [pv[i] for i in sorted(pv)]
     assert len(cents) == k, f"need {k} seed vectors, found {len(cents)}"
 
     def sub_dist(sl: Column, cent: list[float]) -> Column:
@@ -402,10 +411,13 @@ def pq_adc_topk(
     repo ANN convention); ranking ties break by candidate id.
     """
     dsub = dim // m
-    codes = pq_encode(emb, id_col, vec_col, m=m, k=kc, dim=dim)
-    rows = emb.filter(F.col(id_col) < max(kc, n_queries)).orderBy(id_col).collect()
-    vecs = {r[id_col]: [float(v) for v in r[vec_col]] for r in rows}
+    # ONE driver collect covers both the codebook prefix and the query
+    # set; the codebook is handed to pq_encode so it is not re-collected
+    vecs = _prefix_vectors(emb, id_col, vec_col, max(kc, n_queries))
+    missing = [i for i in range(kc) if i not in vecs]
+    assert not missing, f"prefix codebook ids missing: {missing}"
     cents = [vecs[i] for i in range(kc)]
+    codes = pq_encode(emb, id_col, vec_col, m=m, k=kc, dim=dim, cents=cents)
     lut_rows = []
     for qid, qv in vecs.items():
         if qid >= n_queries:

@@ -1057,7 +1057,7 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Multiset set operations (EXCEPT ALL / INTERSECT ALL), the bag "
     "semantics the distinct set_ops query cannot express: per-priority "
-    "order bags from 1994 vs 1995, surplus and common multiplicities "
+    "order bags from 1996 vs 1997, surplus and common multiplicities "
     "counted. Spark plans both as aggregate+generate over counted "
     "groups -- no row-by-row anti join -- so cost is bounded by the "
     "distinct domain.",

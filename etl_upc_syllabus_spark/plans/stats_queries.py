@@ -250,7 +250,7 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(d.value, 6) AS value,
            round(d.d / (1.4826 * m.mad), 4) AS mad_score
     FROM dev d JOIN mad m USING (event_type)
-    WHERE d.d / (1.4826 * m.mad) > 3.0
+    WHERE m.mad > 0 AND d.d / (1.4826 * m.mad) > 3.0
     """,
     doc="Robust per-type anomaly flags: median / MAD (the "
     "outlier-insensitive z-score) with flag at 3 sigma-equivalents. "
@@ -413,9 +413,14 @@ def dq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window as W
 
-    ranked = kc.withColumn(
+    # top-k via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, no global sort); the rank window then runs over only the
+    # 20 surviving rows. A bare row_number window over the full key
+    # domain would single-partition-sort millions of keys at scale.
+    top = kc.orderBy(F.desc("n"), "k").limit(20)
+    ranked = top.withColumn(
         "rank", F.row_number().over(W.orderBy(F.desc("n"), "k")).cast("long")
-    ).filter(F.col("rank") <= 20)
+    )
     return ranked.crossJoin(F.broadcast(tot)).select(
         F.col("k").alias("key"),
         "n",

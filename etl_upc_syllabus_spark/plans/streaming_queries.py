@@ -335,7 +335,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(d.value, 6) AS value,
            round(d.d / (1.4826 * m.mad), 4) AS mad_score
     FROM dev d JOIN mad m USING (event_type)
-    WHERE d.d / (1.4826 * m.mad) > 3.0
+    WHERE m.mad > 0 AND d.d / (1.4826 * m.mad) > 3.0
     """,
     doc="Streaming twin of events_anomaly_mad: per-type median/MAD "
     "reference trained in batch, the event stream scored per "

@@ -705,9 +705,12 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = wc.withColumn(
+    # orderBy+limit (TakeOrdered top-k, no global sort of the whole
+    # vocabulary); the rank window runs over only the surviving 200
+    top = wc.orderBy(F.desc("freq"), "w").limit(200)
+    ranked = top.withColumn(
         "rnk", F.row_number().over(W.orderBy(F.desc("freq"), "w")).cast("long")
-    ).filter(F.col("rnk") <= 200)
+    )
     pts = ranked.select(
         F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
         F.round(F.log(F.col("freq").cast("double")), 9).alias("y"),

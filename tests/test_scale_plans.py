@@ -143,7 +143,7 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
 
 
 @pytest.mark.slow
-def test_runtime_bloom_filter_prunes_probe_side(spark):
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     """Runtime row-level filtering: with a selective filter on the small
     (creation) side of a shuffle join, Spark injects a bloom filter
     into the probe-side scan (BloomFilterMightContain), pruning fact
@@ -174,8 +174,8 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
     )
     try:
-        li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
-        part = load_table(spark, "/root/testdata/sf0.001", "part").filter(
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(
             F.col("p_partkey") % 97 == 0
         )
         j = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_partkey").count()
