@@ -366,3 +366,38 @@ def incremental_dedup(
         .otherwise(F.lit(1).cast("long"))
         .alias("keep"),
     )
+
+
+def containment_verify(pairs: DataFrame, sets: DataFrame) -> DataFrame:
+    """Exact containment for candidate pairs: (a, b, containment).
+
+    Containment = |A n B| / min(|A|, |B|) -- the ASYMMETRIC overlap
+    measure: a short document fully embedded in a long one scores 1.0
+    here but a low Jaccard (the union is dominated by the long doc),
+    so this is the detector for quote/boilerplate/sub-document
+    duplication that symmetric near-dedup underrates. Same scale shape
+    as jaccard_verify (semi-join the shingle arrays down to the
+    candidate neighborhood; caller owns the `pairs` persist
+    lifecycle); counts are exact integers, one float division.
+    """
+    cand_ids = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    cand_sets = sets.join(cand_ids, "id", "left_semi")
+    n_inter = F.size(F.array_intersect("ss_a", "ss_b"))
+    return (
+        pairs.join(
+            cand_sets.select(F.col("id").alias("a"), F.col("ss").alias("ss_a")), "a"
+        )
+        .join(cand_sets.select(F.col("id").alias("b"), F.col("ss").alias("ss_b")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                n_inter.cast("double")
+                / F.least(F.size("ss_a"), F.size("ss_b"))
+            ).alias("containment"),
+        )
+    )

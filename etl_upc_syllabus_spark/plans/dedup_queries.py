@@ -304,3 +304,41 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_dedup(batch, corpus, "doc_id", "text").select(
         F.col("id").alias("doc_id"), "exact_dup", "near_dup", "keep"
     )
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH {fr.shingle_cte(3)},
+    {fr.minhash_ctes(16, 4)},
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM sig l JOIN sig r ON l.band = r.band AND l.bh = r.bh
+                                   AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT c.a, c.b, count(*) AS n_inter
+              FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                          JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+              GROUP BY c.a, c.b)
+    SELECT c.a, c.b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / least(na.n, nb.n), 6) AS containment
+    FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+                JOIN sizes na ON na.doc_id = c.a
+                JOIN sizes nb ON nb.doc_id = c.b
+    """,
+    doc="Containment scoring of the LSH candidate pairs: |AnB|/min -- "
+    "the asymmetric overlap that catches a short document embedded in "
+    "a long one (quotes, boilerplate, sub-document duplication), which "
+    "symmetric Jaccard underrates because the union is dominated by "
+    "the long side. Same zero-corpus-shuffle shape as "
+    "dedup_minhash_lsh; only the scoring formula differs "
+    "(operators/dedup.py containment_verify).",
+    tags=("dedup", "containment", "lsh", "llm-pipeline"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = dd.shingle_sets(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
+    sig = dd.minhash_signatures(sets)
+    pairs = dd.lsh_candidate_pairs(sig).persist()
+    return dd.containment_verify(pairs, sets).select(
+        "a", "b", F.round("containment", 6).alias("containment")
+    )

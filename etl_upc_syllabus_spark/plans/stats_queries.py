@@ -428,3 +428,53 @@ def dq_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.col("t"), 6).alias("share"),
         F.round(F.col("n") / F.col("a"), 4).alias("skew_factor"),
     )
+
+
+@query(
+    "events_time_to_convert",
+    """
+    WITH fv AS (SELECT user_id, min(epoch_us(ts)) AS v
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+    fp AS (SELECT user_id, min(epoch_us(ts)) AS p
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT fv.user_id,
+           CAST(floor(CAST(fp.p - fv.v AS DOUBLE) / 1000000) AS BIGINT)
+             AS tt_seconds,
+           CASE WHEN fp.p < fv.v THEN 'pre_exposure'
+                WHEN fp.p - fv.v < 3600000000 THEN 'under_1h'
+                WHEN fp.p - fv.v < 86400000000 THEN 'under_1d'
+                ELSE 'over_1d' END AS band
+    FROM fv JOIN fp ON fp.user_id = fv.user_id
+    """,
+    doc="Time-to-convert: per user, seconds from first view to first "
+    "purchase with latency bands (including the pre-exposure edge "
+    "where the purchase precedes any view -- real event streams have "
+    "it and dropping it silently biases the funnel metric). Two "
+    "filtered min-aggregates + one key join; exact integer epoch "
+    "microseconds throughout. Seconds use an explicit floor() of the "
+    "same double division in both engines: DuckDB's // truncates "
+    "toward zero while Spark's floor() floors, and the two differ by "
+    "one on the negative pre-exposure deltas.",
+    tags=("events", "funnel", "latency"),
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(etype: str, out: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.min(F.unix_micros("ts")).alias(out))
+        )
+
+    j = first_ts("view", "v").join(first_ts("purchase", "p"), "user_id")
+    delta = F.col("p") - F.col("v")
+    return j.select(
+        "user_id",
+        F.floor(delta / F.lit(1000000.0)).cast("long").alias("tt_seconds"),
+        F.when(F.col("p") < F.col("v"), "pre_exposure")
+        .when(delta < 3600000000, "under_1h")
+        .when(delta < 86400000000, "under_1d")
+        .otherwise("over_1d")
+        .alias("band"),
+    )
