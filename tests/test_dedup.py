@@ -254,3 +254,32 @@ def test_incremental_dedup_empty_corpus_keeps_all(spark):
     batch = spark.createDataFrame([(1, BASE), (2, OTHER)], ["doc_id", "text"])
     rows = dd.incremental_dedup(batch, corpus, "doc_id", "text").collect()
     assert all(r["keep"] == 1 for r in rows) and len(rows) == 2
+
+
+def test_containment_bounds_and_dominates_jaccard(spark):
+    """containment = |AnB|/min(|A|,|B|) is in (0, 1] for overlapping
+    pairs and is never below the pair's Jaccard; a short doc fully
+    embedded in a long one scores exactly 1.0."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon"),
+        (3, "completely different words entirely here now today folks"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sets = dd.shingle_sets(df, "doc_id", "text", k=3)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], ["a", "b"])
+    cont = {
+        (r["a"], r["b"]): r["containment"]
+        for r in dd.containment_verify(pairs, sets).collect()
+    }
+    jac = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dd.jaccard_verify(pairs, sets).collect()
+    }
+    # doc 1's shingles are a strict prefix-subset of doc 2's
+    assert cont[(1, 2)] == 1.0
+    assert cont[(1, 3)] == 0.0
+    for k in cont:
+        assert 0.0 <= cont[k] <= 1.0
+        assert cont[k] >= jac[k] - 1e-12

@@ -93,3 +93,19 @@ def test_clustering_coefficient_k4_and_path(spark):
     path = _sym(spark, [(0, 1), (1, 2), (2, 3)])
     got = {r["node"]: r["cc"] for r in clustering_coefficient(path).collect()}
     assert got == {1: 0.0, 2: 0.0}  # endpoints have d=1 -> excluded
+
+
+def test_triangle_counts_sum_divisible_by_three(spark, sf_dir):
+    """Every triangle contributes exactly one count to each of its
+    three vertices, so the global sum is divisible by 3."""
+    from etl_upc_syllabus_spark.operators.graph import (
+        copurchase_edges,
+        triangle_counts,
+    )
+    from etl_upc_syllabus_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    total = triangle_counts(copurchase_edges(li)).agg(F.sum("n_triangles")).first()[0]
+    assert total is not None and total > 0
+    assert total % 3 == 0

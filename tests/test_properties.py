@@ -175,3 +175,23 @@ def test_sessionize_invariants(spark, rows):
         # order, and never jump by more than 1
         assert sids[0] == 1
         assert all(b - a in (0, 1) for a, b in zip(sids, sids[1:]))
+
+
+def test_ewma_constant_series_converges_to_kernel_mass(spark):
+    """EWMA of a constant series equals the constant times the
+    cumulative kernel mass: y * sum(w_j, j<=t) during warmup and
+    y * (1 - 0.7^10) once all 10 taps are filled."""
+    from etl_upc_syllabus_spark.plans.stats_queries import _ewma_expr
+
+    rows = [("a", f"2024-01-{d:02d}", 10.0) for d in range(1, 15)]
+    df = spark.createDataFrame(rows, ["event_type", "day", "y"])
+    out = {
+        r["day"]: r["e"]
+        for r in df.selectExpr("event_type", "day", "y", f"round({_ewma_expr()}, 6) AS e").collect()
+    }
+    mass = 0.0
+    for t, d in enumerate(sorted(out)):
+        if t < 10:
+            mass += 0.3 * 0.7**t
+        expected = round(10.0 * (mass if t >= 9 else sum(0.3 * 0.7**j for j in range(t + 1))), 6)
+        assert abs(out[d] - expected) < 1e-6, (d, out[d], expected)

@@ -94,3 +94,43 @@ def test_sequence_packing_invariants(spark, sf_dir):
         # packs take consecutive doc_id ranges within their bucket
         for a, b in zip(rows, rows[1:]):
             assert a["last_doc"] < b["first_doc"], (a, b)
+
+
+def test_weighted_reservoir_deterministic_under_partitioning(spark, sf_dir):
+    """The A-ES hash-priority sample is a pure function of content:
+    identical top-50 regardless of physical partitioning."""
+    from etl_upc_syllabus_spark.plans.registry import all_specs
+
+    fn = all_specs()["sample_weighted_reservoir"].fn
+    base = [tuple(r) for r in fn(spark, sf_dir).collect()]
+    # same query over a repartitioned view of the same table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(7)
+    docs.createOrReplaceTempView("_wres_tmp")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#wres")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + 1) / F.lit(4294967296.0)
+    key = F.round(F.log(u) / F.col("n_chars"), 9)
+    again = [
+        tuple(r)
+        for r in (
+            docs.filter(F.col("n_chars") > 0)
+            .select("doc_id", "lang", "n_chars", key.alias("k"))
+            .orderBy(F.desc("k"), "doc_id")
+            .limit(50)
+        ).collect()
+    ]
+    assert base == again
+
+
+def test_weighted_reservoir_favors_heavy_docs(spark, sf_dir):
+    """Weighting sanity: the sampled docs' mean n_chars exceeds the
+    corpus mean (chars-weighted sampling upweights long docs)."""
+    from etl_upc_syllabus_spark.plans.registry import all_specs
+
+    fn = all_specs()["sample_weighted_reservoir"].fn
+    sampled = fn(spark, sf_dir).agg(F.avg("n_chars")).first()[0]
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert sampled > corpus
