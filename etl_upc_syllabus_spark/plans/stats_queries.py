@@ -478,3 +478,109 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("over_1d")
         .alias("band"),
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_pairs_sql() -> str:
+    parts = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            parts.append(
+                f"""SELECT '{a}~{b}' AS pair,
+       round((n * s_xy - s_x * s_y)
+             / sqrt((n * s_xx - s_x * s_x) * (n * s_yy - s_y * s_y)), 6)
+         AS pearson
+FROM (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(xa) AS DOUBLE) AS s_x, CAST(sum(xb) AS DOUBLE) AS s_y,
+             CAST(sum(xa * xb) AS DOUBLE) AS s_xy,
+             CAST(sum(CAST(xa AS DECIMAL(19,2)) * CAST(xa AS DECIMAL(19,2)))
+                  AS DOUBLE) AS s_xx,
+             CAST(sum(CAST(xb AS DECIMAL(19,2)) * CAST(xb AS DECIMAL(19,2)))
+                  AS DOUBLE) AS s_yy
+      FROM (SELECT CAST(round({a} * 100) AS DECIMAL(18,2)) AS xa,
+                   CAST(round({b} * 100) AS DECIMAL(18,2)) AS xb
+            FROM lineitem))"""
+            )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "stats_correlation_matrix",
+    _corr_pairs_sql(),
+    doc="Pairwise Pearson correlation of the four numeric fact columns "
+    "(the feature-selection screen). Values are exact 2-dp decimals, "
+    "so every sum is DECIMAL-exact and engine-identical (cents-scaled; "
+    "correlation is scale-invariant), and the closed form is "
+    "IEEE-deterministic after one cast -- the same parity design as "
+    "stats_linear_regression. One scan per pair of map-combinable "
+    "sums; a production variant fuses all pairs into a single "
+    "aggregate pass, identical plan per pair.",
+    tags=("stats", "correlation", "analytics"),
+)
+def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            cents = lambda c: F.round(F.col(c) * 100).cast("decimal(18,2)")
+            d = li.select(cents(a).alias("xa"), cents(b).alias("xb"))
+            s = d.agg(
+                F.count(F.lit(1)).cast("double").alias("n"),
+                F.sum("xa").cast("double").alias("s_x"),
+                F.sum("xb").cast("double").alias("s_y"),
+                F.sum(F.col("xa") * F.col("xb")).cast("double").alias("s_xy"),
+                F.sum(F.col("xa").cast("decimal(19,2)") * F.col("xa").cast("decimal(19,2)"))
+                .cast("double")
+                .alias("s_xx"),
+                F.sum(F.col("xb").cast("decimal(19,2)") * F.col("xb").cast("decimal(19,2)"))
+                .cast("double")
+                .alias("s_yy"),
+            )
+            n, sx, sy = F.col("n"), F.col("s_x"), F.col("s_y")
+            sxy, sxx, syy = F.col("s_xy"), F.col("s_xx"), F.col("s_yy")
+            r = s.select(
+                F.lit(f"{a}~{b}").alias("pair"),
+                F.round(
+                    (n * sxy - sx * sy)
+                    / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                    6,
+                ).alias("pearson"),
+            )
+            out = r if out is None else out.unionAll(r)
+    return out
+
+
+@query(
+    "agg_histogram_fixed_bins",
+    """
+    SELECT CAST(CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000
+                AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS lo_cents,
+           CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS hi_cents
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Equi-WIDTH histogram (fixed $10k bins), the complement of "
+    "feature_quantile_bucket's equi-depth binning: bin assignment is "
+    "exact-integer cents division (positive, so truncation == floor in "
+    "both engines), one map-combinable groupBy bounded by the bin "
+    "count. The distribution profile that feeds range-partition and "
+    "file-layout decisions.",
+    tags=("agg", "histogram", "profiling"),
+)
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.select(cents.alias("c"))
+        .groupBy(F.floor(F.col("c") / 1000000).cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+        )
+    )
