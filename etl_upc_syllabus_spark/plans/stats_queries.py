@@ -514,32 +514,45 @@ FROM (SELECT CAST(count(*) AS DOUBLE) AS n,
     "so every sum is DECIMAL-exact and engine-identical (cents-scaled; "
     "correlation is scale-invariant), and the closed form is "
     "IEEE-deterministic after one cast -- the same parity design as "
-    "stats_linear_regression. One scan per pair of map-combinable "
-    "sums; a production variant fuses all pairs into a single "
-    "aggregate pass, identical plan per pair.",
+    "stats_linear_regression. ALL 13 moments (count, 4 sums, 4 sums of "
+    "squares, 6 cross-products) come from ONE fused scan whose 1-row "
+    "result is checkpointed and fanned out to the six pair rows -- at "
+    "100 TB this is one pass over the fact table, not one per pair "
+    "(the oracle spells the same values per pair for checkability).",
     tags=("stats", "correlation", "analytics"),
 )
 def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    out = None
-    for i, a in enumerate(_CORR_COLS):
-        for b in _CORR_COLS[i + 1 :]:
-            cents = lambda c: F.round(F.col(c) * 100).cast("decimal(18,2)")
-            d = li.select(cents(a).alias("xa"), cents(b).alias("xb"))
-            s = d.agg(
-                F.count(F.lit(1)).cast("double").alias("n"),
-                F.sum("xa").cast("double").alias("s_x"),
-                F.sum("xb").cast("double").alias("s_y"),
-                F.sum(F.col("xa") * F.col("xb")).cast("double").alias("s_xy"),
-                F.sum(F.col("xa").cast("decimal(19,2)") * F.col("xa").cast("decimal(19,2)"))
-                .cast("double")
-                .alias("s_xx"),
-                F.sum(F.col("xb").cast("decimal(19,2)") * F.col("xb").cast("decimal(19,2)"))
-                .cast("double")
-                .alias("s_yy"),
+    cols = _CORR_COLS
+
+    def cents(c: str):
+        return F.round(F.col(c) * 100).cast("decimal(18,2)")
+
+    def big(c: str):
+        return F.col(c).cast("decimal(19,2)")
+
+    d = li.select(*[cents(c).alias(c) for c in cols])
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(c).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(big(c) * big(c)).cast("double").alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).cast("double").alias(f"sp_{a}_{b}")
             )
-            n, sx, sy = F.col("n"), F.col("s_x"), F.col("s_y")
-            sxy, sxx, syy = F.col("s_xy"), F.col("s_xx"), F.col("s_yy")
+    # ONE scan computes every moment; the 1-row result is checkpointed
+    # so the six per-pair selects below read it instead of re-running
+    # the aggregate per union branch (Catalyst does not share subplans
+    # across union arms)
+    s = d.agg(*aggs).localCheckpoint(eager=True)
+    out = None
+    n = F.col("n")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sx, sy = F.col(f"s_{a}"), F.col(f"s_{b}")
+            sxx, syy = F.col(f"ss_{a}"), F.col(f"ss_{b}")
+            sxy = F.col(f"sp_{a}_{b}")
             r = s.select(
                 F.lit(f"{a}~{b}").alias("pair"),
                 F.round(
