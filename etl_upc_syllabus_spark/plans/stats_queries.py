@@ -597,3 +597,73 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c").alias("hi_cents"),
         )
     )
+
+
+@query(
+    "events_level_shift_detect",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             round(sum(value), 6) AS y
+      FROM events GROUP BY 1, 2),
+    win AS (
+      SELECT event_type, day, y,
+             round(avg(y) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS m_recent,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_recent,
+             round(avg(y) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING), 6) AS m_prior,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND 7 PRECEDING) AS n_prior
+      FROM daily)
+    SELECT event_type, day, m_recent, m_prior,
+           round(abs(m_recent - m_prior) / abs(m_prior), 4) AS shift_ratio,
+           CAST(CASE WHEN abs(m_recent - m_prior) / abs(m_prior) > 0.25
+                THEN 1 ELSE 0 END AS BIGINT) AS is_shift
+    FROM win
+    WHERE n_recent = 7 AND n_prior = 7 AND m_prior <> 0
+    """,
+    doc="Level-shift detection on the daily metric per event type: "
+    "trailing 7-day mean vs the preceding 7-day mean, flag when the "
+    "relative shift exceeds 25% -- the windowed changepoint screen "
+    "(CUSUM's recursive max is not windowable; the two-window contrast "
+    "is its parallel-friendly stand-in and the standard monitoring "
+    "primitive). Full-window rows only; both means are rounded at 6 dp "
+    "so the ratio arithmetic is engine-identical, and the flag "
+    "compares the same deterministic expression. One shuffle on the "
+    "key; window state is 14 rows per key.",
+    tags=("stats", "changepoint", "monitoring", "events"),
+)
+def events_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    base = W.partitionBy("event_type").orderBy("day")
+    recent = base.rowsBetween(-6, 0)
+    prior = base.rowsBetween(-13, -7)
+    win = daily.select(
+        "event_type",
+        "day",
+        F.round(F.avg("y").over(recent), 6).alias("m_recent"),
+        F.count(F.lit(1)).over(recent).alias("n_recent"),
+        F.round(F.avg("y").over(prior), 6).alias("m_prior"),
+        F.count(F.lit(1)).over(prior).alias("n_prior"),
+    )
+    ratio = F.abs(F.col("m_recent") - F.col("m_prior")) / F.abs(F.col("m_prior"))
+    return (
+        win.filter(
+            (F.col("n_recent") == 7) & (F.col("n_prior") == 7) & (F.col("m_prior") != 0)
+        )
+        .select(
+            "event_type",
+            "day",
+            "m_recent",
+            "m_prior",
+            F.round(ratio, 4).alias("shift_ratio"),
+            F.when(ratio > 0.25, 1).otherwise(0).cast("long").alias("is_shift"),
+        )
+    )
