@@ -839,3 +839,52 @@ def feature_hash_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.select("doc_id", bucket).groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+@query(
+    "text_keywords_per_doc",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({fr.TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok
+           WHERE length(term) >= 4 AND term NOT IN ({fr.sql_list(ta.STOPWORDS)})
+           GROUP BY 1, 2),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    scored AS (SELECT tf.doc_id, tf.term,
+                      CAST(tf.tf * 1000000 // d.df AS BIGINT) AS score_scaled
+               FROM tf JOIN dfreq d USING (term)),
+    ranked AS (SELECT *, CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_scaled DESC, term) AS BIGINT) AS rank
+               FROM scored)
+    SELECT doc_id, term, score_scaled, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="Per-document keyword extraction: top-3 terms by integer-exact "
+    "tf*idf (tf * 1e6 div df -- no float log, bit-exact across "
+    "engines) over the full vocabulary, stopwords and short tokens "
+    "excluded. The document-tagging/labeling step of corpus curation, "
+    "dual to text_tfidf_topk's query-driven retrieval. The rank window "
+    "partitions by doc_id (parallel across documents, never global); "
+    "df is a vocabulary-bounded broadcast.",
+    tags=("text", "keywords", "tfidf", "llm-pipeline"),
+)
+def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    tok = d.select("doc_id", F.explode(ta.tokens("text")).alias("term"))
+    tf = (
+        tok.filter(
+            (F.length("term") >= 4) & (~F.col("term").isin(*ta.STOPWORDS))
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term", F.expr("tf * 1000000 div df").alias("score_scaled")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_scaled"), "term")
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= 3
+    )
