@@ -1115,3 +1115,68 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("min_by(c_custkey, k)").alias("poorest_cust"),
         )
     )
+
+
+@query(
+    "window_first_last_value",
+    """
+    SELECT event_id, user_id,
+           round(first_value(value) OVER w, 6) AS day_first,
+           round(last_value(value) OVER w, 6) AS day_running_last,
+           CAST(nth_value(event_id, 2) OVER w AS BIGINT) AS second_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                 ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Navigation window functions (first_value / last_value / "
+    "nth_value) completing the window family: per user-day, the "
+    "opening value, the running latest, and the second event's id. "
+    "The frame is explicit ROWS UNBOUNDED PRECEDING..CURRENT ROW with "
+    "a full tie-broken ordering, because last_value over the DEFAULT "
+    "frame is the current row by definition -- the classic silent "
+    "window bug this query pins down. One shuffle on the key.",
+    tags=("window", "navigation"),
+)
+def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id", F.date_format("ts", "yyyy-MM-dd"))
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.first("value").over(w), 6).alias("day_first"),
+        F.round(F.last("value").over(w), 6).alias("day_running_last"),
+        F.nth_value("event_id", 2).over(w).cast("long").alias("second_event_id"),
+    )
+
+
+@query(
+    "agg_bool_countif",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 900) AS all_over_900,
+           bool_or(o_totalprice > 400000) AS any_over_400k
+    FROM orders GROUP BY 1
+    """,
+    doc="Predicate aggregates (count_if / bool_and / bool_or), the "
+    "assertion-style rollup both engines spell identically: per "
+    "priority class, how many big orders, whether every order clears a "
+    "floor, whether any clears a ceiling. Map-combinable single "
+    "shuffle; the building block of dq_expectations_audit expressed as "
+    "first-class aggregate functions.",
+    tags=("agg", "count-if", "bool"),
+)
+def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 900).alias("all_over_900"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+    )
