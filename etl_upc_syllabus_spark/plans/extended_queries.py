@@ -1180,3 +1180,75 @@ def agg_bool_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 900).alias("all_over_900"),
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
     )
+
+
+# deterministic malformed-CSV fixture: 8 good rows + 4 broken ones
+_BAD_CSV_ROWS = [
+    "1,alice,100",
+    "2,bob,200",
+    "3,carol,300",
+    "4,dan,notanumber",      # bad int
+    "5,erin,500",
+    "6,frank",               # missing column
+    "7,grace,700",
+    "8,heidi,800.5",         # float into int column
+    "9,ivan,900",
+    "10,judy,1000,extra",    # extra column
+    "11,kate,1100",
+    "12,leo,1200",
+]
+
+
+@query(
+    "source_csv_malformed_quarantine",
+    """
+    SELECT * FROM (VALUES
+      ('good', CAST(8 AS BIGINT), CAST(5000 AS BIGINT)),
+      ('quarantined', CAST(4 AS BIGINT), CAST(1000 AS BIGINT))
+    ) t(bucket, n_rows, sum_score)
+    """,
+    doc="Malformed-input quarantine at the SOURCE level: a CSV batch "
+    "with rows that break the declared schema (non-numeric int, "
+    "missing column, float into int) is read in PERMISSIVE mode with "
+    "columnNameOfCorruptRecord, so broken rows land in a corrupt "
+    "column instead of failing the job or being silently dropped -- "
+    "the ingest half of the quarantine philosophy (try_cast_quarantine "
+    "covers in-flight coercion). The golden oracle pins the exact "
+    "contract: type violations, missing columns, AND extra columns "
+    "all quarantine (4 of 12 rows), and a quarantined row keeps any "
+    "fields that did parse (the extra-column row's score still sums) "
+    "-- so quarantine analytics can segment failures. At 100 TB this is why ingest declares "
+    "schemas and never infers: inference double-reads AND turns bad "
+    "rows into schema drift.",
+    tags=("source", "csv", "quarantine", "robustness"),
+)
+def source_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    base = tempfile.mkdtemp(prefix="spark_csv_q_")
+    path = os.path.join(base, "batch.csv")
+    with open(path, "w") as f:
+        f.write("\n".join(_BAD_CSV_ROWS) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()  # SPARK-21610: corrupt-record queries must not prune to the corrupt col alone
+    )
+    bucket = F.when(F.col("_corrupt_record").isNull(), "good").otherwise("quarantined")
+    return df.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("score").alias("sum_score"),
+    )
