@@ -667,3 +667,87 @@ def events_level_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(ratio > 0.25, 1).otherwise(0).cast("long").alias("is_shift"),
         )
     )
+
+
+@query(
+    "stats_seasonal_decompose",
+    f"""
+    WITH monthly AS (
+      SELECT CAST({_MONTH_SQL} AS BIGINT) AS m,
+             CAST(round(sum(l_extendedprice * (1 - l_discount)), 2)
+                  AS DECIMAL(18,2)) AS y
+      FROM lineitem GROUP BY 1),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(m) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(m * y) AS DOUBLE) AS sxy,
+             CAST(sum(m * m) AS DOUBLE) AS sxx
+      FROM monthly),
+    fit AS (
+      SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept
+      FROM s),
+    detr AS (
+      SELECT m, CAST(y AS DOUBLE) AS yd,
+             round(intercept + slope * m, 6) AS trend
+      FROM monthly CROSS JOIN fit),
+    seas AS (
+      SELECT m % 12 AS moy, round(avg(yd - trend), 6) AS seasonal
+      FROM detr GROUP BY 1)
+    SELECT d.m, round(d.yd, 2) AS y, d.trend, se.seasonal,
+           round(d.yd - d.trend - se.seasonal, 2) AS residual
+    FROM detr d JOIN seas se ON se.moy = d.m % 12
+    """,
+    doc="Classical seasonal decomposition of monthly revenue (STL-lite): "
+    "OLS trend (same DECIMAL-exact fit as stats_linear_regression), "
+    "calendar-month seasonal component as the mean detrended deviation "
+    "per month-of-year, residual as the remainder. The time-series "
+    "triage that separates growth from seasonality from anomalies. "
+    "The fit is a 1-row broadcast onto the monthly spine, the seasonal "
+    "table is 12 rows broadcast back; month count is bounded, so every "
+    "stage after the first scan is constant-size at any fact scale. "
+    "Trend/seasonal rounded at 6 dp fence the per-group mean's "
+    "summation order; residual rounds at 2 dp on top of fenced inputs.",
+    tags=("stats", "seasonality", "timeseries", "analytics"),
+)
+def stats_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(F.expr(_MONTH_SPARK).cast("long").alias("m")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .cast("decimal(18,2)")
+        .alias("y")
+    )
+    s = monthly.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("m").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("m") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).cast("double").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = s.select(
+        slope.alias("slope"), ((sy - slope * sx) / n).alias("intercept")
+    )
+    detr = monthly.crossJoin(F.broadcast(fit)).select(
+        "m",
+        F.col("y").cast("double").alias("yd"),
+        F.round(F.col("intercept") + F.col("slope") * F.col("m"), 6).alias("trend"),
+    )
+    seas = detr.groupBy((F.col("m") % 12).alias("moy")).agg(
+        F.round(F.avg(F.col("yd") - F.col("trend")), 6).alias("seasonal")
+    )
+    return (
+        detr.join(F.broadcast(seas), detr.m % 12 == seas.moy)
+        .select(
+            "m",
+            F.round("yd", 2).alias("y"),
+            "trend",
+            "seasonal",
+            F.round(F.col("yd") - F.col("trend") - F.col("seasonal"), 2).alias(
+                "residual"
+            ),
+        )
+    )
