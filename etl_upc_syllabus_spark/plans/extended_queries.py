@@ -1252,3 +1252,45 @@ def source_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFra
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("score").alias("sum_score"),
     )
+
+
+@query(
+    "window_running_distinct",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, event_type, ts,
+             CASE WHEN row_number() OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events)
+    SELECT event_id, user_id,
+           CAST(sum(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+             AS distinct_types_so_far
+    FROM marked
+    """,
+    doc="Running DISTINCT count per user (how many event types seen so "
+    "far): neither engine supports DISTINCT aggregates over windows, "
+    "and the collect_set-over-window workaround carries the whole set "
+    "as frame state. The scalable formulation marks each (user, type) "
+    "FIRST occurrence with one rank window, then running-sums the "
+    "markers -- O(1) frame state, two shuffles, and the exact same "
+    "plan shape both engines. The feature behind breadth-of-engagement "
+    "metrics.",
+    tags=("window", "distinct", "events"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run_w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(first_w) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return marked.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(run_w).cast("long").alias("distinct_types_so_far"),
+    )
