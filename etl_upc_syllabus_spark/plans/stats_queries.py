@@ -751,3 +751,66 @@ def stats_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "stats_pareto_concentration",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(sum(rev_cents) AS DOUBLE) AS t,
+                   CAST(count(*) AS BIGINT) AS n_cust FROM cust),
+    ranked AS (
+      SELECT rev_cents,
+             CAST(row_number() OVER (ORDER BY rev_cents DESC, o_custkey)
+                  AS BIGINT) AS rnk,
+             CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey)
+                  AS BIGINT) AS cum_cents
+      FROM cust)
+    SELECT b.pct AS top_pct,
+           round(max(r.cum_cents) / t.t, 6) AS revenue_share
+    FROM ranked r
+    CROSS JOIN tot t
+    JOIN (VALUES (1), (5), (10), (20), (50)) b(pct)
+      ON r.rnk <= greatest(1, t.n_cust * b.pct // 100)
+    GROUP BY b.pct, t.t
+    """,
+    doc="Pareto/concentration analysis: revenue share captured by the "
+    "top 1/5/10/20/50% of customers (the 80/20 screen behind key-skew "
+    "expectations and account prioritization). Exact integer cents "
+    "end-to-end; the running sum ranks the customer aggregate (bounded "
+    "by |customers|, not |orders|), and each banded share is the max "
+    "cumulative at the band cutoff over one broadcast scalar. "
+    "The global rank window runs over the customer AGGREGATE -- "
+    "domain-bounded -- not the fact table.",
+    tags=("stats", "pareto", "analytics"),
+)
+def stats_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    tot = cust.agg(
+        F.sum("rev_cents").cast("double").alias("t"),
+        F.count(F.lit(1)).alias("n_cust"),
+    )
+    w = W.orderBy(F.desc("rev_cents"), "o_custkey")
+    ranked = cust.select(
+        "rev_cents",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("rev_cents").over(w).cast("long").alias("cum_cents"),
+    )
+    bands = spark.createDataFrame([(1,), (5,), (10,), (20,), (50,)], "pct BIGINT")
+    r = ranked.crossJoin(F.broadcast(tot)).join(
+        F.broadcast(bands),
+        F.col("rnk")
+        <= F.greatest(F.lit(1), F.expr("n_cust * pct div 100")),
+    )
+    return r.groupBy(F.col("pct").alias("top_pct"), "t").agg(
+        F.round(F.max("cum_cents") / F.col("t"), 6).alias("revenue_share")
+    ).select("top_pct", "revenue_share")
