@@ -888,3 +888,44 @@ def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= 3
     )
+
+
+@query(
+    "text_ngram_novelty",
+    f"""
+    WITH tok AS (SELECT doc_id, string_split({fr.NORM}, ' ') AS tk
+                 FROM documents WHERE length({fr.NORM}) > 0),
+    sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
+                    AS shingle
+           FROM tok, UNNEST(range(1, len(tk) - 1)) r(i) WHERE len(tk) >= 3),
+    sdf AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count_if(d.df = 1) AS BIGINT) AS n_unique,
+           round(CAST(count_if(d.df = 1) AS DOUBLE) / count(*), 6) AS novelty
+    FROM sh s JOIN sdf d USING (shingle)
+    GROUP BY 1
+    """,
+    doc="Cross-document n-gram novelty: per doc, the fraction of its "
+    "distinct 3-gram shingles that appear in NO other document -- the "
+    "redundancy profile that tells a corpus curator how much of each "
+    "doc is boilerplate shared with the rest (novelty near 0) vs "
+    "original text (near 1), upstream of any dedup decision. The "
+    "shingle-df table is shingle-domain bounded; per-doc stats are one "
+    "join + groupBy on the deduped shingle long form.",
+    tags=("text", "novelty", "redundancy", "llm-pipeline"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    sh = dd.token_shingles(d, "doc_id", "text", k=3).withColumnRenamed("id", "doc_id")
+    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    j = sh.join(sdf, "shingle")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count_if(F.col("df") == 1).alias("n_unique"),
+        F.round(
+            F.count_if(F.col("df") == 1).cast("double") / F.count(F.lit(1)), 6
+        ).alias("novelty"),
+    )
