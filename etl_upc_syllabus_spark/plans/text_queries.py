@@ -898,34 +898,54 @@ def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]
                     AS shingle
            FROM tok, UNNEST(range(1, len(tk) - 1)) r(i) WHERE len(tk) >= 3),
-    sdf AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY 1)
-    SELECT s.doc_id,
-           CAST(count(*) AS BIGINT) AS n_shingles,
-           CAST(count_if(d.df = 1) AS BIGINT) AS n_unique,
-           round(CAST(count_if(d.df = 1) AS DOUBLE) / count(*), 6) AS novelty
-    FROM sh s JOIN sdf d USING (shingle)
-    GROUP BY 1
+    sdf AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df,
+                   min(doc_id) AS only_doc FROM sh GROUP BY 1),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM sh GROUP BY 1),
+    uni AS (SELECT only_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_unique
+            FROM sdf WHERE df = 1 GROUP BY 1)
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(u.n_unique, 0) AS n_unique,
+           round(CAST(coalesce(u.n_unique, 0) AS DOUBLE) / t.n_shingles, 6)
+             AS novelty
+    FROM tot t LEFT JOIN uni u USING (doc_id)
     """,
     doc="Cross-document n-gram novelty: per doc, the fraction of its "
     "distinct 3-gram shingles that appear in NO other document -- the "
     "redundancy profile that tells a corpus curator how much of each "
     "doc is boilerplate shared with the rest (novelty near 0) vs "
-    "original text (near 1), upstream of any dedup decision. The "
-    "shingle-df table is shingle-domain bounded; per-doc stats are one "
-    "join + groupBy on the deduped shingle long form.",
+    "original text (near 1), upstream of any dedup decision. A df=1 "
+    "shingle belongs to exactly one doc, so min(doc_id) in the SAME "
+    "df aggregate attributes it -- no join back on the wide shingle "
+    "key (the first formulation did, and ran 8x slower); both "
+    "aggregates are domain-bounded and meet at a doc-level left join.",
     tags=("text", "novelty", "redundancy", "llm-pipeline"),
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    sh = dd.token_shingles(d, "doc_id", "text", k=3).withColumnRenamed("id", "doc_id")
-    sdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    j = sh.join(sdf, "shingle")
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.count_if(F.col("df") == 1).alias("n_unique"),
+    # the shingle long form feeds two aggregates; persist so the
+    # tokenize+shingle HOFs run once (the minhash-pipeline convention)
+    sh = (
+        dd.token_shingles(d, "doc_id", "text", k=3)
+        .withColumnRenamed("id", "doc_id")
+        .persist()
+    )
+    sdf = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("only_doc")
+    )
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    uni = (
+        sdf.filter(F.col("df") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    return tot.join(uni, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
         F.round(
-            F.count_if(F.col("df") == 1).cast("double") / F.count(F.lit(1)), 6
+            F.coalesce("n_unique", F.lit(0)).cast("double") / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
