@@ -814,3 +814,58 @@ def stats_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy(F.col("pct").alias("top_pct"), "t").agg(
         F.round(F.max("cum_cents") / F.col("t"), 6).alias("revenue_share")
     ).select("top_pct", "revenue_share")
+
+
+@query(
+    "orders_open_backlog_sweepline",
+    """
+    WITH done AS (
+      SELECT l_orderkey AS ok, max(l_shipdate) AS done_ts
+      FROM lineitem GROUP BY 1),
+    deltas AS (
+      SELECT strftime(o.o_orderdate, '%Y-%m') AS month, 1 AS delta
+      FROM orders o
+      UNION ALL
+      SELECT strftime(d.done_ts, '%Y-%m') AS month, -1 AS delta
+      FROM orders o JOIN done d ON d.ok = o.o_orderkey),
+    monthly AS (
+      SELECT month, CAST(sum(delta) AS BIGINT) AS net
+      FROM deltas GROUP BY 1)
+    SELECT month, net,
+           CAST(sum(net) OVER (ORDER BY month) AS BIGINT) AS open_backlog
+    FROM monthly
+    """,
+    doc="Sweep-line interval aggregation: how many orders are OPEN "
+    "(placed, not yet fully shipped) at each month end. Every interval "
+    "becomes a +1 at its start and a -1 at its completion (max ship "
+    "date across the order's lines), deltas aggregate per month, and "
+    "one running sum over the BOUNDED month spine yields the "
+    "concurrent-interval count -- the O(n) distributed pattern for "
+    "interval overlap questions that would otherwise need a "
+    "range join of every order against every time point. The global "
+    "window runs over ~84 month rows, not the fact table.",
+    tags=("stats", "sweepline", "intervals", "analytics"),
+)
+def orders_open_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    done = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("l_shipdate").alias("done_ts")
+    )
+    starts = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"), F.lit(1).alias("delta")
+    )
+    ends = (
+        orders.join(done, orders.o_orderkey == done.ok)
+        .select(F.date_format("done_ts", "yyyy-MM").alias("month"), F.lit(-1).alias("delta"))
+    )
+    monthly = starts.unionAll(ends).groupBy("month").agg(
+        F.sum("delta").cast("long").alias("net")
+    )
+    return monthly.select(
+        "month",
+        "net",
+        F.sum("net").over(W.orderBy("month")).cast("long").alias("open_backlog"),
+    )
