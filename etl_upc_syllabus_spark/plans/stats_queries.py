@@ -869,3 +869,50 @@ def orders_open_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame
         "net",
         F.sum("net").over(W.orderBy("month")).cast("long").alias("open_backlog"),
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    """
+    WITH act AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      FROM events),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY 1),
+    cover AS (
+      SELECT unnest(range(day, day + 7)) AS day, user_id FROM act),
+    wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM cover GROUP BY 1)
+    SELECT CAST(d.day AS BIGINT) AS day, d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+    doc="DAU / WAU engagement stickiness: daily actives over trailing-"
+    "7-day actives per day. Sliding-window DISTINCT cannot use the "
+    "running-sum marker trick (elements expire), and a BETWEEN range "
+    "join of days x activity is quadratic -- instead each (day, user) "
+    "activity row EXPANDS to the 7 future days it covers (a bounded "
+    "x7 fan-out of the day-user table, which is itself bounded by "
+    "users x days, not events), then one distinct-count per day. The "
+    "join with dau implicitly drops cover-days with no activity of "
+    "their own. Day indices are exact integer epoch-day divisions.",
+    tags=("stats", "engagement", "events", "sliding-distinct"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        F.expr("unix_micros(ts) div 86400000000").alias("day"), "user_id"
+    ).distinct()
+    dau = act.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    cover = act.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"), "user_id"
+    )
+    wau = cover.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
