@@ -342,3 +342,81 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.containment_verify(pairs, sets).select(
         "a", "b", F.round("containment", 6).alias("containment")
     )
+
+
+@query(
+    "dedup_lsh_recall",
+    f"""
+    WITH {fr.shingle_cte(3)},
+    {fr.minhash_ctes(16, 4)},
+    cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+             FROM sig l JOIN sig r ON l.band = r.band AND l.bh = r.bh
+                                   AND l.doc_id < r.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS ni
+              FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle
+                                    AND sa.doc_id < sb.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT i.a, i.b,
+                     CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) AS j
+              FROM inter i JOIN sizes na ON na.doc_id = i.a
+                           JOIN sizes nb ON nb.doc_id = i.b
+              WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.2),
+    flags AS (SELECT t.j,
+                     CASE WHEN c.a IS NOT NULL THEN 1 ELSE 0 END AS caught
+              FROM truth t LEFT JOIN cand c ON c.a = t.a AND c.b = t.b)
+    SELECT b.tau, CAST(count(*) AS BIGINT) AS n_true,
+           CAST(count_if(f.caught = 1) AS BIGINT) AS n_caught,
+           round(CAST(count_if(f.caught = 1) AS DOUBLE) / count(*), 6)
+             AS recall
+    FROM flags f JOIN (VALUES (0.2), (0.4), (0.6), (0.8)) b(tau)
+      ON f.j >= b.tau
+    GROUP BY 1
+    """,
+    doc="LSH quality evaluation: recall of the banded MinHash candidate "
+    "pairs against exact-Jaccard ground truth, per similarity band -- "
+    "the S-curve measurement that justifies the (16 hashes, 4 bands) "
+    "config before trusting it at scale (recall should rise toward 1.0 "
+    "for high-similarity pairs and may be low near the threshold; "
+    "that's the tuning signal, not a bug). Ground truth is the "
+    "quadratic shingle self-join, deliberately -- this is the "
+    "verification-scale eval, the dual of similarity_ann_recall on the "
+    "text side.",
+    tags=("dedup", "lsh", "recall", "evaluation"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sets = dd.shingle_sets(docs, "doc_id", "text", k=3).persist()
+    cand = dd.lsh_candidate_pairs(dd.minhash_signatures(sets))
+    sh = sets.select(F.col("id").alias("doc_id"), F.explode("ss").alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("doc_id").alias("a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    j = F.col("ni").cast("double") / (F.col("na") + F.col("nb") - F.col("ni"))
+    truth = (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .select("a", "b", j.alias("j"))
+        .filter(F.col("j") >= 0.2)
+    )
+    flags = truth.join(
+        cand.select("a", "b", F.lit(1).alias("caught")), ["a", "b"], "left"
+    ).select("j", F.coalesce("caught", F.lit(0)).alias("caught"))
+    bands = spark.createDataFrame([(0.2,), (0.4,), (0.6,), (0.8,)], "tau DOUBLE")
+    return (
+        flags.join(F.broadcast(bands), F.col("j") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count_if(F.col("caught") == 1).alias("n_caught"),
+            F.round(
+                F.count_if(F.col("caught") == 1).cast("double") / F.count(F.lit(1)), 6
+            ).alias("recall"),
+        )
+    )
