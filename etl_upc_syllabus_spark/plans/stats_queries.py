@@ -916,3 +916,56 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@query(
+    "stats_gini_inequality",
+    """
+    WITH uc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1),
+    ranked AS (
+      SELECT n_events,
+             CAST(row_number() OVER (ORDER BY n_events, user_id) AS BIGINT)
+               AS rnk
+      FROM uc),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_events) AS BIGINT) AS tot,
+             CAST(sum(rnk * n_events) AS BIGINT) AS weighted
+      FROM ranked)
+    SELECT n AS n_users, tot AS n_events,
+           round((2.0 * weighted) / (n * tot) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+    doc="Gini coefficient of per-user event volume -- the scalar "
+    "inequality summary next to stats_pareto_concentration's banded "
+    "view (0 = uniform engagement, 1 = one user generates everything). "
+    "Uses the rank formulation G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n "
+    "over the ascending-sorted user aggregate: every sum is an exact "
+    "integer, so the statistic is IEEE-deterministic. The rank window "
+    "runs over the user aggregate (domain-bounded); at extreme user "
+    "counts the same sums come from a quantile-bucketed two-phase "
+    "rank, identical formula.",
+    tags=("stats", "gini", "inequality", "events"),
+)
+def stats_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    ranked = uc.select(
+        "n_events",
+        F.row_number().over(W.orderBy("n_events", "user_id")).cast("long").alias("rnk"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_events").alias("tot"),
+        F.sum(F.col("rnk") * F.col("n_events")).alias("weighted"),
+    )
+    n, tot, weighted = F.col("n"), F.col("tot"), F.col("weighted")
+    return s.select(
+        n.alias("n_users"),
+        tot.alias("n_events"),
+        F.round((2.0 * weighted) / (n * tot) - (n + 1.0) / n, 6).alias("gini"),
+    )
