@@ -969,3 +969,73 @@ def stats_gini_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot.alias("n_events"),
         F.round((2.0 * weighted) / (n * tot) - (n + 1.0) / n, 6).alias("gini"),
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    """
+    WITH fo AS (
+      SELECT o_custkey,
+             min((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1)
+               AS cohort_m
+      FROM orders GROUP BY 1),
+    rev AS (
+      SELECT f.cohort_m,
+             (year(o.o_orderdate) - 1992) * 12 + month(o.o_orderdate) - 1
+               - f.cohort_m AS months_since,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2),
+    sizes AS (SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_users
+              FROM fo GROUP BY 1)
+    SELECT CAST(r.cohort_m AS BIGINT) AS cohort_m,
+           CAST(r.months_since AS BIGINT) AS months_since,
+           s.cohort_users,
+           CAST(sum(r.rev_cents) OVER (PARTITION BY r.cohort_m
+               ORDER BY r.months_since) AS BIGINT) AS cum_rev_cents,
+           round(CAST(sum(r.rev_cents) OVER (PARTITION BY r.cohort_m
+               ORDER BY r.months_since) AS DOUBLE)
+               / (100.0 * s.cohort_users), 2) AS ltv_per_user
+    FROM rev r JOIN sizes s ON s.cohort_m = r.cohort_m
+    WHERE r.months_since <= 12
+    """,
+    doc="Cohort lifetime-value curve: customers grouped by first-order "
+    "month, cumulative revenue per cohort over months-since-first "
+    "(capped at 12), normalized per cohort user -- the monetary dual "
+    "of events_cohort_retention's count curve, and the readout LTV/CAC "
+    "decisions hang on. Exact integer cents throughout; the cumulative "
+    "window partitions by cohort over a bounded month axis. Two "
+    "shuffles (first-order aggregate + cohort-month rollup) plus a "
+    "domain-bounded window.",
+    tags=("stats", "cohort", "ltv", "analytics"),
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = (F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1
+    fo = orders.groupBy("o_custkey").agg(F.min(m).alias("cohort_m"))
+    rev = (
+        orders.join(fo, "o_custkey")
+        .groupBy("cohort_m", (m - F.col("cohort_m")).alias("months_since"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+        )
+    )
+    sizes = fo.groupBy("cohort_m").agg(F.count(F.lit(1)).alias("cohort_users"))
+    w = W.partitionBy("cohort_m").orderBy("months_since")
+    cum = F.sum("rev_cents").over(w)
+    return (
+        rev.filter(F.col("months_since") <= 12)
+        .join(sizes, "cohort_m")
+        .select(
+            F.col("cohort_m").cast("long").alias("cohort_m"),
+            F.col("months_since").cast("long").alias("months_since"),
+            "cohort_users",
+            cum.cast("long").alias("cum_rev_cents"),
+            F.round(cum.cast("double") / (100.0 * F.col("cohort_users")), 2).alias(
+                "ltv_per_user"
+            ),
+        )
+    )
