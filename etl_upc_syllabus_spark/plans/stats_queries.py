@@ -1039,3 +1039,47 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_interarrival_stats",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    g AS (SELECT event_type, gap_us FROM gaps WHERE gap_us IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5) / 1000000, 6) AS p50_s,
+           round(quantile_cont(gap_us, 0.9) / 1000000, 6) AS p90_s,
+           round(CAST(max(gap_us) AS DOUBLE) / 1000000, 6) AS max_s
+    FROM g GROUP BY 1
+    """,
+    doc="Inter-arrival cadence profile per event type: p50/p90/max gap "
+    "between consecutive events -- the freshness/SLA readout that "
+    "tells a pipeline operator each stream's natural tick and its "
+    "tail (a p90 collapse means a burst; a max blowup means an "
+    "outage). Gaps are exact integer microseconds from one lag "
+    "window; the exact percentiles run over the (gap, frequency) "
+    "pre-aggregate, interpolation is IEEE-identical, and the /1e6 "
+    "second conversions are fenced at 6 dp.",
+    tags=("stats", "interarrival", "monitoring", "events"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    vc = gaps.groupBy("event_type", "gap_us").agg(F.count(F.lit(1)).alias("cnt"))
+    return vc.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5D, cnt)") / 1000000, 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_us, 0.9D, cnt)") / 1000000, 6).alias("p90_s"),
+        F.round(F.max("gap_us").cast("double") / 1000000, 6).alias("max_s"),
+    )
