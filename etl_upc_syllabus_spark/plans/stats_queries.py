@@ -1083,3 +1083,59 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_us, 0.9D, cnt)") / 1000000, 6).alias("p90_s"),
         F.round(F.max("gap_us").cast("double") / 1000000, 6).alias("max_s"),
     )
+
+
+@query(
+    "stats_hhi_concentration",
+    """
+    WITH sup AS (
+      SELECT n.n_regionkey AS region, l.l_suppkey AS supp,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2),
+    tot AS (SELECT region, CAST(sum(rev_cents) AS DOUBLE) AS t
+            FROM sup GROUP BY 1)
+    SELECT s.region,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum((s.rev_cents / t.t) * (s.rev_cents / t.t)) * 10000, 4)
+             AS hhi
+    FROM sup s JOIN tot t USING (region)
+    GROUP BY 1
+    """,
+    doc="Herfindahl-Hirschman market-concentration index per region "
+    "(supplier revenue shares squared, scaled to the conventional "
+    "0-10000 range): the antitrust-style screen that complements the "
+    "Gini/Pareto inequality views with a per-market grouping. Exact "
+    "integer cents up to the share division; each share is a single "
+    "IEEE division against the broadcast region total, and the "
+    "squared-share sum is fenced at 4 dp. Supplier aggregate is "
+    "domain-bounded; dims broadcast onto the fact scan.",
+    tags=("stats", "hhi", "concentration", "analytics"),
+)
+def stats_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_regionkey").alias("region"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    tot = rev.groupBy("region").agg(F.sum("rev_cents").cast("double").alias("t"))
+    share = F.col("rev_cents") / F.col("t")
+    return (
+        rev.join(tot, "region")
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(share * share) * 10000, 4).alias("hhi"),
+        )
+    )
