@@ -1139,3 +1139,113 @@ def stats_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share * share) * 10000, 4).alias("hhi"),
         )
     )
+
+
+@query(
+    "stats_abc_classification",
+    """
+    WITH parts AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(rev_cents) AS DOUBLE) AS t FROM parts),
+    ranked AS (
+      SELECT rev_cents,
+             CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, pk)
+                  AS BIGINT) AS cum_cents
+      FROM parts),
+    classed AS (
+      SELECT r.rev_cents,
+             CASE WHEN (r.cum_cents - r.rev_cents) / t.t < 0.80 THEN 'A'
+                  WHEN (r.cum_cents - r.rev_cents) / t.t < 0.95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked r CROSS JOIN tot t)
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev_cents) / t.t, 6) AS revenue_share
+    FROM classed CROSS JOIN tot t
+    GROUP BY abc, t.t
+    """,
+    doc="ABC inventory classification: parts ranked by revenue, classed "
+    "A/B/C at the 80%/95% cumulative-share boundaries (a part's class "
+    "comes from the share BEFORE it, so the first part is always A). "
+    "The stock-policy segmentation dual of the Pareto bands. Exact "
+    "integer cents through the running sum; the class boundary "
+    "compares identical IEEE divisions in both engines. Rank window "
+    "over the part aggregate -- domain-bounded.",
+    tags=("stats", "abc", "inventory", "analytics"),
+)
+def stats_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("rev_cents")
+    )
+    tot = parts.agg(F.sum("rev_cents").cast("double").alias("t"))
+    w = W.orderBy(F.desc("rev_cents"), "pk")
+    ranked = parts.select(
+        "rev_cents", F.sum("rev_cents").over(w).cast("long").alias("cum_cents")
+    )
+    prior_share = (F.col("cum_cents") - F.col("rev_cents")) / F.col("t")
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "rev_cents",
+        "t",
+        F.when(prior_share < 0.80, "A")
+        .when(prior_share < 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc", "t").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("rev_cents") / F.col("t"), 6).alias("revenue_share"),
+    ).select("abc", "n_parts", "revenue_share")
+
+
+@query(
+    "supplier_lead_time_percentiles",
+    """
+    WITH lt AS (
+      SELECT l.l_suppkey AS supp,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    vc AS (SELECT supp, lead_days, count(*) AS cnt FROM lt GROUP BY 1, 2),
+    agg AS (
+      SELECT supp, CAST(sum(cnt) AS BIGINT) AS n_lines
+      FROM vc GROUP BY 1),
+    pct AS (
+      SELECT supp,
+             round(quantile_cont(lead_days, 0.5), 4) AS p50_days,
+             round(quantile_cont(lead_days, 0.9), 4) AS p90_days
+      FROM lt GROUP BY 1)
+    SELECT a.supp, a.n_lines, p.p50_days, p.p90_days
+    FROM agg a JOIN pct p USING (supp)
+    WHERE a.n_lines >= 20
+    """,
+    doc="Supplier lead-time SLA profile: p50/p90 days from order "
+    "placement to line shipment per supplier (min 20 lines for a "
+    "stable estimate) -- the vendor scorecard metric. Lead times are "
+    "exact integer day differences; the Spark side feeds the exact "
+    "percentile from the (value, frequency) pre-aggregate (bounded by "
+    "the distinct day-count domain, the sf10-safe shape) while the "
+    "oracle verifies against raw quantile_cont -- identical "
+    "frequency-weighted semantics.",
+    tags=("stats", "leadtime", "percentiles", "operations"),
+)
+def supplier_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lt = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("l_suppkey").alias("supp"),
+        F.datediff("l_shipdate", "o_orderdate").alias("lead_days"),
+    )
+    vc = lt.groupBy("supp", "lead_days").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        vc.groupBy("supp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_lines"),
+            F.round(F.expr("percentile(lead_days, 0.5D, cnt)"), 4).alias("p50_days"),
+            F.round(F.expr("percentile(lead_days, 0.9D, cnt)"), 4).alias("p90_days"),
+        )
+        .filter(F.col("n_lines") >= 20)
+    )
