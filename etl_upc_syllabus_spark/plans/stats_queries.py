@@ -1249,3 +1249,66 @@ def supplier_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .filter(F.col("n_lines") >= 20)
     )
+
+
+@query(
+    "events_error_rate_sli",
+    """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS n_total,
+             CAST(count_if(event_type = 'error') AS BIGINT) AS n_err
+      FROM events GROUP BY 1),
+    win AS (
+      SELECT day, n_total, n_err,
+             CAST(sum(n_total) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS w_total,
+             CAST(sum(n_err) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS w_err
+      FROM daily)
+    SELECT CAST(day AS BIGINT) AS day, n_total, n_err,
+           round(CAST(n_err AS DOUBLE) / n_total, 6) AS daily_rate,
+           round(CAST(w_err AS DOUBLE) / w_total, 6) AS rolling_7d_rate,
+           CAST(CASE WHEN CAST(w_err AS DOUBLE) / w_total > 0.22
+                THEN 1 ELSE 0 END AS BIGINT) AS slo_breach
+    FROM win
+    """,
+    doc="Error-rate SLI with a rolling error budget: daily error share "
+    "plus the trailing-7-day rate and an SLO breach flag -- the "
+    "reliability readout a pipeline operator alarms on (daily rate is "
+    "noisy; the rolling window IS the error budget). Integer event "
+    "counts end-to-end; both rates are single IEEE divisions of "
+    "identical integers, so the breach flag compares the same double "
+    "in both engines. One groupBy bounded by days + one ordered window "
+    "over the day spine.",
+    tags=("stats", "sli", "reliability", "events"),
+)
+def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("event_type") == "error").alias("n_err"),
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "day",
+        "n_total",
+        "n_err",
+        F.sum("n_total").over(w).cast("long").alias("w_total"),
+        F.sum("n_err").over(w).cast("long").alias("w_err"),
+    )
+    rolling = F.col("w_err").cast("double") / F.col("w_total")
+    return win.select(
+        F.col("day").cast("long").alias("day"),
+        "n_total",
+        "n_err",
+        F.round(F.col("n_err").cast("double") / F.col("n_total"), 6).alias("daily_rate"),
+        F.round(rolling, 6).alias("rolling_7d_rate"),
+        F.when(rolling > 0.22, 1).otherwise(0).cast("long").alias("slo_breach"),
+    )
