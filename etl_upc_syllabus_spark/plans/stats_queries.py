@@ -1312,3 +1312,82 @@ def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rolling, 6).alias("rolling_7d_rate"),
         F.when(rolling > 0.22, 1).otherwise(0).cast("long").alias("slo_breach"),
     )
+
+
+@query(
+    "part_return_rate",
+    """
+    WITH j AS (
+      SELECT p.p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count_if(l.l_returnflag = 'R') AS BIGINT) AS n_returned
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1)
+    SELECT brand, n_lines, n_returned,
+           round(CAST(n_returned AS DOUBLE) / n_lines, 6) AS return_rate
+    FROM j WHERE n_lines >= 50
+    """,
+    doc="Product-quality screen: return rate per brand (share of lines "
+    "with returnflag R, min 50 lines for stability) -- the downstream "
+    "metric a curation pipeline joins against when deciding which "
+    "product feeds to trust. One broadcast dim join + one "
+    "domain-bounded groupBy; integer counts, one IEEE division.",
+    tags=("stats", "returns", "quality", "analytics"),
+)
+def part_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        )
+    )
+    return j.filter(F.col("n_lines") >= 50).select(
+        "brand",
+        "n_lines",
+        "n_returned",
+        F.round(F.col("n_returned").cast("double") / F.col("n_lines"), 6).alias(
+            "return_rate"
+        ),
+    )
+
+
+@query(
+    "events_hourly_profile",
+    """
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS t
+            FROM h GROUP BY 1)
+    SELECT h.event_type, h.hod, h.n,
+           round(h.n / t.t, 6) AS share,
+           round((h.n / t.t) * 24, 4) AS activity_index
+    FROM h JOIN tot t USING (event_type)
+    """,
+    doc="Hour-of-day activity profile per event type: share of events "
+    "per hour plus an activity index (1.0 = uniform; peaks and dead "
+    "zones drive batch-window placement and autoscaling schedules). "
+    "hour() on the normalized UTC timestamp is identical in both "
+    "engines; counts are exact, shares single divisions. Two "
+    "domain-bounded aggregates.",
+    tags=("stats", "seasonality", "events", "profiling"),
+)
+def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = h.groupBy("event_type").agg(F.sum("n").cast("double").alias("t"))
+    share = F.col("n") / F.col("t")
+    return h.join(tot, "event_type").select(
+        "event_type",
+        "hod",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(share * 24, 4).alias("activity_index"),
+    )
