@@ -1391,3 +1391,59 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("share"),
         F.round(share * 24, 4).alias("activity_index"),
     )
+
+
+@query(
+    "stats_psi_category_drift",
+    """
+    WITH mo AS (
+      SELECT (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+             o_orderpriority AS p, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2),
+    mt AS (SELECT m, CAST(sum(n) AS DOUBLE) AS t FROM mo GROUP BY 1),
+    base AS (SELECT p, CAST(sum(n) AS DOUBLE) AS b FROM mo GROUP BY 1),
+    bt AS (SELECT CAST(sum(b) AS DOUBLE) AS bt FROM base),
+    terms AS (
+      SELECT mo.m,
+             round((mo.n / mt.t - base.b / bt.bt)
+                   * round(ln((mo.n / mt.t) / (base.b / bt.bt)), 9), 9)
+               AS term
+      FROM mo JOIN mt USING (m)
+              JOIN base USING (p) CROSS JOIN bt)
+    SELECT CAST(m AS BIGINT) AS m, round(sum(term), 6) AS psi,
+           CAST(CASE WHEN sum(term) > 0.1 THEN 1 ELSE 0 END AS BIGINT)
+             AS drift_flag
+    FROM terms GROUP BY 1
+    """,
+    doc="Population stability index per month for the order-priority "
+    "mix: PSI = sum((p_month - p_base) * ln(p_month / p_base)) against "
+    "the all-time baseline, flag at the conventional 0.1 threshold -- "
+    "the categorical-drift monitor every ML feature pipeline runs on "
+    "its inputs. Shares are exact-count divisions; ln is fenced at "
+    "9 dp and each term at 9 dp before the per-month sum (5 terms), "
+    "so the 0.1 flag compares engine-identical values. All aggregates "
+    "are month x category bounded.",
+    tags=("stats", "psi", "drift", "monitoring"),
+)
+def stats_psi_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("m")
+    mo = orders.groupBy(m, F.col("o_orderpriority").alias("p")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mt = mo.groupBy("m").agg(F.sum("n").cast("double").alias("t"))
+    base = mo.groupBy("p").agg(F.sum("n").cast("double").alias("b"))
+    bt = base.agg(F.sum("b").cast("double").alias("bt"))
+    pm = F.col("n") / F.col("t")
+    pb = F.col("b") / F.col("bt")
+    term = F.round((pm - pb) * F.round(F.log(pm / pb), 9), 9)
+    terms = (
+        mo.join(mt, "m")
+        .join(F.broadcast(base), "p")
+        .crossJoin(F.broadcast(bt))
+        .select("m", term.alias("term"))
+    )
+    return terms.groupBy("m").agg(
+        F.round(F.sum("term"), 6).alias("psi"),
+        F.when(F.sum("term") > 0.1, 1).otherwise(0).cast("long").alias("drift_flag"),
+    ).select(F.col("m").cast("long").alias("m"), "psi", "drift_flag")
