@@ -1428,8 +1428,13 @@ def events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stats_psi_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1).alias("m")
-    mo = orders.groupBy(m, F.col("o_orderpriority").alias("p")).agg(
-        F.count(F.lit(1)).alias("n")
+    # the month x priority aggregate (~months*5 rows) feeds THREE
+    # consumers; checkpoint it so the fact scan runs once, not per
+    # consumer (Catalyst shares no subplans across them)
+    mo = (
+        orders.groupBy(m, F.col("o_orderpriority").alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     mt = mo.groupBy("m").agg(F.sum("n").cast("double").alias("t"))
     base = mo.groupBy("p").agg(F.sum("n").cast("double").alias("b"))
