@@ -1452,3 +1452,57 @@ def stats_psi_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("term"), 6).alias("psi"),
         F.when(F.sum("term") > 0.1, 1).otherwise(0).cast("long").alias("drift_flag"),
     ).select(F.col("m").cast("long").alias("m"), "psi", "drift_flag")
+
+
+@query(
+    "stats_revenue_yoy_growth",
+    """
+    WITH yearly AS (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    l AS (
+      SELECT nation, yr, rev_cents,
+             lag(rev_cents) OVER (PARTITION BY nation ORDER BY yr)
+               AS prev_cents
+      FROM yearly)
+    SELECT nation, CAST(yr AS BIGINT) AS yr, rev_cents,
+           round(100.0 * (rev_cents - prev_cents) / prev_cents, 4)
+             AS yoy_pct
+    FROM l WHERE prev_cents IS NOT NULL
+    """,
+    doc="Year-over-year revenue growth per customer nation: the "
+    "comparison-window reporting shape (lag over the bounded "
+    "nation x year grid after dims broadcast onto the fact scan). "
+    "Exact integer cents; the growth percentage is one IEEE division "
+    "fenced at 4 dp. First year per nation is excluded (no prior).",
+    tags=("stats", "yoy", "growth", "analytics"),
+)
+def stats_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+        )
+    )
+    w = W.partitionBy("nation").orderBy("yr")
+    l = yearly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+    return l.filter(F.col("prev_cents").isNotNull()).select(
+        "nation",
+        F.col("yr").cast("long").alias("yr"),
+        "rev_cents",
+        F.round(
+            100.0 * (F.col("rev_cents") - F.col("prev_cents")) / F.col("prev_cents"), 4
+        ).alias("yoy_pct"),
+    )
