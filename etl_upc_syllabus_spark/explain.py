@@ -52,6 +52,7 @@ def audit_row(name: str, tree: str, formatted: str) -> dict[str, object]:
         opname = body.split("\n", 1)[0].split(" ")[0].split("(")[0].strip()
         ops.setdefault(nid, opname)
         bodies.setdefault(nid, body)
+    counted_by = "node_id"
     if ops:
         shuffles = sum(
             1
@@ -67,7 +68,12 @@ def audit_row(name: str, tree: str, formatted: str) -> dict[str, object]:
             op in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
             for op in ops.values()
         )
-    else:  # no detail section (defensive): fall back to text counts
+    else:  # no detail section (defensive): fall back to text counts.
+        # Text counts RE-INTRODUCE cached-subplan inflation (a persisted
+        # subtree prints once per consumer), so mark the row degraded --
+        # an audit reader must never mistake an inflated fallback count
+        # for a per-node-id one.
+        counted_by = "text"
         shuffles = tree.count("Exchange hashpartitioning")
         broadcasts = tree.count("BroadcastHashJoin") + tree.count("BroadcastNestedLoopJoin")
         smj = tree.count("SortMergeJoin")
@@ -79,6 +85,7 @@ def audit_row(name: str, tree: str, formatted: str) -> dict[str, object]:
         )
     return {
         "query": name,
+        "counted_by": counted_by,
         "shuffles": shuffles,
         "broadcast_joins": broadcasts,
         "sortmerge_joins": smj,
@@ -97,7 +104,7 @@ def main(argv: list[str]) -> None:
             specs[name].fn(spark, SF_DIR).explain("formatted")
         return
     cols = (
-        "query shuffles broadcast_joins sortmerge_joins "
+        "query counted_by shuffles broadcast_joins sortmerge_joins "
         "pushed_filters topk_no_sort python_stage"
     ).split()
     print("| " + " | ".join(cols) + " |")

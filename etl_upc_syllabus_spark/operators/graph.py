@@ -73,24 +73,28 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("d")).alias("wt"))
         .persist(StorageLevel.DISK_ONLY)
     )
-    nodes = w.select(F.col("src").alias("node")).distinct()
-    n = nodes.count()
-    base = 1.0 - damping
-    pr = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    for _ in range(n_iter):
-        s = (
-            w.join(pr, w.src == pr.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.round(F.sum(F.col("pr") * F.col("wt")), ROUND_DP).alias("s"))
-        )
-        pr = s.select(
-            "node", F.round(F.lit(base / n) + F.lit(damping) * F.col("s"), ROUND_DP).alias("pr")
-        ).localCheckpoint(eager=True)
-    # the final pr is checkpoint-materialized and no longer references
-    # w's lineage; release the cached edge copy so repeated calls in
-    # one session don't accumulate storage
-    w.unpersist()
-    return pr
+    try:
+        nodes = w.select(F.col("src").alias("node")).distinct()
+        n = nodes.count()
+        base = 1.0 - damping
+        pr = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+        for _ in range(n_iter):
+            s = (
+                w.join(pr, w.src == pr.node)
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.round(F.sum(F.col("pr") * F.col("wt")), ROUND_DP).alias("s"))
+            )
+            pr = s.select(
+                "node",
+                F.round(F.lit(base / n) + F.lit(damping) * F.col("s"), ROUND_DP).alias("pr"),
+            ).localCheckpoint(eager=True)
+        # the final pr is checkpoint-materialized and no longer references
+        # w's lineage
+        return pr
+    finally:
+        # release the cached edge copy even if a round fails, so repeated
+        # calls in one session never accumulate |E|-sized storage
+        w.unpersist()
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
@@ -189,10 +193,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     # caches -- same discipline as pagerank's w.unpersist(): without it
     # every graph query leaves |E|-sized pinned caches competing with
     # later queries' hash aggregates for the unified memory pool.
-    tri = _tri_of(o).localCheckpoint(eager=True)
-    und.unpersist()
-    o.unpersist()
-    return tri
+    # try/finally so a wedge-join/checkpoint failure (e.g. the sf10
+    # disk-spill death) cannot leak the |E|-sized caches for the
+    # session -- the leak class commit 66228f8 fixed elsewhere.
+    try:
+        return _tri_of(o).localCheckpoint(eager=True)
+    finally:
+        und.unpersist()
+        o.unpersist()
 
 
 def _tri_of(o: DataFrame) -> DataFrame:
@@ -225,22 +233,24 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     vanishing.
     """
     und, deg, o = _oriented(edges)
-    tri = _tri_of(o)
-    cc = (
-        deg.filter(F.col("d") >= 2)
-        .join(tri, "node", "left")
-        .select(
-            "node",
-            "d",
-            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
-            F.round(
-                2.0
-                * F.coalesce(F.col("n_triangles"), F.lit(0))
-                / (F.col("d") * (F.col("d") - 1)),
-                6,
-            ).alias("cc"),
-        )
-    ).localCheckpoint(eager=True)  # small node-level state; see triangle_counts
-    und.unpersist()
-    o.unpersist()
-    return cc
+    try:
+        tri = _tri_of(o)
+        return (
+            deg.filter(F.col("d") >= 2)
+            .join(tri, "node", "left")
+            .select(
+                "node",
+                "d",
+                F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)),
+                    6,
+                ).alias("cc"),
+            )
+        ).localCheckpoint(eager=True)  # small node-level state; see triangle_counts
+    finally:
+        # release even on failure -- same rationale as triangle_counts
+        und.unpersist()
+        o.unpersist()

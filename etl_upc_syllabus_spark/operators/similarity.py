@@ -418,6 +418,13 @@ def pq_adc_topk(
     assert not missing, f"prefix codebook ids missing: {missing}"
     cents = [vecs[i] for i in range(kc)]
     codes = pq_encode(emb, id_col, vec_col, m=m, k=kc, dim=dim, cents=cents)
+    # LUT distances: the per-term squares and left-to-right summation
+    # are IEEE-identical to the engines' fold order, so the raw double
+    # matches bit-for-bit -- but the 6-dp fence must use SQL round
+    # semantics (half-away-from-zero), NOT Python round() (banker's
+    # half-to-even). Push the round into a Spark expression over the
+    # unrounded doubles so a distance landing exactly on a half
+    # boundary rounds the same way as the encode path and the oracle.
     lut_rows = []
     for qid, qv in vecs.items():
         if qid >= n_queries:
@@ -428,10 +435,10 @@ def pq_adc_topk(
                     (qv[j * dsub + t] - cents[c][j * dsub + t]) ** 2
                     for t in range(dsub)
                 )
-                lut_rows.append((qid, j, c, round(d, 6)))
+                lut_rows.append((qid, j, c, d))
     lut = emb.sparkSession.createDataFrame(
         lut_rows, "query_id BIGINT, sub BIGINT, code BIGINT, d DOUBLE"
-    )
+    ).select("query_id", "sub", "code", F.round("d", 6).alias("d"))
     adc = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("query_id") != F.col("id"))

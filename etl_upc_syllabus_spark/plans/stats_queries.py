@@ -1112,15 +1112,16 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integer cents up to the share division; each share is a single "
     "IEEE division against the broadcast region total, and the "
     "squared-share sum is fenced at 4 dp. Supplier aggregate is "
-    "domain-bounded; dims broadcast onto the fact scan.",
+    "domain-bounded; supplier join AQE-sized, nation broadcast.",
     tags=("stats", "hhi", "concentration", "analytics"),
 )
 def stats_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
+    # supplier scales with SF -- no forced broadcast (AQE decides)
     rev = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_regionkey").alias("region"), F.col("l_suppkey").alias("supp"))
         .agg(
@@ -1330,15 +1331,19 @@ def events_error_rate_sli(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Product-quality screen: return rate per brand (share of lines "
     "with returnflag R, min 50 lines for stability) -- the downstream "
     "metric a curation pipeline joins against when deciding which "
-    "product feeds to trust. One broadcast dim join + one "
-    "domain-bounded groupBy; integer counts, one IEEE division.",
+    "product feeds to trust. One dim join (AQE-sized, since part "
+    "scales with SF) + one domain-bounded groupBy; integer counts, "
+    "one IEEE division.",
     tags=("stats", "returns", "quality", "analytics"),
 )
 def part_return_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # no broadcast hint: part scales linearly with SF, so a forced hint
+    # would bypass the size-based guard and OOM at large SFs -- AQE
+    # broadcasts it whenever it actually fits under the threshold
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -1477,7 +1482,8 @@ def stats_psi_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Year-over-year revenue growth per customer nation: the "
     "comparison-window reporting shape (lag over the bounded "
-    "nation x year grid after dims broadcast onto the fact scan). "
+    "nation x year grid after the dim joins; customer is AQE-sized, "
+    "nation broadcast). "
     "Exact integer cents; the growth percentage is one IEEE division "
     "fenced at 4 dp. First year per nation is excluded (no prior).",
     tags=("stats", "yoy", "growth", "analytics"),
@@ -1488,8 +1494,10 @@ def stats_revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
+    # customer scales with SF -- no forced broadcast (AQE decides);
+    # nation is a fixed 25-row dim, safe to hint at any scale
     yearly = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
         .agg(

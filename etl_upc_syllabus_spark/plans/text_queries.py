@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ..operators import textanalysis as ta
 from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
+from ._lifecycle import release_after_materialize
 from .registry import query
 
 
@@ -941,7 +942,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("only_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
-    return tot.join(uni, "doc_id", "left").select(
+    result = tot.join(uni, "doc_id", "left").select(
         "doc_id",
         "n_shingles",
         F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
@@ -949,6 +950,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_unique", F.lit(0)).cast("double") / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
+    # per-doc 4-column result vs the corpus-sized shingle cache:
+    # materialize it, release the cache (ADVICE r6)
+    return release_after_materialize(result, sh)
 
 
 @query(
