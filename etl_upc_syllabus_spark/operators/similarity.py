@@ -449,3 +449,113 @@ def pq_adc_topk(
     return adc.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_adc_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    kc: int = 4,
+    dim: int = 64,
+    query_lo: int = 10,
+    query_hi: int = 20,
+    k: int = 5,
+    centroids: DataFrame | None = None,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ composed ANN search: coarse probe -> ADC rank within the
+    probed inverted lists only -- the production query shape of a
+    100 TB vector index (FAISS's IVFADC layout, done relationally).
+
+    ``centroids`` (cid, c_emb) overrides the IVF coarse codebook and
+    ``cents`` the PQ codebook -- pass spark.ml KMeans fits for the
+    production path; the deterministic prefix defaults keep the
+    registry query oracle-reproducible.
+
+    The two halves that exist separately as ``cosine_topk_ivf`` and
+    ``pq_adc_topk`` compose here the way a deployed index runs them:
+
+    - the corpus is coarse-quantized once into inverted lists
+      (``assign_ivf_clusters``; prefix centroids for oracle
+      determinism, spark.ml KMeans in production);
+    - corpus vectors are PQ-encoded once into m codes each
+      (``pq_encode`` -- narrow, zero-shuffle, codebook as literals);
+    - a query probes its ``nprobe`` nearest lists (broadcast centroid
+      table), and ranks ONLY those lists' members by ADC distance --
+      m broadcast-LUT lookups + adds over the codes. Per query the
+      scan touches ~|corpus| * nprobe / n_centroids CODE rows (ints),
+      never a raw vector and never the full corpus: the memory story
+      of PQ under the fan-in story of IVF.
+
+    Determinism fences match both parents: squared distances rounded
+    at 6 dp before every argmin/rank, centroid/candidate-id
+    tiebreaks, LUT rounding pushed into a Spark expression (SQL
+    half-away-from-zero semantics).
+    """
+    # one bounded driver collect covers the PQ codebook (ids < kc) and
+    # the query vectors (ids in [query_lo, query_hi))
+    vecs = _prefix_vectors(emb, id_col, vec_col, max(kc, query_hi))
+    if cents is None:
+        missing = [i for i in range(kc) if i not in vecs]
+        assert not missing, f"prefix codebook ids missing: {missing}"
+        cents = [vecs[i] for i in range(kc)]
+    assert len(cents) == kc, f"need {kc} PQ codebook vectors, found {len(cents)}"
+    codes = pq_encode(emb, id_col, vec_col, m=m, k=kc, dim=dim, cents=cents)
+
+    if centroids is None:
+        centroids = emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb")
+        )
+    assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col).select(
+        "id", "cluster"
+    )
+
+    q = emb.filter((F.col(id_col) >= query_lo) & (F.col(id_col) < query_hi)).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
+    dq = F.round(_sqdist("q_emb", "c_emb"), 6)
+    wq = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("cid"))
+    probes = (
+        q.join(F.broadcast(centroids))
+        .select("query_id", "cid", dq.alias("dist"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("cid").alias("cluster"))
+    )
+
+    # ADC lookup table: raw doubles match the engines' fold order
+    # bit-for-bit; the 6-dp fence is a Spark round (see pq_adc_topk)
+    dsub = dim // m
+    lut_rows = []
+    for qid, qv in vecs.items():
+        if not (query_lo <= qid < query_hi):
+            continue
+        for j in range(m):
+            for c in range(kc):
+                d = sum(
+                    (qv[j * dsub + t] - cents[c][j * dsub + t]) ** 2
+                    for t in range(dsub)
+                )
+                lut_rows.append((qid, j, c, d))
+    lut = emb.sparkSession.createDataFrame(
+        lut_rows, "query_id BIGINT, sub BIGINT, code BIGINT, d DOUBLE"
+    ).select("query_id", "sub", "code", F.round("d", 6).alias("d"))
+
+    # candidates = members of the probed lists only (each corpus vector
+    # sits in exactly one list, so (query, cand) is already unique)
+    cand = probes.join(assigned, "cluster").filter(
+        F.col("query_id") != F.col("id")
+    ).select("query_id", F.col("id").alias("cand_id"))
+    adc = (
+        cand.join(codes.withColumnRenamed("id", "cand_id"), "cand_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    wr = W.partitionBy("query_id").orderBy("adc_dist", "cand_id")
+    return adc.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -153,3 +153,80 @@ def test_pq_encode_row_count_and_ties(spark):
     rows = sim.pq_encode(df, m=2, k=4, dim=8).collect()
     assert len(rows) == 12  # 6 vectors x 2 subspaces
     assert all(r["code"] == 0 and r["dist"] == 0.0 for r in rows)
+
+
+def test_ivf_pq_full_probe_equals_plain_adc(spark, sf_dir):
+    """Probing every list makes IVF-PQ degenerate to a plain ADC scan:
+    the composition must return EXACTLY pq_adc_topk's answer for the
+    same queries -- the filter-of-the-parent property that pins the
+    composed semantics (nothing reranked, nothing lost beyond the
+    probe restriction)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    full = {
+        (r["query_id"], r["cand_id"], r["adc_dist"], r["rank"])
+        for r in sim.ivf_pq_adc_topk(emb, nprobe=8, k=5).collect()
+    }
+    plain = {
+        (r["query_id"], r["cand_id"], r["adc_dist"], r["rank"])
+        for r in sim.pq_adc_topk(emb, n_queries=20, k=5).collect()
+        if r["query_id"] >= 10
+    }
+    assert full == plain
+
+
+def test_ivf_pq_planted_exact(spark):
+    """Codebook-aligned geometry: when every corpus vector's subspace
+    slices ARE codebook slices, PQ quantization is lossless and the
+    ADC distance equals the exact squared L2 -- so a query duplicating
+    a corpus vector must get it back at rank 1 with adc_dist 0, through
+    the IVF probe (the duplicate shares the query's nearest coarse
+    centroid, so nprobe=1 already reaches its list)."""
+    # kc=2 codebook vectors (ids 0-1), dim=4, m=2 -> 2-dim subspaces
+    cb = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 1.0]]
+    corpus = [
+        (0, cb[0]),
+        (1, cb[1]),
+        (2, [1.0, 0.0, 0.0, 1.0]),  # slices: cb0|cb1 -- the planted target
+        (3, [0.0, 1.0, 0.0, 0.0]),  # slices: cb1|cb0
+        (10, [1.0, 0.0, 0.0, 1.0]),  # query == vector 2
+    ]
+    emb = spark.createDataFrame(corpus, "vec_id long, embedding array<float>")
+    res = sim.ivf_pq_adc_topk(
+        emb, n_centroids=2, nprobe=1, m=2, kc=2, dim=4,
+        query_lo=10, query_hi=11, k=2,
+    ).collect()
+    top = sorted(res, key=lambda r: r["rank"])[0]
+    assert top["cand_id"] == 2
+    assert top["adc_dist"] == 0.0
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark, sf_dir):
+    """recall@5 of the composed IVF-PQ index against the exact cosine
+    brute force (VERDICT r6 item 6's eval). Two scale-free assertions:
+    the full-probe recall (= pure PQ quantization loss) must be > 0
+    (non-collapse: the deterministic kc=4 prefix codebook is
+    deliberately tiny for oracle reproducibility, so absolute recall
+    is modest -- 0.08 at sf0.01, 0.02 at sf0.001), and probing half
+    the lists must retain >= 50% of it (the probe loss the IVF layer
+    adds is bounded). Production recall comes from k-means codebooks
+    (test_ivf_kmeans_recall_against_bruteforce covers that path)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pred = (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.cosine_topk_bruteforce(emb, query_pred=pred, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.ivf_pq_adc_topk(emb, nprobe=8, k=5).collect()
+    }
+    probed = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.ivf_pq_adc_topk(emb, nprobe=4, k=5).collect()
+    }
+    recall_full = len(exact & full) / len(exact)
+    recall_probed = len(exact & probed) / len(exact)
+    assert recall_full > 0, "PQ-ADC recall collapsed to zero"
+    assert recall_probed >= 0.5 * recall_full, (
+        f"IVF probe loss too high: {recall_probed:.3f} vs full {recall_full:.3f}"
+    )
