@@ -121,22 +121,63 @@ def assign_ivf_clusters(
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid -> (id, v, cluster). Distances are rounded to 6 decimals
-    before the argmin rank so assignment is engine-stable.
+    before the argmin so assignment is engine-stable; distance ties
+    break to the smaller centroid id (struct ordering), matching the
+    oracle's row_number(ORDER BY dist, cid).
 
     centroids: (cid, c_emb). Production derives them with k-means
     (spark.ml KMeans); for deterministic oracle-checked runs the caller
     may pass any fixed set (e.g. the first n corpus vectors).
+
+    ENTIRELY NARROW (r7 rework): the codebook is bounded by definition
+    (K centroids), so it is collected once and folded into the
+    expression tree as literals -- argmin is array_min over K structs
+    per row, the pq_encode pattern. The previous formulation
+    (broadcast join x K + row_number window) shuffled the corpus
+    VECTORS on the window's partitionBy(id) exchange -- K copies of
+    every embedding over the network, the exact scale-killer this
+    operator exists to avoid at 100 TB. Now the corpus is scanned once
+    with zero exchanges from vectors to assignments.
     """
+    cid_type = centroids.schema["cid"].dataType
+    rows = centroids.select("cid", "c_emb").collect()  # codebook-sized
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    d = F.round(_sqdist("v", "c_emb"), 6)
-    w = W.partitionBy("id").orderBy(F.col("dist"), F.col("cid"))
-    return (
-        e.join(F.broadcast(centroids))
-        .select("id", "v", "cid", d.alias("dist"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "v", F.col("cid").alias("cluster"))
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _sqdist("v", F.array(*[F.lit(float(x)) for x in r["c_emb"]])), 6
+                ).alias("dist"),
+                F.lit(r["cid"]).cast(cid_type).alias("cid"),
+            )
+            for r in rows
+        ]
     )
+    best = F.array_min(cands)
+    return e.select("id", "v", best["cid"].alias("cluster"))
+
+
+def _nearest_clusters(vec_col: Column | str, centroids: DataFrame, n: int) -> Column:
+    """ARRAY of the ``n`` nearest centroid ids for a vector column,
+    ordered by (rounded squared distance, cid) -- the narrow probe
+    primitive shared by the IVF query paths. The bounded codebook is
+    collected once and folded into the expression as literals;
+    slice(array_sort(structs)) reproduces the row_number(ORDER BY
+    dist, cid) <= n cut without any exchange."""
+    cid_type = centroids.schema["cid"].dataType
+    rows = centroids.select("cid", "c_emb").collect()
+    cands = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _sqdist(vec_col, F.array(*[F.lit(float(x)) for x in r["c_emb"]])), 6
+                ).alias("dist"),
+                F.lit(r["cid"]).cast(cid_type).alias("cid"),
+            )
+            for r in rows
+        ]
+    )
+    return F.transform(F.slice(F.array_sort(cands), 1, n), lambda s: s["cid"])
 
 
 def kmeans_centroids(
@@ -250,17 +291,17 @@ def cosine_topk_ivf(
         )
     assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col)
 
-    # queries probe their nprobe nearest centroids
+    # queries probe their nprobe nearest centroids -- NARROW (r7): the
+    # codebook folds into the expression as literals and the top-nprobe
+    # cut is slice(array_sort(structs)) per row (same (dist, cid)
+    # ordering as the former row_number window, without the window's
+    # exchange that shuffled query VECTORS). Probe rows then carry
+    # (query_id, q_emb, cluster) into the cluster join, where AQE
+    # broadcasts the small probe side -- the corpus never shuffles.
     q = emb.filter(query_pred).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
-    dq = F.round(_sqdist("q_emb", "c_emb"), 6)
-    wq = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("cid"))
-    probes = (
-        q.join(F.broadcast(centroids))
-        .select("query_id", "q_emb", "cid", dq.alias("dist"))
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "q_emb", F.col("cid").alias("cluster"))
-    )
+    probes = q.select(
+        "query_id", "q_emb", _nearest_clusters("q_emb", centroids, nprobe).alias("cluster")
+    ).withColumn("cluster", F.explode("cluster"))
 
     cand = probes.join(
         assigned.select(F.col("id").alias("cand_id"), F.col("v").alias("c_emb2"), "cluster"),
@@ -513,18 +554,16 @@ def ivf_pq_adc_topk(
         "id", "cluster"
     )
 
+    # narrow probe: top-nprobe centroids per query via
+    # slice(array_sort(structs)) over the literal-folded codebook --
+    # no window exchange, no query vector ever shuffles (ADC needs
+    # only the LUT downstream, so probes carry bare (query_id, cluster))
     q = emb.filter((F.col(id_col) >= query_lo) & (F.col(id_col) < query_hi)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
     )
-    dq = F.round(_sqdist("q_emb", "c_emb"), 6)
-    wq = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("cid"))
-    probes = (
-        q.join(F.broadcast(centroids))
-        .select("query_id", "cid", dq.alias("dist"))
-        .withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", F.col("cid").alias("cluster"))
-    )
+    probes = q.select(
+        "query_id", _nearest_clusters("q_emb", centroids, nprobe).alias("cluster")
+    ).withColumn("cluster", F.explode("cluster"))
 
     # ADC lookup table: raw doubles match the engines' fold order
     # bit-for-bit; the 6-dp fence is a Spark round (see pq_adc_topk)

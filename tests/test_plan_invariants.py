@@ -1,0 +1,189 @@
+"""Plan-invariant regression tests (VERDICT r6 item 4).
+
+The scale-critical physical-plan properties were previously verified
+by hand in PLANS.md; a silent planner regression between driver checks
+would go unnoticed. These tests pin them in pytest:
+
+- the dedup family never shuffles raw document text (the
+  corpus-never-shuffles property: every Exchange carries signatures,
+  hashes, ids, or candidate-restricted arrays -- never the `text`
+  column);
+- every headline top-k query plans TakeOrderedAndProject (per-partition
+  heaps), never a global Sort + Limit;
+- bounded-dim joins are BroadcastHashJoin, never SortMergeJoin;
+- per-query shuffle-count budgets: the audit's node-id-unique exchange
+  count must not exceed the PLANS.md-documented value (a regression
+  that adds an exchange at 100 TB adds a full network pass over the
+  intermediate);
+- the ANN index paths never shuffle embedding vectors (assignment and
+  encode are narrow; only codes/ids/distances cross the network).
+
+Counting uses explain.audit_row (unique plan-node ids, cache-aware);
+column-level checks parse the formatted detail sections, where every
+node lists its Input/Output attributes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from etl_upc_syllabus_spark.explain import audit_row, plan_of
+from etl_upc_syllabus_spark.plans import all_specs
+
+
+def _rows(spark, sf_dir, name):
+    df = all_specs()[name].fn(spark, sf_dir)
+    tree, formatted = plan_of(df)
+    return audit_row(name, tree, formatted), formatted
+
+
+def _exchange_bodies(formatted: str) -> list[str]:
+    """Detail-section bodies of Exchange nodes (their Input [..] lists
+    name every attribute that crosses the network).
+
+    RoundRobinPartitioning exchanges are excluded: the only source is
+    sources.tables.fan_out's FIXTURE workaround for single-row-group
+    parquet (spreads the one-task scan across cores; real multi-row-
+    group data never triggers it), so it is not part of the plan shape
+    under test -- the invariants here are about the hash/range
+    exchanges the query itself requires at scale."""
+    parts = re.split(r"^\((\d+)\) ", formatted, flags=re.M)
+    seen: dict[str, str] = {}
+    for i in range(1, len(parts) - 1, 2):
+        nid, body = parts[i], parts[i + 1]
+        op = body.split("\n", 1)[0].split(" ")[0].split("(")[0].strip()
+        if op == "Exchange" and "RoundRobinPartitioning" not in body:
+            seen.setdefault(nid, body)
+    return list(seen.values())
+
+
+# --- corpus-never-shuffles (dedup family) ---------------------------------
+
+DEDUP_TEXT_NEVER_SHUFFLES = [
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_containment",
+    "dedup_incremental_batch",
+    "text_ngram_novelty",
+]
+
+
+@pytest.mark.parametrize("name", DEDUP_TEXT_NEVER_SHUFFLES)
+def test_dedup_never_shuffles_text(spark, sf_dir, name):
+    """No Exchange in the dedup family may carry the raw document text
+    column: signatures/hashes/ids move, the corpus does not. At 100 TB
+    a text-bearing exchange is the difference between shuffling
+    megabytes and shuffling the corpus."""
+    _, formatted = _rows(spark, sf_dir, name)
+    for body in _exchange_bodies(formatted):
+        assert not re.search(r"\btext#\d+", body), (
+            f"{name}: raw text column crosses an Exchange:\n{body[:500]}"
+        )
+
+
+def test_minhash_signature_build_is_narrow(spark, sf_dir):
+    """dedup_minhash_bands (scan -> shingles -> K mins -> band hashes)
+    must stay a zero-exchange narrow pipeline -- the property that
+    makes MinHash the 100 TB near-dedup path."""
+    row, _ = _rows(spark, sf_dir, "dedup_minhash_bands")
+    assert row["shuffles"] == 0, row
+
+
+def test_minhash_lsh_shuffle_budget(spark, sf_dir):
+    """dedup_minhash_lsh's full pipeline runs 5 unique exchanges
+    (band self-join + candidate verification; PLANS.md). A higher
+    count means a regression re-introduced the r4-era explode/groupBy
+    round-trips of corpus-sized intermediates."""
+    row, _ = _rows(spark, sf_dir, "dedup_minhash_lsh")
+    assert row["shuffles"] <= 5, row
+
+
+# --- top-k must never global-sort ------------------------------------------
+
+TOPK_QUERIES = [
+    "sort_topk",
+    "q3_shipping_priority",
+    "copurchase_affinity_topk",
+    "dq_heavy_hitters",
+]
+
+
+@pytest.mark.parametrize("name", TOPK_QUERIES)
+def test_topk_uses_takeordered(spark, sf_dir, name):
+    row, _ = _rows(spark, sf_dir, name)
+    assert row["topk_no_sort"] == "yes", (
+        f"{name}: top-k lost TakeOrderedAndProject (global sort regression)"
+    )
+
+
+# --- bounded dims broadcast, never sort-merge ------------------------------
+
+DIM_JOIN_QUERIES = [
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_broadcast_dims",
+    "flagship_weekly_calendar",
+]
+
+
+@pytest.mark.parametrize("name", DIM_JOIN_QUERIES)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    row, _ = _rows(spark, sf_dir, name)
+    assert row["sortmerge_joins"] == 0, (
+        f"{name}: a dim join degraded to SortMergeJoin: {row}"
+    )
+
+
+# --- shuffle-count budgets (headline + scale-sensitive) ---------------------
+
+SHUFFLE_BUDGETS = {
+    # single-agg queries: exactly one exchange
+    "q1_pricing_summary": 1,
+    "window_topk_per_group": 1,
+    "agg_rollup": 1,
+    "dedup_exact": 1,
+    "text_quality_score": 0,
+    "similarity_topk_bruteforce": 1,
+    "similarity_topk_lsh": 1,
+    "similarity_topk_pq_adc": 2,
+    "similarity_topk_ivf": 1,
+    "similarity_topk_ivf_pq": 2,  # ADC partial/final agg + rank window
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGETS))
+def test_shuffle_budget(spark, sf_dir, name):
+    row, _ = _rows(spark, sf_dir, name)
+    assert row["shuffles"] <= SHUFFLE_BUDGETS[name], (
+        f"{name}: exchange count {row['shuffles']} exceeds the "
+        f"documented budget {SHUFFLE_BUDGETS[name]} -- a new shuffle "
+        f"is a new full network pass at 100 TB"
+    )
+
+
+# --- ANN paths never shuffle vectors ----------------------------------------
+
+ANN_VECTOR_NEVER_SHUFFLES = [
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_pq",
+    "similarity_topk_pq_adc",
+    "embedding_pq_encode",
+]
+
+
+@pytest.mark.parametrize("name", ANN_VECTOR_NEVER_SHUFFLES)
+def test_ann_never_shuffles_vectors(spark, sf_dir, name):
+    """IVF assignment and PQ encode are narrow (codebooks folded as
+    literals); queries rank codes, not vectors. No Exchange may carry
+    the embedding array -- the r7 assign_ivf_clusters rework exists
+    precisely because the old window-based argmin shuffled K copies of
+    every corpus vector."""
+    _, formatted = _rows(spark, sf_dir, name)
+    for body in _exchange_bodies(formatted):
+        assert not re.search(r"\bembedding#\d+", body) and not re.search(
+            r"\b(v|q_emb|c_emb|c_emb2)#\d+", body
+        ), f"{name}: embedding vectors cross an Exchange:\n{body[:500]}"
