@@ -28,3 +28,50 @@ def test_rows_only(spark, sf_dir, name):
     sdf = spec.fn(spark, sf_dir)
     assert len(sdf.columns) > 0
     assert sdf.count() >= 0
+
+
+# --- second-SF parity (VERDICT r6 item 5) -----------------------------------
+# The suite above runs at the conftest SF (sf0.001 by default); the
+# driver gate runs at sf0.01. Queries whose logic is size-sensitive
+# (percentile pre-aggregates, sampling cuts, reservoir priorities, LSH
+# band/bucket collision structure, quantile gates, histogram bin
+# population, packing bins) are re-checked at the OTHER fixture size so
+# a fixture-size assumption cannot hide between driver rotations.
+
+SIZE_SENSITIVE = [
+    "agg_histogram_fixed_bins",
+    "agg_percentiles",
+    "dedup_containment",
+    "dedup_incremental_batch",
+    "dedup_lsh_recall",
+    "dedup_minhash_bands",
+    "dedup_minhash_lsh",
+    "dedup_pipeline_e2e",
+    "domain_cap_sample",
+    "dq_heavy_hitters",
+    "feature_quantile_bucket",
+    "sample_stratified_by_lang",
+    "sample_weighted_reservoir",
+    "sequence_packing",
+    "similarity_ann_recall",
+    "similarity_topk_ivf_pq",
+    "similarity_topk_lsh",
+    "split_train_val_test",
+    "supplier_lead_time_percentiles",
+    "text_quality_quantile_gate",
+]
+
+from .conftest import SF_DIR as _MAIN_SF
+
+_OTHER_SF = (
+    "/root/testdata/sf0.01" if "sf0.001" in _MAIN_SF else "/root/testdata/sf0.001"
+)
+
+
+@pytest.mark.parametrize("name", SIZE_SENSITIVE)
+def test_oracle_parity_second_sf(spark, name):
+    spec = SPECS[name]
+    assert spec.oracle is not None, f"{name} lost its oracle"
+    sdf = spec.fn(spark, _OTHER_SF)
+    odf = duckdb_run(spec.oracle, _OTHER_SF)
+    compare(sdf, odf, f"{name}@{_OTHER_SF}")
