@@ -69,13 +69,23 @@ def main(argv: list[str] | None = None) -> int:
             assemble.weekly_calendar(good),
             os.path.join(args.output_dir, "weekly_calendar.pdf"),
         )
-        n_bad = bad.count()
+        # quarantine REPORT as an artifact, not just a log line: the
+        # reference logs-and-drops (etl_pipeline.py:28-30); operators
+        # of a real corpus need the reject list (id + typed error) to
+        # triage. Rejects are a tiny fraction of the corpus (errors,
+        # not data), so one driver-side collect is the honest cost.
+        rejects = [{"id": r["id"], "error": r["error"]} for r in bad.collect()]
+        with open(
+            os.path.join(args.output_dir, "quarantine.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(rejects, fh, ensure_ascii=False, indent=1)
+        n_bad = len(rejects)
     finally:
         good.unpersist()
 
     print(f"Processed {len(written)} courses successfully")
     if n_bad:
-        print(f"Quarantined {n_bad} unparseable documents (see the 'error' column)")
+        print(f"Quarantined {n_bad} unparseable documents (see quarantine.json)")
     return 0
 
 

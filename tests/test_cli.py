@@ -47,3 +47,63 @@ def test_cli_end_to_end(spark, tmp_path):
     # 2025-08-25 period start is Monday 2025-09-15 .. Saturday 2025-09-20
     a0 = next(c for c in courses if c["id"] == "1AEL0244")["assessments"][0]
     assert (a0["initial_date"], a0["last_date"]) == ("2025-09-15", "2025-09-20")
+
+
+def test_cli_200_course_corpus(spark, tmp_path):
+    """VERDICT r6 item 7: the full pipeline+quarantine+calendar path at
+    ~10x the original fixture size -- 200 synthetic syllabi (plus a
+    handful of corrupt ones), generated with the stdlib minipdf
+    encoder. Guards the Arrow parse stage's batching assumptions (the
+    grouped-map parser sees many documents per batch here, not 2) and
+    proves the executor-side sinks fan out across a real corpus.
+    Timed so a pathological slowdown fails loudly rather than rotting.
+    """
+    import time
+
+    n_ok, n_bad = 200, 5
+    raw = tmp_path / "raw"
+    out = tmp_path / "data"
+    raw.mkdir()
+
+    for i in range(n_ok):
+        course = f"Curso Sintetico {i:03d}"
+        nrc = 1000 + i
+        code = f"1AEL{i:04d}"
+        minipdf.write_pdf(
+            str(raw / f"UG-202520_{code}-{nrc}.pdf"),
+            [
+                PAGE1.replace("Matemática Básica", course),
+                ["VI. UNIDADES DE APRENDIZAJE", ("table", UNITS_TABLE)],
+                ["VIII. EVALUACIÓN", ("table", ASSESSMENTS_TABLE)],
+            ],
+        )
+    for i in range(n_bad):
+        (raw / f"UG-202520_1AEL99{i:02d}-00{i:02d}.pdf").write_bytes(
+            b"%PDF-1.4 truncated garbage " + bytes([i])
+        )
+    (raw / "config.json").write_text(
+        json.dumps({"2025-2": {"start_date": "2025-08-25", "end_date": "2025-12-06"}})
+    )
+
+    t0 = time.perf_counter()
+    assert main([str(raw), str(out)]) == 0
+    elapsed = time.perf_counter() - t0
+
+    courses = json.loads((out / "all_courses.json").read_text(encoding="utf-8"))
+    assert len(courses) == n_ok
+    assert len({c["id"] for c in courses}) == n_ok
+    # per-course sinks fanned out executor-side for every document
+    per_course = [
+        p
+        for p in os.listdir(out)
+        if p.endswith(".json") and p not in ("all_courses.json", "quarantine.json")
+    ]
+    assert len(per_course) == n_ok
+    # the calendar renders the full corpus
+    assert (out / "weekly_calendar.pdf").read_bytes()[:5] == b"%PDF-"
+    # corrupt PDFs land in quarantine, never in the output set
+    qreport = json.loads((out / "quarantine.json").read_text(encoding="utf-8"))
+    assert len(qreport) == n_bad
+    # generous wall-clock guard: the 2-doc test runs in ~5 s; 200 docs
+    # through the same Arrow-batched stages must stay near-linear
+    assert elapsed < 300, f"200-course CLI run took {elapsed:.0f}s"
