@@ -283,3 +283,38 @@ def test_containment_bounds_and_dominates_jaccard(spark):
     for k in cont:
         assert 0.0 <= cont[k] <= 1.0
         assert cont[k] >= jac[k] - 1e-12
+
+
+def test_sampled_truth_pairs_discovers_planted_dup_and_caps_boilerplate(spark):
+    """Semantic contract of the scale-safe recall ground truth (r7):
+
+    1. a planted near-duplicate pair (many shared shingles) IS in the
+       sampled pair universe -- discovery probability 1-(7/8)^shared
+       is ~1 for real near-dups, and this fixture's overlap is large
+       enough that missing it would mean the sampler is broken;
+    2. a boilerplate shingle shared by MORE than df_cap documents
+       generates NO pairs by itself -- the frequency cap is what keeps
+       pair generation linear (posting-list self-join bounded by
+       df_cap^2), so docs whose only overlap is boilerplate must not
+       pair up.
+    """
+    from etl_upc_syllabus_spark.operators import dedup as dd
+
+    body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi")
+    boiler = "all rights reserved by the corporation"
+    rows = [
+        (1, body + " one ending"),
+        (2, body + " two finale"),  # near-dup of 1: shares ~20 shingles
+    ]
+    # 60 docs sharing ONLY the boilerplate sentence (df = 62 > cap 50)
+    rows += [(100 + i, f"unique text number {i} " + boiler) for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sets = dd.shingle_sets(df, "doc_id", "text", k=3)
+    pairs = {
+        (r["a"], r["b"])
+        for r in dd.sampled_truth_pairs(sets, sample_mod=8, df_cap=50).collect()
+    }
+    assert (1, 2) in pairs, "planted near-dup missed by the sampler"
+    boiler_only = [p for p in pairs if p[0] >= 100 and p[1] >= 100]
+    assert not boiler_only, f"df-capped boilerplate generated pairs: {boiler_only[:5]}"
