@@ -97,20 +97,28 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     the array with higher-order functions, and verification reuses the
     same arrays, so raw text/shingles never cross the network.
     """
-    # Materialize the token array ONCE per row before the shingle lambda:
-    # element_at inside transform() would otherwise re-evaluate the whole
-    # tokenize expression (regex + split) per shingle element -- Catalyst
-    # does no common-subexpression elimination across lambda boundaries,
-    # which measured ~900x re-tokenization per document.
+    # Shingles are built by ZIPPING k shifted slices of the token array
+    # (r7 rework). The obvious formulation -- transform(sequence(1, n-k+1),
+    # i -> concat_ws(' ', element_at(tk, i), ..., element_at(tk, i+k-1)))
+    # over a separately-projected tk -- is a scale trap: Catalyst's
+    # CollapseProject merges the tk projection into the consumer, so the
+    # whole tokenize expression (regex + split) is inlined into EVERY
+    # element_at reference and re-evaluated k times PER SHINGLE ELEMENT
+    # (measured: ~2.6k re-tokenizations per document, 97 s cold for 50k
+    # docs at sf1 -- warm caches had hidden it from the bench). Each
+    # slice below references tk exactly once per ROW, so even after
+    # projection collapse the tokenizer runs ~k times per document:
+    # the same 50k docs now shingle in ~2 s cold.
     tk = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+    toks = F.col("tk")
+    m = F.size(toks) - (k - 1)  # number of shingles
+    parts = [F.slice(toks, j + 1, m) for j in range(k)]
+    shingle = parts[0]
+    for p in parts[1:]:
+        shingle = F.zip_with(shingle, p, lambda a, b: F.concat(a, F.lit(" "), b))
     # docs with < k tokens yield no shingles (matches the oracle's
     # range(1, len-k+2), which is empty there); the filter also keeps
-    # element_at in bounds under ANSI mode
-    toks = F.col("tk")
-    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    shingle = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
-    )
+    # the slice length positive under ANSI mode
     return tk.filter(F.size(toks) >= k).select(
         "id", F.array_distinct(shingle).alias("ss")
     )
