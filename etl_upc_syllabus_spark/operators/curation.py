@@ -87,14 +87,19 @@ def domain_cap(df: DataFrame, key: str, order: str, k: int) -> DataFrame:
 
 
 def word_bigrams(text: Column | str) -> Column:
-    """Adjacent token pairs of the normalized text (empty for < 2 tokens)."""
+    """Adjacent token pairs of the normalized text (empty for < 2 tokens).
+
+    Built by zipping the token array with its own shifted slice -- each
+    side references the tokenize expression once per ROW. The naive
+    element_at(ws, i+1)/element_at(ws, i+2) transform re-evaluates the
+    tokenizer per bigram element after Catalyst collapses projections
+    (the shingle_sets trap; see operators/dedup.py)."""
     ws = tokens(text)
-    return F.when(F.size(ws) < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
-        )
+    m = F.greatest(F.size(ws) - 1, F.lit(0))  # slice length >= 0 even when guarded
+    pairs = F.zip_with(
+        F.slice(ws, 1, m), F.slice(ws, 2, m), lambda a, b: F.concat(a, F.lit(" "), b)
     )
+    return F.when(F.size(ws) < 2, F.array().cast("array<string>")).otherwise(pairs)
 
 
 def repetition_metrics(text: Column | str) -> dict[str, Column]:

@@ -152,30 +152,59 @@ def minhash_signatures(
     the first shuffle of the whole pipeline is the band self-join over
     |docs| x B signature rows.
     """
-    # md5+conv materialized ONCE per shingle (no CSE across lambdas):
-    # xs is its own projection, then the K permutations reuse it.
+    # ONE md5+conv per shingle, ONE fold per row (r7 rework). The
+    # previous shape projected xs then took K array_min(transform(xs))
+    # columns -- but Catalyst's CollapseProject inlines the xs
+    # expression into every consumer, so the md5 ran K times per
+    # shingle (the same trap fixed in shingle_sets). Here xs is the
+    # ARRAY ARGUMENT of a single aggregate (evaluated once per row);
+    # the fold's lambda variables are bound VALUES, so each shingle is
+    # hashed once and the K running minima advance with K mul-adds via
+    # zip_with. The banding step then LET-BINDS the minima array
+    # (transform over a 1-element array wrapper) so its 4 band
+    # consumers reference the bound variable, not the fold expression.
+    params = perm_params(num_hashes)
+    pa = F.array(*[F.lit(a) for a, _ in params])
+    pb = F.array(*[F.lit(b) for _, b in params])
     xs = F.transform(
         "ss", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % MERSENNE_P
     )
-    withx = sets.select("id", xs.alias("xs"))
-    mins = withx.select(
-        "id",
-        *[
-            F.array_min(
-                F.transform("xs", lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P)
-            ).alias(f"h{j}")
-            for j, (a, b) in enumerate(perm_params(num_hashes))
-        ],
+    # init = P: every real hash value is <= P-1, so least() always
+    # replaces it (sets rows are guaranteed a non-empty shingle array)
+    init = F.array_repeat(F.lit(MERSENNE_P).cast("long"), num_hashes)
+    mins = F.aggregate(
+        xs,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.zip_with(pa, pb, lambda a, b: (a * x + b) % MERSENNE_P),
+            lambda m, v: F.least(m, v),
+        ),
     )
     n_bands = num_hashes // band_size
-    band_cols = []
-    for b in range(n_bands):
-        members = [f"h{b * band_size + r}" for r in range(band_size)]
-        band_cols.append(F.md5(F.concat_ws("|", *members)).alias(f"b{b}"))
-    banded = mins.select("id", *band_cols)
-    stack = ", ".join(f"CAST({b} AS BIGINT), b{b}" for b in range(n_bands))
-    return banded.select(
-        "id", F.expr(f"stack({n_bands}, {stack}) AS (band, band_hash)")
+    bands = F.element_at(
+        F.transform(
+            F.array(mins),
+            lambda ms: F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.cast("long").alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(ms, b * band_size + 1, band_size),
+                                lambda h: h.cast("string"),
+                            ),
+                            "|",
+                        )
+                    ).alias("band_hash"),
+                ),
+            ),
+        ),
+        1,
+    )
+    return sets.select("id", F.explode(bands).alias("bh")).select(
+        "id", "bh.band", "bh.band_hash"
     )
 
 
@@ -254,15 +283,10 @@ def ngram_jaccard_allpairs(
     Quadratic: this is the ground-truth / small-N path. The scale path
     is minhash_signatures + lsh_candidate_pairs + jaccard_verify.
     """
-    tk = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk")).filter(
-        F.size("tk") >= k
-    )
-    toks = F.col("tk")
-    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    shingle_set = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
-    )
-    base = tk.select("id", shingle_set.alias("sh"))
+    # shingle build shares shingle_sets' zip-slice shape (one tokenize
+    # pass per slice, never per element -- see shingle_sets for the
+    # CollapseProject trap the naive element_at form falls into)
+    base = shingle_sets(df, id_col, text_col, k).select("id", F.col("ss").alias("sh"))
     a = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

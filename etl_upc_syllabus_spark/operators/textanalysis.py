@@ -124,10 +124,25 @@ def lang_id(col: Column | str) -> Column:
 
 
 def char_shingles(col: Column | str, k: int = 8, stride: int = 4) -> Column:
-    """Character k-gram shingles at the given stride over normalized text."""
-    n = norm_text(col)
-    starts = F.sequence(F.lit(1), F.greatest(F.length(n) - (k - 1), F.lit(1)), F.lit(stride))
-    return F.transform(starts, lambda i: F.substr(n, i, F.lit(k)))
+    """Character k-gram shingles at the given stride over normalized text.
+
+    The normalized text is LET-BOUND via a 1-element array transform so
+    the inner per-shingle substr references a bound lambda VARIABLE --
+    referencing the norm_text expression directly inside the lambda
+    would re-run the normalization regex once per shingle element after
+    projection collapse (the shingle_sets trap; operators/dedup.py)."""
+    return F.element_at(
+        F.transform(
+            F.array(norm_text(col)),
+            lambda s: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)), F.lit(stride)
+                ),
+                lambda i: F.substr(s, i, F.lit(k)),
+            ),
+        ),
+        1,
+    )
 
 
 def fingerprint(col: Column | str, k: int = 8, stride: int = 4) -> Column:
