@@ -187,3 +187,23 @@ def test_ann_never_shuffles_vectors(spark, sf_dir, name):
         assert not re.search(r"\bembedding#\d+", body) and not re.search(
             r"\b(v|q_emb|c_emb|c_emb2)#\d+", body
         ), f"{name}: embedding vectors cross an Exchange:\n{body[:500]}"
+
+
+# --- expression single-evaluation (the CollapseProject trap) -----------------
+
+
+def test_shingle_tokenizer_not_inlined_per_element(spark, sf_dir):
+    """The r7 shingle/minhash rework exists because Catalyst's
+    CollapseProject inlines a projected expression into every consumer
+    reference: the naive element_at-per-shingle form re-ran the regex
+    tokenizer ~2.6k times per document and the md5 16 times per shingle
+    (97 s cold at sf1 -> 10 s after the fix). The formatted plan prints
+    each inlined copy, so occurrence counts pin the property: the
+    tokenizer and the shingle md5 must each appear only a small
+    constant number of times (zip-slice build + one-fold signatures),
+    never O(k) per element or O(num_hashes) per permutation."""
+    _, formatted = _rows(spark, sf_dir, "dedup_minhash_bands")
+    n_tok = formatted.count("regexp_replace")
+    n_md5 = formatted.count("md5")
+    assert n_tok <= 4, f"tokenizer inlined {n_tok}x -- per-element re-evaluation is back"
+    assert n_md5 <= 6, f"md5 inlined {n_md5}x -- per-permutation re-hash is back"
