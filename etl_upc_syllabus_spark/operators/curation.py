@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textanalysis import norm_text, tokens
+from .textanalysis import let_bind, norm_text, tokens
 
 # Redaction patterns, identical semantics in Java regex (Spark) and RE2
 # (DuckDB oracle): character classes, bounded repeats, \b and \d only.
@@ -89,40 +89,80 @@ def domain_cap(df: DataFrame, key: str, order: str, k: int) -> DataFrame:
 def word_bigrams(text: Column | str) -> Column:
     """Adjacent token pairs of the normalized text (empty for < 2 tokens).
 
-    Built by zipping the token array with its own shifted slice -- each
-    side references the tokenize expression once per ROW. The naive
-    element_at(ws, i+1)/element_at(ws, i+2) transform re-evaluates the
-    tokenizer per bigram element after Catalyst collapses projections
-    (the shingle_sets trap; see operators/dedup.py)."""
-    ws = tokens(text)
-    m = F.greatest(F.size(ws) - 1, F.lit(0))  # slice length >= 0 even when guarded
-    pairs = F.zip_with(
-        F.slice(ws, 1, m), F.slice(ws, 2, m), lambda a, b: F.concat(a, F.lit(" "), b)
+    The token array is LET-BOUND (textanalysis.let_bind) and the pairs
+    come from zipping it with its own shifted slice -- ONE tokenizer
+    run per row. The naive element_at(ws, i+1)/element_at(ws, i+2)
+    transform re-evaluates the tokenizer per bigram element after
+    Catalyst collapses projections (the shingle_sets trap; see
+    operators/dedup.py)."""
+    return let_bind(
+        tokens(text),
+        lambda ws: F.when(
+            F.size(ws) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ),
     )
-    return F.when(F.size(ws) < 2, F.array().cast("array<string>")).otherwise(pairs)
+
+
+def repetition_struct(text: Column | str) -> Column:
+    """Gopher repetition metrics as ONE struct column computed in a
+    single pass: (n_bigrams, n_distinct_bigrams, dup_frac).
+
+    The bigram array and its distinct size are let-bound, so one
+    evaluation of this expression tokenizes once and distincts once.
+    Consumers that need all fields should materialize the struct
+    through a Generate barrier (explode of a 1-element array) so the
+    fields are ATTRIBUTE references -- selecting the fields of this
+    expression directly re-inlines (and re-evaluates) it per field."""
+    return let_bind(
+        word_bigrams(text),
+        lambda b: let_bind(
+            F.size(F.array_distinct(b)).cast("long"),
+            lambda nd: F.struct(
+                F.size(b).cast("long").alias("n_bigrams"),
+                nd.alias("n_distinct_bigrams"),
+                F.when(F.size(b) == 0, F.lit(0.0))
+                .otherwise((F.size(b).cast("long") - nd).cast("double") / F.size(b))
+                .alias("dup_frac"),
+            ),
+        ),
+    )
 
 
 def repetition_metrics(text: Column | str) -> dict[str, Column]:
     """Gopher-style repetition signal: fraction of duplicate word
-    bigrams. High dup_frac marks boilerplate/generated text."""
-    bi = word_bigrams(text)
-    n = F.size(bi).cast("long")
-    nd = F.size(F.array_distinct(bi)).cast("long")
+    bigrams. High dup_frac marks boilerplate/generated text.
+
+    Dict view over :func:`repetition_struct`; each entry re-evaluates
+    the (single-pass) struct, so multi-field consumers should prefer
+    the struct + Generate-barrier shape."""
+    s = repetition_struct(text)
     return {
-        "n_bigrams": n,
-        "n_distinct_bigrams": nd,
-        "dup_frac": F.when(n == 0, F.lit(0.0)).otherwise((n - nd).cast("double") / n),
+        "n_bigrams": s["n_bigrams"],
+        "n_distinct_bigrams": s["n_distinct_bigrams"],
+        "dup_frac": s["dup_frac"],
     }
 
 
 def word_ngrams(text: Column | str, n: int) -> Column:
-    """Sliding token n-grams of normalized text (empty for < n tokens)."""
-    ws = tokens(text)
-    return F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - n),
-            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
-        )
+    """Sliding token n-grams of normalized text (empty for < n tokens).
+
+    Token array let-bound: the per-element slice+concat references the
+    bound variable, so the tokenizer runs once per row instead of once
+    per n-gram element (the shingle_sets trap)."""
+    return let_bind(
+        tokens(text),
+        lambda ws: F.when(F.size(ws) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+            )
+        ),
     )
 
 

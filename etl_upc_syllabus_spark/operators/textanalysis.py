@@ -30,6 +30,22 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = ("en", "es", "de", "fr", "zh")  # tie-break priority
 
 
+def let_bind(value: Column, body) -> Column:
+    """Evaluate ``value`` once per row and pass the BOUND result to
+    ``body`` (a Column -> Column callable).
+
+    Catalyst's CollapseProject inlines projected expressions into every
+    consumer reference, so an expression referenced N times inside a
+    lambda or across a computed column is re-evaluated N times -- the
+    trap that made the naive shingle build re-tokenize per element
+    (operators/dedup.py shingle_sets). A higher-order function's ARRAY
+    argument, by contrast, is evaluated exactly once and its lambda
+    variable is a bound VALUE, so wrapping ``value`` in a 1-element
+    array transform gives expression-level let-binding: references to
+    the lambda variable inside ``body`` are free."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def norm_text(col: Column | str) -> Column:
     """Whitespace-collapsed, lowercased, trimmed text (dedup canonical form)."""
     col = F.col(col) if isinstance(col, str) else col
@@ -126,22 +142,19 @@ def lang_id(col: Column | str) -> Column:
 def char_shingles(col: Column | str, k: int = 8, stride: int = 4) -> Column:
     """Character k-gram shingles at the given stride over normalized text.
 
-    The normalized text is LET-BOUND via a 1-element array transform so
-    the inner per-shingle substr references a bound lambda VARIABLE --
+    The normalized text is LET-BOUND (see :func:`let_bind`) so the
+    inner per-shingle substr references a bound lambda VARIABLE --
     referencing the norm_text expression directly inside the lambda
     would re-run the normalization regex once per shingle element after
     projection collapse (the shingle_sets trap; operators/dedup.py)."""
-    return F.element_at(
-        F.transform(
-            F.array(norm_text(col)),
-            lambda s: F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)), F.lit(stride)
-                ),
-                lambda i: F.substr(s, i, F.lit(k)),
+    return let_bind(
+        norm_text(col),
+        lambda s: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)), F.lit(stride)
             ),
+            lambda i: F.substr(s, i, F.lit(k)),
         ),
-        1,
     )
 
 
