@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .textanalysis import norm_text, tokens
+from .textanalysis import let_bind, norm_text, tokens
 
 # MinHash permutation family: h_j(x) = (a_j * x + b_j) mod p over a
 # 31-bit Mersenne prime. One md5 per shingle gives x; the K permutations
@@ -182,26 +182,23 @@ def minhash_signatures(
         ),
     )
     n_bands = num_hashes // band_size
-    bands = F.element_at(
-        F.transform(
-            F.array(mins),
-            lambda ms: F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.cast("long").alias("band"),
-                    F.md5(
-                        F.array_join(
-                            F.transform(
-                                F.slice(ms, b * band_size + 1, band_size),
-                                lambda h: h.cast("string"),
-                            ),
-                            "|",
-                        )
-                    ).alias("band_hash"),
-                ),
+    bands = let_bind(
+        mins,
+        lambda ms: F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.struct(
+                b.cast("long").alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(ms, b * band_size + 1, band_size),
+                            lambda h: h.cast("string"),
+                        ),
+                        "|",
+                    )
+                ).alias("band_hash"),
             ),
         ),
-        1,
     )
     return sets.select("id", F.explode(bands).alias("bh")).select(
         "id", "bh.band", "bh.band_hash"
@@ -469,13 +466,16 @@ def sampled_truth_pairs(
     """
     sh = sets.select(F.col("id").alias("doc_id"), F.explode("ss").alias("shingle"))
     samp = sh.filter(_hex8_bigint(F.md5("shingle")) % sample_mod == 0)
-    keep = (
-        samp.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df via a count window over the shingle partition: ONE pass over
+    # the sampled postings (the aggregate+semi-join formulation
+    # evaluated the explode+hash subplan twice -- once for the df
+    # aggregate, once for the posting join)
+    df_w = F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    post = (
+        samp.withColumn("df", df_w)
         .filter((F.col("df") >= df_min) & (F.col("df") <= df_cap))
-        .select("shingle")
+        .drop("df")
     )
-    post = samp.join(keep, "shingle", "left_semi")
     pa = post.select(F.col("doc_id").alias("a"), "shingle")
     pb = post.select(F.col("doc_id").alias("b"), "shingle")
     return (

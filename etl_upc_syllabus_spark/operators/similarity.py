@@ -139,22 +139,9 @@ def assign_ivf_clusters(
     operator exists to avoid at 100 TB. Now the corpus is scanned once
     with zero exchanges from vectors to assignments.
     """
-    cid_type = centroids.schema["cid"].dataType
-    rows = centroids.select("cid", "c_emb").collect()  # codebook-sized
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cands = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _sqdist("v", F.array(*[F.lit(float(x)) for x in r["c_emb"]])), 6
-                ).alias("dist"),
-                F.lit(r["cid"]).cast(cid_type).alias("cid"),
-            )
-            for r in rows
-        ]
-    )
-    best = F.array_min(cands)
-    return e.select("id", "v", best["cid"].alias("cluster"))
+    best = F.element_at(_nearest_clusters("v", centroids, 1), 1)
+    return e.select("id", "v", best.alias("cluster"))
 
 
 def _nearest_clusters(vec_col: Column | str, centroids: DataFrame, n: int) -> Column:
@@ -428,6 +415,39 @@ def pq_encode(
     ).select("id", "b.sub", "b.code", "b.dist")
 
 
+def _adc_lut(
+    spark,
+    vecs: dict[int, list[float]],
+    cents: list[list[float]],
+    m: int,
+    dsub: int,
+    query_lo: int,
+    query_hi: int,
+) -> DataFrame:
+    """ADC lookup table (query_id, sub, code, d) for queries with
+    query_lo <= id < query_hi.
+
+    Raw doubles are built with the engines' exact fold order (per-term
+    squares summed left-to-right), so they match bit-for-bit; the 6-dp
+    fence is applied as a SPARK round (SQL half-away-from-zero), never
+    Python round() (banker's half-to-even) -- the cross-engine rounding
+    convention shared by the encode path and the oracles."""
+    rows = []
+    for qid, qv in vecs.items():
+        if not (query_lo <= qid < query_hi):
+            continue
+        for j in range(m):
+            for c in range(len(cents)):
+                d = sum(
+                    (qv[j * dsub + t] - cents[c][j * dsub + t]) ** 2
+                    for t in range(dsub)
+                )
+                rows.append((qid, j, c, d))
+    return spark.createDataFrame(
+        rows, "query_id BIGINT, sub BIGINT, code BIGINT, d DOUBLE"
+    ).select("query_id", "sub", "code", F.round("d", 6).alias("d"))
+
+
 def pq_adc_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -459,27 +479,7 @@ def pq_adc_topk(
     assert not missing, f"prefix codebook ids missing: {missing}"
     cents = [vecs[i] for i in range(kc)]
     codes = pq_encode(emb, id_col, vec_col, m=m, k=kc, dim=dim, cents=cents)
-    # LUT distances: the per-term squares and left-to-right summation
-    # are IEEE-identical to the engines' fold order, so the raw double
-    # matches bit-for-bit -- but the 6-dp fence must use SQL round
-    # semantics (half-away-from-zero), NOT Python round() (banker's
-    # half-to-even). Push the round into a Spark expression over the
-    # unrounded doubles so a distance landing exactly on a half
-    # boundary rounds the same way as the encode path and the oracle.
-    lut_rows = []
-    for qid, qv in vecs.items():
-        if qid >= n_queries:
-            continue
-        for j in range(m):
-            for c in range(kc):
-                d = sum(
-                    (qv[j * dsub + t] - cents[c][j * dsub + t]) ** 2
-                    for t in range(dsub)
-                )
-                lut_rows.append((qid, j, c, d))
-    lut = emb.sparkSession.createDataFrame(
-        lut_rows, "query_id BIGINT, sub BIGINT, code BIGINT, d DOUBLE"
-    ).select("query_id", "sub", "code", F.round("d", 6).alias("d"))
+    lut = _adc_lut(emb.sparkSession, vecs, cents, m, dsub, 0, n_queries)
     adc = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("query_id") != F.col("id"))
@@ -565,23 +565,8 @@ def ivf_pq_adc_topk(
         "query_id", _nearest_clusters("q_emb", centroids, nprobe).alias("cluster")
     ).withColumn("cluster", F.explode("cluster"))
 
-    # ADC lookup table: raw doubles match the engines' fold order
-    # bit-for-bit; the 6-dp fence is a Spark round (see pq_adc_topk)
     dsub = dim // m
-    lut_rows = []
-    for qid, qv in vecs.items():
-        if not (query_lo <= qid < query_hi):
-            continue
-        for j in range(m):
-            for c in range(kc):
-                d = sum(
-                    (qv[j * dsub + t] - cents[c][j * dsub + t]) ** 2
-                    for t in range(dsub)
-                )
-                lut_rows.append((qid, j, c, d))
-    lut = emb.sparkSession.createDataFrame(
-        lut_rows, "query_id BIGINT, sub BIGINT, code BIGINT, d DOUBLE"
-    ).select("query_id", "sub", "code", F.round("d", 6).alias("d"))
+    lut = _adc_lut(emb.sparkSession, vecs, cents, m, dsub, query_lo, query_hi)
 
     # candidates = members of the probed lists only (each corpus vector
     # sits in exactly one list, so (query, cand) is already unique)

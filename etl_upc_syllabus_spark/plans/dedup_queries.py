@@ -337,16 +337,23 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "containment", "lsh", "llm-pipeline"),
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pair-level result is tiny next to the corpus-sized shingle cache:
+    # materialize it, release the caches (ADVICE r6 -- never pin
+    # corpus-sized state across queries in a shared session)
+    return release_after_materialize(*_build_dedup_containment(spark, sf_dir))
+
+
+def _build_dedup_containment(spark: SparkSession, sf_dir: str):
+    """(scored, *caches) -- the PRE-checkpoint plan, inspectable by the
+    plan-invariant tests (the registry fn's localCheckpoint hides the
+    live plan behind a Scan ExistingRDD)."""
     sets = dd.shingle_sets(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
     sig = dd.minhash_signatures(sets)
     pairs = dd.lsh_candidate_pairs(sig).persist()
     scored = dd.containment_verify(pairs, sets).select(
         "a", "b", F.round("containment", 6).alias("containment")
     )
-    # pair-level result is tiny next to the corpus-sized shingle cache:
-    # materialize it, release the caches (ADVICE r6 -- never pin
-    # corpus-sized state across queries in a shared session)
-    return release_after_materialize(scored, sets, pairs)
+    return scored, sets, pairs
 
 
 # Recall-eval sampling knobs (mirrored literally in the oracle SQL):
@@ -411,6 +418,12 @@ _RECALL_DF_CAP = 50
     tags=("dedup", "lsh", "recall", "evaluation"),
 )
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-row result vs corpus-sized caches: materialize and release
+    return release_after_materialize(*_build_dedup_lsh_recall(spark, sf_dir))
+
+
+def _build_dedup_lsh_recall(spark: SparkSession, sf_dir: str):
+    """(result, *caches) -- pre-checkpoint plan for the invariant tests."""
     docs = _docs(spark, sf_dir)
     sets = dd.shingle_sets(docs, "doc_id", "text", k=3).persist()
     cand = dd.lsh_candidate_pairs(dd.minhash_signatures(sets))
@@ -435,5 +448,4 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
-    # 4-row result vs corpus-sized caches: materialize and release
-    return release_after_materialize(result, sets, spairs)
+    return result, sets, spairs

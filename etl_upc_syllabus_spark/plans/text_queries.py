@@ -923,6 +923,13 @@ def text_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "novelty", "redundancy", "llm-pipeline"),
 )
 def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-doc 4-column result vs the corpus-sized shingle cache:
+    # materialize it, release the cache (ADVICE r6)
+    return release_after_materialize(*_build_text_ngram_novelty(spark, sf_dir))
+
+
+def _build_text_ngram_novelty(spark: SparkSession, sf_dir: str):
+    """(result, *caches) -- pre-checkpoint plan for the invariant tests."""
     from ..operators import dedup as dd
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
@@ -950,9 +957,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_unique", F.lit(0)).cast("double") / F.col("n_shingles"), 6
         ).alias("novelty"),
     )
-    # per-doc 4-column result vs the corpus-sized shingle cache:
-    # materialize it, release the cache (ADVICE r6)
-    return release_after_materialize(result, sh)
+    return result, sh
 
 
 @query(

@@ -61,10 +61,16 @@ SIZE_SENSITIVE = [
     "text_quality_quantile_gate",
 ]
 
+import os
+
 from .conftest import SF_DIR as _MAIN_SF
 
-_OTHER_SF = (
-    "/root/testdata/sf0.01" if "sf0.001" in _MAIN_SF else "/root/testdata/sf0.001"
+# sibling fixture dir next to the (overridable) main one, so a custom
+# SPARK_GRAFT_TEST_SF_DIR relocates both SFs together
+_SF_ROOT = os.path.dirname(_MAIN_SF.rstrip("/"))
+_OTHER_SF = os.path.join(
+    _SF_ROOT,
+    "sf0.01" if os.path.basename(_MAIN_SF.rstrip("/")) == "sf0.001" else "sf0.001",
 )
 
 

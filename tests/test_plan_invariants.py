@@ -39,6 +39,34 @@ def _rows(spark, sf_dir, name):
     return audit_row(name, tree, formatted), formatted
 
 
+def _live_plan(spark, sf_dir, name):
+    """Formatted plan BEFORE any lifecycle localCheckpoint.
+
+    The release-after-materialize queries return checkpoint-backed
+    DataFrames whose executed plan is a bare Scan ExistingRDD -- a
+    vacuous target for plan assertions. Their _build_* companions
+    expose the live plan (and hand back the registered caches, which
+    we deregister after inspection)."""
+    from etl_upc_syllabus_spark.plans import dedup_queries as dq
+    from etl_upc_syllabus_spark.plans import text_queries as tq
+
+    builders = {
+        "dedup_containment": dq._build_dedup_containment,
+        "dedup_lsh_recall": dq._build_dedup_lsh_recall,
+        "text_ngram_novelty": tq._build_text_ngram_novelty,
+    }
+    if name not in builders:
+        _, formatted = _rows(spark, sf_dir, name)
+        return formatted
+    result, *caches = builders[name](spark, sf_dir)
+    try:
+        _, formatted = plan_of(result)
+        return formatted
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
 def _exchange_bodies(formatted: str) -> list[str]:
     """Detail-section bodies of Exchange nodes (their Input [..] lists
     name every attribute that crosses the network).
@@ -77,9 +105,16 @@ def test_dedup_never_shuffles_text(spark, sf_dir, name):
     """No Exchange in the dedup family may carry the raw document text
     column: signatures/hashes/ids move, the corpus does not. At 100 TB
     a text-bearing exchange is the difference between shuffling
-    megabytes and shuffling the corpus."""
-    _, formatted = _rows(spark, sf_dir, name)
-    for body in _exchange_bodies(formatted):
+    megabytes and shuffling the corpus. Checkpoint-materialized queries
+    are inspected through their _build_* pre-checkpoint plans, and the
+    assertion requires a NON-EMPTY exchange list for the multi-stage
+    pipelines so a checkpoint-masked plan can't pass vacuously."""
+    formatted = _live_plan(spark, sf_dir, name)
+    bodies = _exchange_bodies(formatted)
+    if name in ("dedup_minhash_lsh", "dedup_containment", "dedup_lsh_recall",
+                "text_ngram_novelty", "dedup_incremental_batch"):
+        assert bodies, f"{name}: no live exchanges found -- plan masked?"
+    for body in bodies:
         assert not re.search(r"\btext#\d+", body), (
             f"{name}: raw text column crosses an Exchange:\n{body[:500]}"
         )
