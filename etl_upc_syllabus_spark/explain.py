@@ -53,6 +53,16 @@ def audit_row(name: str, tree: str, formatted: str) -> dict[str, object]:
         ops.setdefault(nid, opname)
         bodies.setdefault(nid, body)
     counted_by = "node_id"
+    # a plan that is nothing but a localCheckpoint scan (lifecycle-
+    # released queries) has trivially-zero counts: mark it so a reader
+    # never mistakes a checkpoint-masked row for a genuinely narrow
+    # plan -- the real pipeline ran eagerly at build time and its shape
+    # is documented in the query's doc string / _build_* companion
+    if "Scan ExistingRDD" in formatted and not any(
+        op in ("Exchange", "HashAggregate", "SortMergeJoin", "BroadcastHashJoin")
+        for op in ops.values()
+    ):
+        counted_by = "checkpointed"
     if ops:
         shuffles = sum(
             1
