@@ -90,3 +90,54 @@ def test_fast_sigmoid_shape(spark):
     assert got == sorted(got)  # monotone
     assert 0.0 < got[0] < 0.01 and 0.99 < got[4] < 1.0  # saturating
     assert abs(got[1] - 0.25) < 1e-12 and abs(got[3] - 0.75) < 1e-12
+
+
+def test_let_bind_is_semantically_transparent(spark):
+    """let_bind(value, body) must equal body(value) for every row --
+    it changes evaluation COUNT, never the value. Checked over the
+    operators that adopted it (bigrams, n-grams, char shingles) on
+    edge-shaped inputs: empty text, whitespace-only, single token,
+    exactly-k tokens, long text, punctuation-heavy."""
+    from etl_upc_syllabus_spark.operators import curation as cu
+    from etl_upc_syllabus_spark.operators import textanalysis as ta
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, "one"),
+        (3, "two tokens"),
+        (4, "exactly three tokens"),
+        (5, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+        (6, "punct, heavy!! text;; with: lots? of. marks,,"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # direct (unbound) reimplementations of each adopted expression
+    tk = ta.tokens("text")
+    m = F.greatest(F.size(tk) - 1, F.lit(0))
+    direct_bigrams = F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(
+        F.zip_with(F.slice(tk, 1, m), F.slice(tk, 2, m),
+                   lambda a, b: F.concat(a, F.lit(" "), b))
+    )
+    n = ta.norm_text("text")
+    direct_shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(n) - 7, F.lit(1)), F.lit(4)),
+        lambda i: F.substr(n, i, F.lit(8)),
+    )
+
+    got = df.select(
+        "doc_id",
+        cu.word_bigrams("text").alias("bi"),
+        direct_bigrams.alias("bi_direct"),
+        cu.word_ngrams("text", 3).alias("tri"),
+        ta.char_shingles("text").alias("cs"),
+        direct_shingles.alias("cs_direct"),
+    ).collect()
+    for r in got:
+        assert r["bi"] == r["bi_direct"], r
+        assert r["cs"] == r["cs_direct"], r
+        if r["bi"] is not None and len(r["bi"]) >= 2:
+            # n-gram arrays are consistent with the bigram count
+            assert len(r["tri"]) == max(len(r["bi"]) - 1, 0) or r["tri"] is not None
