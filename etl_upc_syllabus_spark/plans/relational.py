@@ -277,12 +277,25 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd).alias("_approx_parts"),
         F.approx_count_distinct("l_orderkey", rsd).alias("_approx_orders"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("_exact_median"),
         F.percentile_approx("l_extendedprice", 0.5).alias("_approx_median"),
+    )
+    # exact median over the (value, freq) pre-aggregate, never raw
+    # rows: Spark's exact percentile materializes a per-task value map,
+    # which OOMs on a 60M-row fact at sf10 (the feature_quantile_bucket
+    # lesson); the distinct price domain is bounded, and the
+    # frequency-weighted form is semantically identical
+    em = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5D, cnt)").alias("_exact_median")
+        )
     )
     return (
         ep.join(eo, "l_returnflag")
         .join(sk, "l_returnflag")
+        .join(em, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_parts",
