@@ -734,15 +734,21 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("b")
     )
-    assigned = li.select("l_extendedprice").crossJoin(F.broadcast(q)).select(
+    # bucket the DISTINCT-value table and weight by frequency (r7): the
+    # raw fact never flows through the bucket assignment or the final
+    # groupBy -- |distinct| rows do. The vc subtree feeds both q and
+    # the assignment; the plans are canonically equal, so the shuffle
+    # is a ReusedExchange, not a second scan.
+    assigned = vc.crossJoin(F.broadcast(q)).select(
         F.col("l_extendedprice").alias("x"),
+        F.col("cnt"),
         (
             1
             + F.size(F.filter("b", lambda v: F.col("x") > v))
         ).cast("long").alias("bucket"),
     )
     return assigned.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("n"),
         F.min(F.col("x").cast("decimal(14,2)").cast("string")).alias("lo_s"),
         F.max(F.col("x").cast("decimal(14,2)").cast("string")).alias("hi_s"),
     )
