@@ -58,9 +58,8 @@ def audit_row(name: str, tree: str, formatted: str) -> dict[str, object]:
     # never mistakes a checkpoint-masked row for a genuinely narrow
     # plan -- the real pipeline ran eagerly at build time and its shape
     # is documented in the query's doc string / _build_* companion
-    if "Scan ExistingRDD" in formatted and not any(
-        op in ("Exchange", "HashAggregate", "SortMergeJoin", "BroadcastHashJoin")
-        for op in ops.values()
+    if len(ops) == 1 and next(iter(ops.values())) == "Scan" and "ExistingRDD" in next(
+        iter(bodies.values())
     ):
         counted_by = "checkpointed"
     if ops:

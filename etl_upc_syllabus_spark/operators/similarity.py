@@ -115,7 +115,7 @@ def _sqdist(a: Column | str, b: Column | str) -> Column:
 
 def assign_ivf_clusters(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -144,15 +144,28 @@ def assign_ivf_clusters(
     return e.select("id", "v", best.alias("cluster"))
 
 
-def _nearest_clusters(vec_col: Column | str, centroids: DataFrame, n: int) -> Column:
+def _collect_codebook(centroids: DataFrame) -> tuple:
+    """One bounded driver collect of the (cid, c_emb) codebook, for
+    query builds that fold it into more than one expression (assign +
+    probe): collect once, fold twice -- one Spark job per build, not
+    two (ADVICE r7)."""
+    return centroids.schema["cid"].dataType, centroids.select("cid", "c_emb").collect()
+
+
+def _nearest_clusters(vec_col: Column | str, centroids, n: int) -> Column:
     """ARRAY of the ``n`` nearest centroid ids for a vector column,
     ordered by (rounded squared distance, cid) -- the narrow probe
     primitive shared by the IVF query paths. The bounded codebook is
     collected once and folded into the expression as literals;
     slice(array_sort(structs)) reproduces the row_number(ORDER BY
-    dist, cid) <= n cut without any exchange."""
-    cid_type = centroids.schema["cid"].dataType
-    rows = centroids.select("cid", "c_emb").collect()
+    dist, cid) <= n cut without any exchange.
+
+    ``centroids`` is either the codebook DataFrame or the result of
+    :func:`_collect_codebook` when the caller shares one collect
+    across several foldings."""
+    if isinstance(centroids, DataFrame):
+        centroids = _collect_codebook(centroids)
+    cid_type, rows = centroids
     cands = F.array(
         *[
             F.struct(
@@ -276,7 +289,8 @@ def cosine_topk_ivf(
         centroids = emb.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb")
         )
-    assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col)
+    codebook = _collect_codebook(centroids)
+    assigned = assign_ivf_clusters(emb, codebook, id_col, vec_col)
 
     # queries probe their nprobe nearest centroids -- NARROW (r7): the
     # codebook folds into the expression as literals and the top-nprobe
@@ -287,7 +301,7 @@ def cosine_topk_ivf(
     # broadcasts the small probe side -- the corpus never shuffles.
     q = emb.filter(query_pred).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
     probes = q.select(
-        "query_id", "q_emb", _nearest_clusters("q_emb", centroids, nprobe).alias("cluster")
+        "query_id", "q_emb", _nearest_clusters("q_emb", codebook, nprobe).alias("cluster")
     ).withColumn("cluster", F.explode("cluster"))
 
     cand = probes.join(
@@ -550,7 +564,8 @@ def ivf_pq_adc_topk(
         centroids = emb.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cid"), F.col(vec_col).alias("c_emb")
         )
-    assigned = assign_ivf_clusters(emb, centroids, id_col, vec_col).select(
+    codebook = _collect_codebook(centroids)
+    assigned = assign_ivf_clusters(emb, codebook, id_col, vec_col).select(
         "id", "cluster"
     )
 
@@ -562,7 +577,7 @@ def ivf_pq_adc_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
     )
     probes = q.select(
-        "query_id", _nearest_clusters("q_emb", centroids, nprobe).alias("cluster")
+        "query_id", _nearest_clusters("q_emb", codebook, nprobe).alias("cluster")
     ).withColumn("cluster", F.explode("cluster"))
 
     dsub = dim // m

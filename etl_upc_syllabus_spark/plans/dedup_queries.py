@@ -258,13 +258,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "minhash", "lsh", "components", "pipeline"),
 )
 def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-sized persists (shingle arrays, candidate pairs) are
+    # released once the bounded drop-list materializes -- the
+    # documented lifecycle contract (_lifecycle.py); only the headline
+    # dedup_minhash_lsh keeps warm caches across runs
     sets = dd.shingle_sets(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
     pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sets)).persist()
     verified = dd.jaccard_verify(pairs, sets).filter(F.col("jaccard") >= 0.6)
     comp = connected_components(verified)
-    return comp.filter(F.col("component") < F.col("id")).select(
+    result = comp.filter(F.col("component") < F.col("id")).select(
         F.col("id").alias("doc_id"), F.col("component").alias("keeper_id")
     )
+    return release_after_materialize(result, sets, pairs)
 
 
 @query(

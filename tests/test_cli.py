@@ -105,5 +105,9 @@ def test_cli_200_course_corpus(spark, tmp_path):
     qreport = json.loads((out / "quarantine.json").read_text(encoding="utf-8"))
     assert len(qreport) == n_bad
     # generous wall-clock guard: the 2-doc test runs in ~5 s; 200 docs
-    # through the same Arrow-batched stages must stay near-linear
-    assert elapsed < 300, f"200-course CLI run took {elapsed:.0f}s"
+    # through the same Arrow-batched stages must stay near-linear.
+    # Opt-in via env flag so functional assertions never fail on
+    # machine load alone (ADVICE r7): end-to-end time includes JVM and
+    # Arrow warmup, which a contended host can inflate arbitrarily.
+    if os.environ.get("SPARK_GRAFT_TIMING_ASSERTS"):
+        assert elapsed < 300, f"200-course CLI run took {elapsed:.0f}s"

@@ -74,6 +74,10 @@ _OTHER_SF = os.path.join(
 )
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(_OTHER_SF),
+    reason=f"sibling fixture dir {_OTHER_SF} absent (single-fixture environment)",
+)
 @pytest.mark.parametrize("name", SIZE_SENSITIVE)
 def test_oracle_parity_second_sf(spark, name):
     spec = SPECS[name]

@@ -140,4 +140,4 @@ def test_let_bind_is_semantically_transparent(spark):
         assert r["cs"] == r["cs_direct"], r
         if r["bi"] is not None and len(r["bi"]) >= 2:
             # n-gram arrays are consistent with the bigram count
-            assert len(r["tri"]) == max(len(r["bi"]) - 1, 0) or r["tri"] is not None
+            assert len(r["tri"]) == max(len(r["bi"]) - 1, 0), r
