@@ -75,12 +75,37 @@ def _preflight_load() -> tuple[list[float], bool]:
         time.sleep(min(10.0, remaining))
 
 
+def run_cold(names: list[str], sf_dir: str) -> dict[str, float]:
+    """One COLD timed run per query: fresh SparkSession (empty
+    CacheManager, no reusable persisted plans), no warmup pass, cache
+    cleared again before timing in case the plan build itself persisted.
+
+    This is the mode that would have caught the r6 HOF trap: warm
+    bench runs reused caches populated by the warmup, hiding a
+    per-element re-tokenization that only the cold path paid (98.8 s
+    at sf1, invisible at the warm 0.9 s). OS page cache stays warm
+    across queries -- cold here means COLD PLANS, which is where
+    Catalyst regressions live; IO cold-start is the warmup column of
+    the default mode.
+    """
+    timings: dict[str, float] = {}
+    specs = all_specs()
+    for name in names:
+        spark = get_spark("bench-cold")
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        spark.stop()
+    return timings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    cold = "--cold" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     loadavg_preflight, contended = _preflight_load()
     n_runs = 3 if contended else 2
-    spark = get_spark("bench")
     specs = all_specs()
     # SPARK_GRAFT_BENCH_QUERIES overrides the headline list (comma-
     # separated registry names) -- used by the scale-up smoke to time
@@ -88,6 +113,27 @@ def main() -> None:
     override = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     wanted = [s.strip() for s in override.split(",") if s.strip()] if override else HEADLINE
     names = [n for n in wanted if n in specs]
+
+    if cold:
+        timings = run_cold(names, sf_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "cold_suite_total",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "queries": timings,
+                    "mode": "cold",
+                    "loadavg": [round(x, 2) for x in os.getloadavg()],
+                    "loadavg_preflight": loadavg_preflight,
+                    "contended": contended,
+                    "sf": sf,
+                }
+            )
+        )
+        return
+
+    spark = get_spark("bench")
 
     # Best-of-N per query (see module docstring): min across runs is a
     # far better estimate of the plan's actual cost than one arbitrary

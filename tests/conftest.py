@@ -25,3 +25,6 @@ def sf_dir() -> str:
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running plan/scale tests")
+    config.addinivalue_line(
+        "markers", "cold: cold-path runtime guards (fresh caches, timing-sensitive)"
+    )

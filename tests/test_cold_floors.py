@@ -1,0 +1,132 @@
+"""Cold-path guards (VERDICT r7 item 3).
+
+The r6 HOF trap (Catalyst CollapseProject re-evaluating a projected
+tokenizer per array ELEMENT -- 98.8 s at sf1) survived two rounds
+because the bench's warmup pass populated caches the timed runs
+reused: every recorded number was warm, and only the cold path paid
+the blowup.  Two guards institutionalize the lesson:
+
+1. ``test_cold_bench_mode`` drives ``bench.py --cold`` (fresh
+   SparkSession per query, no warmup) over the dedup/text family at
+   the test SF in a subprocess, asserting each query lands within a
+   GENEROUS factor of its recorded cold floor.  Bounds are sized for
+   catastrophic regressions only (the floors include JVM/JIT warmup
+   and the host has documented +-35% drift); the sensitive detector
+   is the scaling test below.
+
+2. ``test_shingle_build_scales_linearly`` measures the property the
+   trap violates, in a host-noise-cancelling way: cold shingle-build
+   time on the same number of docs at token length L vs 4L.  A linear
+   build costs ~4x; a per-element re-evaluation costs ~16x (tokenizer
+   rerun per shingle x 4x the shingles, each 4x the work).  Min-of-3
+   consecutive same-session measurements cancel load spikes, and the
+   ratio bound (10x) sits between the two regimes.  This catches the
+   trap pattern even in a NEW expression the plan-text occurrence
+   test (test_plan_invariants.py) was never taught to look for.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_upc_syllabus_spark.operators import dedup as dd
+
+from .conftest import SF_DIR
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# recorded sf0.01 cold floors (BASELINE.md r8, quiet-ish host, first
+# query pays one-time JVM/JIT warmup): lsh 7.6, ngram_jaccard 1.2,
+# simhash 0.5, fingerprint 0.3, novelty 1.3, gopher 0.3, decontam 0.8
+_COLD_FAMILY_BOUNDS = {
+    "dedup_minhash_lsh": 60.0,
+    "dedup_ngram_jaccard": 20.0,
+    "dedup_simhash": 15.0,
+    "text_fingerprint": 15.0,
+    "text_ngram_novelty": 20.0,
+    "gopher_repetition_filter": 15.0,
+    "decontaminate_ngram_overlap": 20.0,
+}
+
+
+def test_cold_bench_mode():
+    """bench.py --cold runs the family fresh-session/no-warmup and
+    stays within generous absolute bounds of the recorded floors."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=SF_DIR,
+        SPARK_GRAFT_CPUS="8",
+        SPARK_GRAFT_BENCH_MAX_WAIT="5",
+        SPARK_GRAFT_BENCH_QUERIES=",".join(_COLD_FAMILY_BOUNDS),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(_REPO, "bench.py"), "--cold"],
+        env=env,
+        cwd=_REPO,
+        capture_output=True,
+        text=True,
+        timeout=600,
+        check=True,
+    )
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["mode"] == "cold"
+    assert set(payload["queries"]) == set(_COLD_FAMILY_BOUNDS)
+    for name, secs in payload["queries"].items():
+        assert secs < _COLD_FAMILY_BOUNDS[name], (
+            f"{name} cold run {secs:.1f}s exceeds the catastrophic-"
+            f"regression bound {_COLD_FAMILY_BOUNDS[name]}s -- check for "
+            "a reintroduced per-element re-evaluation (HOF trap)"
+        )
+
+
+def _time_shingles(spark, n_docs: int, n_tokens: int) -> float:
+    """Min-of-3 cold-cache shingle-build wall time on a synthetic
+    corpus of ``n_docs`` docs x ``n_tokens`` tokens each."""
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_tokens)),
+                lambda i: F.concat(
+                    F.lit("w"), ((F.col("id") * 131 + i) % 997).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)  # exclude corpus synthesis from timing
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dd.shingle_sets(docs, "doc_id", "text", k=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@pytest.mark.cold
+def test_shingle_build_scales_linearly(spark):
+    spark.catalog.clearCache()
+    _time_shingles(spark, 50, 80)  # warmup: JIT + codegen for this shape
+    t_short = _time_shingles(spark, 400, 80)
+    t_long = _time_shingles(spark, 400, 640)
+    ratio = t_long / max(t_short, 1e-3)
+    # linear build: ~8x work (8x tokens => ~8x shingles), measured
+    # ~1-3x once fixed overhead is amortized; per-element
+    # re-evaluation: ~64x compute (tokenizer rerun per shingle),
+    # measured ~40x. 15x splits the regimes with wide margin for host
+    # drift on min-of-3 samples (calibration run recorded in this
+    # test's git history: fixed 0.9x, trapped 10.3x at the narrower
+    # 4x lever; the 8x lever roughly squares the separation).
+    assert ratio < 15.0, (
+        f"shingle build scaled {ratio:.1f}x for 8x token length "
+        f"({t_short:.3f}s -> {t_long:.3f}s): super-linear growth means "
+        "the tokenizer is being re-evaluated per element again"
+    )
