@@ -432,6 +432,31 @@ def containment_verify(pairs: DataFrame, sets: DataFrame) -> DataFrame:
     )
 
 
+def recall_sample_mod(n_docs: int, base_mod: int = 8, n_ref: int = 8192) -> int:
+    """Corpus-size-scaled sampling modulus for recall evaluation:
+    ``base_mod * 2^max(0, floor(log2(n_docs / n_ref)))``.
+
+    sampled_truth_pairs' cost is ``(#shingles / sample_mod) * df_cap^2``
+    and #shingles is linear in the corpus, so a FIXED mod means the
+    eval grows with the corpus forever (97 s at sf10, VERDICT r7
+    item 4). Doubling the mod per corpus doubling instead targets a
+    fixed SAMPLED-PAIR BUDGET: the sampled-shingle count stays within
+    2x of ``n_ref * shingles_per_doc / base_mod`` at any scale, making
+    recall evaluation ~constant-cost. Power-of-two steps keep the
+    small-SF moduli exactly ``base_mod`` (n_docs <= n_ref), so oracle
+    results at the correctness-gate SFs are unchanged.
+
+    Integer-exact (doubling loop, no float log) so Spark-side Python
+    and the oracle's FLOOR(LOG2(...)) agree for every achievable
+    n_docs; n_ref is a power of two so the oracle's double division is
+    exact at the boundaries.
+    """
+    factor = 1
+    while n_ref * factor * 2 <= n_docs:
+        factor *= 2
+    return base_mod * factor
+
+
 def sampled_truth_pairs(
     sets: DataFrame, sample_mod: int = 8, df_min: int = 2, df_cap: int = 50
 ) -> DataFrame:

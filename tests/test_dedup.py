@@ -318,3 +318,34 @@ def test_sampled_truth_pairs_discovers_planted_dup_and_caps_boilerplate(spark):
     assert (1, 2) in pairs, "planted near-dup missed by the sampler"
     boiler_only = [p for p in pairs if p[0] >= 100 and p[1] >= 100]
     assert not boiler_only, f"df-capped boilerplate generated pairs: {boiler_only[:5]}"
+
+
+def test_recall_sample_mod_budget_and_oracle_parity():
+    """The corpus-scaled sampling modulus (r7 item 4) holds a fixed
+    sampled-pair budget: mod doubles per corpus doubling beyond n_ref,
+    so n_docs/mod stays within [n_ref/(2*base), n_ref/base]. The
+    Python doubling loop must agree with the oracle's
+    FLOOR(LOG2(...)) derivation for every tested corpus size,
+    including exact power-of-two boundaries."""
+    import duckdb
+
+    from etl_upc_syllabus_spark.operators.dedup import recall_sample_mod
+
+    assert recall_sample_mod(500) == 8       # sf0.001 / sf0.01: unchanged
+    assert recall_sample_mod(5000) == 8      # sf0.1
+    assert recall_sample_mod(50000) == 32    # sf1
+    assert recall_sample_mod(500000) == 256  # sf10
+    assert recall_sample_mod(8192) == 8      # boundary: n == n_ref
+    assert recall_sample_mod(16384) == 16    # boundary: exactly 2x n_ref
+
+    con = duckdb.connect()
+    for n in [1, 499, 500, 5000, 8191, 8192, 8193, 16383, 16384, 16385,
+              50000, 65536, 500000, 5_000_000, 123_456_789]:
+        sql_mod = con.execute(
+            "SELECT 8 * CAST(POWER(2, GREATEST(0,"
+            f" FLOOR(LOG2(CAST({n} AS DOUBLE) / 8192)))) AS BIGINT)"
+        ).fetchone()[0]
+        assert sql_mod == recall_sample_mod(n), (n, sql_mod)
+        # budget invariant: sampled-shingle count within 2x of the
+        # reference budget (n_ref/base_mod = 1024) at every scale
+        assert n / recall_sample_mod(n) < 2 * 8192 / 8, n
