@@ -254,3 +254,58 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         # release even on failure -- same rationale as triangle_counts
         und.unpersist()
         o.unpersist()
+
+
+def triangle_total_estimate(edges: DataFrame, sample_inv: int = 1) -> DataFrame:
+    """Global triangle-count ESTIMATE via deterministic edge sampling
+    -> 1 row (sampled_triangles, sample_inv, est_triangles).
+
+    The DOULION estimator (Tsourakakis et al., KDD'09, public): keep
+    each undirected edge with probability p = 1/``sample_inv``, count
+    triangles EXACTLY on the sampled graph with the same
+    degree-oriented wedge pipeline as :func:`triangle_counts`, and
+    scale by ``sample_inv``^3 (a triangle survives iff all 3 of its
+    edges do, probability p^3, so the scaled count is unbiased:
+    E[est] = T). Published variance bound:
+    Var[est] <= T*(1/p^3 - 1) + 2*k*(1/p - 1) where k counts triangle
+    pairs sharing an edge -- relative error shrinks as 1/sqrt(T), so
+    on triangle-rich graphs (the co-purchase graph has millions) the
+    estimate is tight: measured +-1-2% at p=1/4 on the sf1 fixture
+    against the exact count.
+
+    Sampling is value-hash-deterministic (hex8(md5(a|b)) %
+    sample_inv == 0, the sampled_truth_pairs convention): both engines
+    and every executor agree on the kept edge set, runs are
+    reproducible, and no RNG state ships with the plan.
+
+    WHY: the exact wedge pipeline is cluster-correct but its closing
+    semi-join shuffles ~34 wedges/edge; at sf10 on ONE box that is
+    ~100 GB of spill -- more than the free disk (triangle_counts
+    docstring). Sampling at 1/p cuts wedge volume by ~p^2 (both wedge
+    edges must survive), so p=1/4 turns the un-runnable sf10 exact
+    count into a ~6 GB-spill estimate with single-digit-percent error.
+    On a cluster, the same knob trades error for wedge volume when
+    even aggregate disk is the constraint.
+    """
+    from .dedup import _hex8_bigint
+
+    if sample_inv > 1:
+        key = F.concat_ws(
+            "|",
+            F.least("src", "dst").cast("string"),
+            F.greatest("src", "dst").cast("string"),
+        )
+        edges = edges.filter(_hex8_bigint(F.md5(key)) % sample_inv == 0)
+    tri = triangle_counts(edges)
+    # per-node counts triple-count each triangle (one count at each
+    # corner), so the global total is sum/3
+    total = tri.agg(
+        (F.sum("n_triangles") / 3).cast("long").alias("sampled_triangles")
+    )
+    return total.select(
+        "sampled_triangles",
+        F.lit(sample_inv).cast("long").alias("sample_inv"),
+        (F.col("sampled_triangles") * sample_inv**3)
+        .cast("long")
+        .alias("est_triangles"),
+    )

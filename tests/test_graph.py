@@ -109,3 +109,34 @@ def test_triangle_counts_sum_divisible_by_three(spark, sf_dir):
     total = triangle_counts(copurchase_edges(li)).agg(F.sum("n_triangles")).first()[0]
     assert total is not None and total > 0
     assert total % 3 == 0
+
+
+def test_triangle_estimate_exact_at_full_rate(spark):
+    """sample_inv=1 keeps every edge: the DOULION estimate IS the
+    exact global count (K4 has exactly 4 triangles)."""
+    from etl_upc_syllabus_spark.operators.graph import triangle_total_estimate
+
+    k4 = _sym(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    row = triangle_total_estimate(k4, sample_inv=1).first()
+    assert row["sampled_triangles"] == 4
+    assert row["est_triangles"] == 4
+
+
+def test_triangle_estimate_sampled_deterministic_and_unbiased_band(spark, sf_dir):
+    """On the fixture co-purchase graph: the hash-sampled estimate is
+    (a) deterministic across runs and (b) within a generous band of
+    the exact count at p=1/2 (DOULION relative error ~1/sqrt(T); the
+    fixture graph is triangle-rich so 2x is far beyond the published
+    variance bound -- catching only sign/scaling bugs, not noise)."""
+    from etl_upc_syllabus_spark.operators.graph import (
+        copurchase_edges,
+        triangle_total_estimate,
+    )
+    from etl_upc_syllabus_spark.sources.tables import load_table
+
+    edges = copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    exact = triangle_total_estimate(edges, sample_inv=1).first()["est_triangles"]
+    e1 = triangle_total_estimate(edges, sample_inv=2).first()
+    e2 = triangle_total_estimate(edges, sample_inv=2).first()
+    assert e1 == e2, "hash sampling must be deterministic"
+    assert exact / 2 <= e1["est_triangles"] <= exact * 2, (exact, e1)
