@@ -11,10 +11,22 @@ via localCheckpoint, then unpersist the big inputs in a finally block
 so even a failed materialization cannot leak them.
 
 Use this for results that are small relative to the cached inputs
-(pair lists, per-doc scalars, recall tables). Queries whose warm-cache
-reuse across repeated invocations is deliberate (the bench headline
-dedup pipeline, where CacheManager dedupes canonically-equal plans
-into one shared entry) keep plain persist and document why.
+(pair lists, per-doc scalars, recall tables).
+
+DOCUMENTED EXCEPTION LIST -- plan functions that keep plain persist
+because warm-cache reuse across repeated invocations is deliberate
+(CacheManager dedupes canonically-equal plans into one shared entry,
+so bench/registry re-runs reuse one warm cache instead of recomputing
+per run):
+
+- ``dedup_queries.dedup_minhash_lsh`` (the bench HEADLINE query; its
+  shingle/pair caches are the warm state every headline bench run
+  deliberately shares).
+
+Every other plan function that persists corpus-sized intermediates
+must route them through :func:`release_after_materialize`
+(``dedup_pipeline_e2e`` was moved onto the contract in r8; the
+``_build_*`` companions release via their registry-fn callers).
 """
 
 from __future__ import annotations
