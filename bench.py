@@ -3,6 +3,12 @@
 ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 "queries": {...}, "sf": ...}.
 
+Two modes: the default WARM harness below, and ``--cold`` (or
+SPARK_GRAFT_BENCH_COLD=1) -- fresh SparkSession per query, no warmup,
+cache cleared -- which measures plan-build + cold-cache cost instead
+of masking it (see run_cold; added r8 after a warm-only harness hid a
+per-element re-evaluation for two rounds).
+
 Each query is executed with a count()-style action so the full plan
 runs but results are not collected to the driver. Each query gets one
 UNTIMED warmup execution at the target SF immediately before its timed
