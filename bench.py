@@ -83,8 +83,12 @@ def _preflight_load() -> tuple[list[float], bool]:
 
 def run_cold(names: list[str], sf_dir: str) -> dict[str, float]:
     """One COLD timed run per query: fresh SparkSession (empty
-    CacheManager, no reusable persisted plans), no warmup pass, cache
-    cleared again before timing in case the plan build itself persisted.
+    CacheManager, so no persisted plans survive from prior queries),
+    no warmup pass. The timed region includes the plan build, so a
+    lifecycle query that persists + eagerly materializes during
+    construction pays that cost inside its own measurement -- which is
+    the point of cold mode (the clearCache() call is belt-and-braces
+    for a reused session name; on the fresh session it is a no-op).
 
     This is the mode that would have caught the r6 HOF trap: warm
     bench runs reused caches populated by the warmup, hiding a

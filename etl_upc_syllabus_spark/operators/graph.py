@@ -299,8 +299,12 @@ def triangle_total_estimate(edges: DataFrame, sample_inv: int = 1) -> DataFrame:
     tri = triangle_counts(edges)
     # per-node counts triple-count each triangle (one count at each
     # corner), so the global total is sum/3
+    # coalesce: an empty sampled graph (sample_inv >> |E|) must report
+    # an honest 0 estimate, not NULL (sum over zero rows is NULL)
     total = tri.agg(
-        (F.sum("n_triangles") / 3).cast("long").alias("sampled_triangles")
+        F.coalesce((F.sum("n_triangles") / 3).cast("long"), F.lit(0)).alias(
+            "sampled_triangles"
+        )
     )
     return total.select(
         "sampled_triangles",

@@ -262,14 +262,24 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # released once the bounded drop-list materializes -- the
     # documented lifecycle contract (_lifecycle.py); only the headline
     # dedup_minhash_lsh keeps warm caches across runs
-    sets = dd.shingle_sets(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
-    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sets)).persist()
-    verified = dd.jaccard_verify(pairs, sets).filter(F.col("jaccard") >= 0.6)
+    verified, sets, pairs = _build_dedup_pipeline_verified(spark, sf_dir)
     comp = connected_components(verified)
     result = comp.filter(F.col("component") < F.col("id")).select(
         F.col("id").alias("doc_id"), F.col("component").alias("keeper_id")
     )
     return release_after_materialize(result, sets, pairs)
+
+
+def _build_dedup_pipeline_verified(spark: SparkSession, sf_dir: str):
+    """(verified, *caches) -- the live pre-components plan (shingle ->
+    banded signatures -> LSH candidates -> exact-Jaccard verify) for
+    the plan-invariant tests: connected_components localCheckpoints
+    per round and the registry fn checkpoints the final drop-list, so
+    THIS is the deepest stage whose physical plan stays inspectable."""
+    sets = dd.shingle_sets(_docs(spark, sf_dir), "doc_id", "text", k=3).persist()
+    pairs = dd.lsh_candidate_pairs(dd.minhash_signatures(sets)).persist()
+    verified = dd.jaccard_verify(pairs, sets).filter(F.col("jaccard") >= 0.6)
+    return verified, sets, pairs
 
 
 @query(

@@ -169,6 +169,19 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(copurchase_edges(li))
 
 
+def _build_triangle_pipeline(spark: SparkSession, sf_dir: str):
+    """(per-node counts, *caches) -- the live pre-checkpoint wedge
+    pipeline (orientation join + wedge self-join + closing semi-join)
+    for the plan-invariant tests: triangle_counts localCheckpoints its
+    bounded result and releases the edge caches, so the registry fn's
+    plan is a bare scan and the real shape is only inspectable here."""
+    from ..operators.graph import _oriented, _tri_of
+
+    li = load_table(spark, sf_dir, "lineitem")
+    und, _, o = _oriented(copurchase_edges(li))
+    return _tri_of(o), und, o
+
+
 @query(
     "graph_clustering_coefficient",
     """

@@ -8,21 +8,25 @@ the blowup.  Two guards institutionalize the lesson:
 
 1. ``test_cold_bench_mode`` drives ``bench.py --cold`` (fresh
    SparkSession per query, no warmup) over the dedup/text family at
-   the test SF in a subprocess, asserting each query lands within a
-   GENEROUS factor of its recorded cold floor.  Bounds are sized for
-   catastrophic regressions only (the floors include JVM/JIT warmup
-   and the host has documented +-35% drift); the sensitive detector
-   is the scaling test below.
+   the test SF in a subprocess.  Functional assertions (mode, query
+   set, valid JSON) always run; the wall-clock bounds -- single
+   samples on a host with documented 3-10x load inflation -- are
+   opt-in via SPARK_GRAFT_TIMING_ASSERTS, the repo's convention for
+   timing assertions (test_cli.py).  The sensitive regression
+   detector is the scaling test below, which needs no absolute
+   bounds.
 
 2. ``test_shingle_build_scales_linearly`` measures the property the
    trap violates, in a host-noise-cancelling way: cold shingle-build
-   time on the same number of docs at token length L vs 4L.  A linear
-   build costs ~4x; a per-element re-evaluation costs ~16x (tokenizer
-   rerun per shingle x 4x the shingles, each 4x the work).  Min-of-3
-   consecutive same-session measurements cancel load spikes, and the
-   ratio bound (10x) sits between the two regimes.  This catches the
-   trap pattern even in a NEW expression the plan-text occurrence
-   test (test_plan_invariants.py) was never taught to look for.
+   time on the same number of docs at token length L vs 8L.  A linear
+   build costs ~8x more compute (measured ~1x wall: fixed overhead
+   dominates at this size); a per-element re-evaluation costs ~64x
+   compute (tokenizer rerun per shingle, measured ~35x wall).
+   Min-of-3 consecutive same-session measurements cancel load spikes,
+   and the ratio bound (15x) sits between the regimes with wide
+   margin on both sides.  This catches the trap pattern even in a NEW
+   expression the plan-text occurrence test
+   (test_plan_invariants.py) was never taught to look for.
 """
 
 from __future__ import annotations
@@ -56,9 +60,11 @@ _COLD_FAMILY_BOUNDS = {
 }
 
 
+@pytest.mark.cold
 def test_cold_bench_mode():
-    """bench.py --cold runs the family fresh-session/no-warmup and
-    stays within generous absolute bounds of the recorded floors."""
+    """bench.py --cold runs the family fresh-session/no-warmup;
+    wall-clock bounds are opt-in (single samples cannot be asserted
+    unconditionally on a host with 3-10x load inflation)."""
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=SF_DIR,
@@ -78,12 +84,13 @@ def test_cold_bench_mode():
     payload = json.loads(out.stdout.strip().splitlines()[-1])
     assert payload["mode"] == "cold"
     assert set(payload["queries"]) == set(_COLD_FAMILY_BOUNDS)
-    for name, secs in payload["queries"].items():
-        assert secs < _COLD_FAMILY_BOUNDS[name], (
-            f"{name} cold run {secs:.1f}s exceeds the catastrophic-"
-            f"regression bound {_COLD_FAMILY_BOUNDS[name]}s -- check for "
-            "a reintroduced per-element re-evaluation (HOF trap)"
-        )
+    if os.environ.get("SPARK_GRAFT_TIMING_ASSERTS"):
+        for name, secs in payload["queries"].items():
+            assert secs < _COLD_FAMILY_BOUNDS[name], (
+                f"{name} cold run {secs:.1f}s exceeds the catastrophic-"
+                f"regression bound {_COLD_FAMILY_BOUNDS[name]}s -- check for "
+                "a reintroduced per-element re-evaluation (HOF trap)"
+            )
 
 
 def _time_shingles(spark, n_docs: int, n_tokens: int) -> float:

@@ -140,3 +140,14 @@ def test_triangle_estimate_sampled_deterministic_and_unbiased_band(spark, sf_dir
     e2 = triangle_total_estimate(edges, sample_inv=2).first()
     assert e1 == e2, "hash sampling must be deterministic"
     assert exact / 2 <= e1["est_triangles"] <= exact * 2, (exact, e1)
+
+
+def test_triangle_estimate_empty_sample_reports_zero(spark):
+    """A sampling rate coarser than the graph (or a triangle-free
+    sample) must report an honest 0 estimate, not NULL."""
+    from etl_upc_syllabus_spark.operators.graph import triangle_total_estimate
+
+    path = _sym(spark, [(0, 1), (1, 2)])  # no triangles at all
+    row = triangle_total_estimate(path, sample_inv=1).first()
+    assert row["sampled_triangles"] == 0
+    assert row["est_triangles"] == 0

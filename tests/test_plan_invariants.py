@@ -53,6 +53,7 @@ def _live_plan(spark, sf_dir, name):
     builders = {
         "dedup_containment": dq._build_dedup_containment,
         "dedup_lsh_recall": dq._build_dedup_lsh_recall,
+        "dedup_pipeline_e2e": dq._build_dedup_pipeline_verified,
         "text_ngram_novelty": tq._build_text_ngram_novelty,
     }
     if name not in builders:
@@ -96,6 +97,7 @@ DEDUP_TEXT_NEVER_SHUFFLES = [
     "dedup_simhash",
     "dedup_containment",
     "dedup_incremental_batch",
+    "dedup_pipeline_e2e",
     "text_ngram_novelty",
 ]
 
@@ -112,7 +114,8 @@ def test_dedup_never_shuffles_text(spark, sf_dir, name):
     formatted = _live_plan(spark, sf_dir, name)
     bodies = _exchange_bodies(formatted)
     if name in ("dedup_minhash_lsh", "dedup_containment", "dedup_lsh_recall",
-                "text_ngram_novelty", "dedup_incremental_batch"):
+                "text_ngram_novelty", "dedup_incremental_batch",
+                "dedup_pipeline_e2e"):
         assert bodies, f"{name}: no live exchanges found -- plan masked?"
     for body in bodies:
         assert not re.search(r"\btext#\d+", body), (
@@ -242,3 +245,37 @@ def test_shingle_tokenizer_not_inlined_per_element(spark, sf_dir):
     n_md5 = formatted.count("md5")
     assert n_tok <= 4, f"tokenizer inlined {n_tok}x -- per-element re-evaluation is back"
     assert n_md5 <= 6, f"md5 inlined {n_md5}x -- per-permutation re-hash is back"
+
+
+# --- graph wedge pipeline (pre-checkpoint; VERDICT r8 review) --------------
+
+
+def test_triangle_pipeline_shuffles_only_narrow_ids(spark, sf_dir):
+    """The triangle wedge pipeline's live plan (via the _build_
+    companion -- the registry fn checkpoints to a bare scan) must keep
+    its documented budget (<= 8 unique hash exchanges) and every
+    exchange must carry ONLY graph-internal long columns (edge
+    endpoints, degrees, wedge corners, counts) -- never a lineitem
+    attribute. At 100 TB the wedge shuffle is the dominant network
+    cost; a part/order attribute riding along multiplies it."""
+    from etl_upc_syllabus_spark.plans import graph_queries as gq
+
+    result, *caches = gq._build_triangle_pipeline(spark, sf_dir)
+    try:
+        _, formatted = plan_of(result)
+    finally:
+        for c in caches:
+            c.unpersist()
+    bodies = _exchange_bodies(formatted)
+    assert bodies, "triangle pipeline: no live exchanges found -- plan masked?"
+    assert len(bodies) <= 8, f"wedge pipeline exchange budget exceeded: {len(bodies)}"
+    allowed = {
+        "a", "b", "u", "v", "w", "dv", "da", "db", "d", "node",
+        "n_triangles", "ok", "pk", "src", "dst", "count",
+    }
+    for body in bodies:
+        for attr in set(re.findall(r"(\w+)#\d+", body)):
+            assert attr in allowed, (
+                f"non-graph attribute '{attr}' crosses a wedge-pipeline "
+                f"exchange:\n{body[:400]}"
+            )

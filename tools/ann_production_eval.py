@@ -54,7 +54,13 @@ def main() -> None:
     configs = {
         # the oracle-reproducible registry configuration
         "prefix_m4_kc4_c8_p2": dict(n_centroids=8, nprobe=2, m=4, kc=4),
-        # same geometry, trained codebooks -- isolates training gain
+        # IDENTICAL geometry, trained codebooks -- isolates the pure
+        # training gain (same m, kc, centroid count, probe width)
+        "trained_m4_kc4_c8_p2": dict(n_centroids=8, nprobe=2, m=4, kc=4),
+        # bigger codebook, UNtrained (prefix) -- isolates resolution
+        "prefix_m4_kc16_c8_p2": dict(n_centroids=8, nprobe=2, m=4, kc=16),
+        # trained + a larger PQ codebook (kc 4 -> 16): training gain
+        # plus quantization-resolution gain, separately attributable
         "trained_m4_kc16_c8_p2": dict(n_centroids=8, nprobe=2, m=4, kc=16),
         # production sizing: more subspaces, bigger codebook, wider probe
         "trained_m8_kc32_c16_p4": dict(n_centroids=16, nprobe=4, m=8, kc=32),
