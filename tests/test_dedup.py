@@ -349,3 +349,35 @@ def test_recall_sample_mod_budget_and_oracle_parity():
         # budget invariant: sampled-shingle count within 2x of the
         # reference budget (n_ref/base_mod = 1024) at every scale
         assert n / recall_sample_mod(n) < 2 * 8192 / 8, n
+
+
+def test_recall_sample_mod_properties_hypothesis():
+    """Property coverage of the corpus-scaled modulus over the whole
+    plausible corpus range (to 10^12 docs): power-of-two multiple of
+    the base, monotone in n, budget window [n_ref/(2*base), n_ref/base)
+    docs-per-mod once n >= n_ref, and agreement with the float
+    floor(log2) form the oracle uses (exact for n < 2^53)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from etl_upc_syllabus_spark.operators.dedup import recall_sample_mod
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=1, max_value=10**12))
+    def check(n):
+        mod = recall_sample_mod(n)
+        factor = mod // 8
+        assert mod % 8 == 0 and factor & (factor - 1) == 0  # 8 * 2^k
+        assert recall_sample_mod(n + 1) >= mod  # monotone
+        if n >= 8192:
+            # fixed budget window: factor = 2^k exactly on
+            # n in [n_ref*2^k, n_ref*2^(k+1)), so docs-per-factor
+            # stays within [n_ref, 2*n_ref) at every scale
+            assert 8192 <= n / factor < 2 * 8192
+        # the oracle's floating formulation gives the same integer
+        sql_like = 8 * int(2 ** max(0, math.floor(math.log2(n / 8192.0))))
+        assert sql_like == mod, (n, sql_like, mod)
+
+    check()
