@@ -1,0 +1,72 @@
+"""Wobble-attribution protocol, institutionalized (BASELINE.md).
+
+When a bench round shows a query slower than its recorded floor, the
+documented protocol (used in the r6/r7/r8 notes) is: N INDEPENDENT
+isolated bench invocations of just that query -- each a fresh process
+with its own preflight load gate -- and compare the best floor
+against the recorded one. On a host with +-35% inter-invocation
+drift, a single inflated reading implicates nothing; a best-of-N
+floor that reproduces the record attributes the wobble to host
+noise, while a best-of-N floor stuck above the record (with a quiet
+preflight) implicates a commit.
+
+Usage: python tools/wobble.py QUERY [N] [SF_DIR]
+Prints one JSON line: {"query": ..., "floors": [...], "best": ...,
+"samples": [[...], ...], "preflight": [[...], ...]}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    query = sys.argv[1]
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    floors, samples, preflight = [], [], []
+    for _ in range(n):
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_BENCH_QUERIES=query,
+            SPARK_GRAFT_BENCH_MAX_WAIT=os.environ.get(
+                "SPARK_GRAFT_BENCH_MAX_WAIT", "120"
+            ),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(_REPO, "bench.py")],
+            env=env,
+            cwd=_REPO,
+            capture_output=True,
+            text=True,
+            timeout=600,
+            check=True,
+        )
+        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        floors.append(payload["queries"][query])
+        samples.append(payload["samples"][query])
+        preflight.append(payload["loadavg_preflight"])
+    print(
+        json.dumps(
+            {
+                "query": query,
+                "floors": floors,
+                "best": min(floors),
+                "samples": samples,
+                "preflight": preflight,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
