@@ -23,9 +23,15 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType
 from pyspark.sql.window import Window as W
+
+# a driver-collected (cid, c_emb) codebook: (cid type, rows) -- see
+# _collect_codebook; accepted anywhere a codebook DataFrame is, so
+# multi-folding query builds pay ONE collect job
+Codebook = tuple[DataType, list[Row]]
 
 N_PLANES = 8
 PLANE_MOD = 2001  # w = (hv % 2001 - 1000) / 1000  in [-1, 1]
@@ -115,7 +121,7 @@ def _sqdist(a: Column | str, b: Column | str) -> Column:
 
 def assign_ivf_clusters(
     emb: DataFrame,
-    centroids,
+    centroids: DataFrame | Codebook,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -144,7 +150,7 @@ def assign_ivf_clusters(
     return e.select("id", "v", best.alias("cluster"))
 
 
-def _collect_codebook(centroids: DataFrame) -> tuple:
+def _collect_codebook(centroids: DataFrame) -> Codebook:
     """One bounded driver collect of the (cid, c_emb) codebook, for
     query builds that fold it into more than one expression (assign +
     probe): collect once, fold twice -- one Spark job per build, not
@@ -152,7 +158,9 @@ def _collect_codebook(centroids: DataFrame) -> tuple:
     return centroids.schema["cid"].dataType, centroids.select("cid", "c_emb").collect()
 
 
-def _nearest_clusters(vec_col: Column | str, centroids, n: int) -> Column:
+def _nearest_clusters(
+    vec_col: Column | str, centroids: DataFrame | Codebook, n: int
+) -> Column:
     """ARRAY of the ``n`` nearest centroid ids for a vector column,
     ordered by (rounded squared distance, cid) -- the narrow probe
     primitive shared by the IVF query paths. The bounded codebook is

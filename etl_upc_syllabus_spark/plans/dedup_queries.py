@@ -382,6 +382,21 @@ _RECALL_N_REF = 8192
 _RECALL_DF_CAP = 50
 
 
+def recall_mod_sql(count_expr: str) -> str:
+    """SQL form of :func:`dd.recall_sample_mod` over ``count_expr``
+    docs -- the ONE definition shared by the dedup_lsh_recall oracle
+    CTE below and the Python-vs-SQL parity test
+    (test_dedup.test_recall_sample_mod_budget_and_oracle_parity), so
+    an edit to either derivation cannot drift past the other
+    unnoticed (review r8). FLOOR(LOG2(..)) on DOUBLE is exact at the
+    power-of-two boundaries because _RECALL_N_REF is a power of two
+    (see recall_sample_mod's docstring)."""
+    return (
+        f"{_RECALL_SAMPLE_MOD} * CAST(POWER(2, GREATEST(0, "
+        f"FLOOR(LOG2(CAST({count_expr} AS DOUBLE) / {_RECALL_N_REF})))) AS BIGINT)"
+    )
+
+
 @query(
     "dedup_lsh_recall",
     f"""
@@ -390,9 +405,7 @@ _RECALL_DF_CAP = 50
     cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
              FROM sig l JOIN sig r ON l.band = r.band AND l.bh = r.bh
                                    AND l.doc_id < r.doc_id),
-    modv AS (SELECT {_RECALL_SAMPLE_MOD} * CAST(POWER(2, GREATEST(0,
-                 FLOOR(LOG2(CAST(count(*) AS DOUBLE) / {_RECALL_N_REF}))))
-               AS BIGINT) AS m
+    modv AS (SELECT {recall_mod_sql('count(*)')} AS m
              FROM documents),
     samp AS (SELECT doc_id, shingle FROM sh
              WHERE {fr.hex8_value('md5(shingle)')} % (SELECT m FROM modv) = 0),

@@ -330,6 +330,7 @@ def test_recall_sample_mod_budget_and_oracle_parity():
     import duckdb
 
     from etl_upc_syllabus_spark.operators.dedup import recall_sample_mod
+    from etl_upc_syllabus_spark.plans.dedup_queries import recall_mod_sql
 
     assert recall_sample_mod(500) == 8       # sf0.001 / sf0.01: unchanged
     assert recall_sample_mod(5000) == 8      # sf0.1
@@ -341,10 +342,9 @@ def test_recall_sample_mod_budget_and_oracle_parity():
     con = duckdb.connect()
     for n in [1, 499, 500, 5000, 8191, 8192, 8193, 16383, 16384, 16385,
               50000, 65536, 500000, 5_000_000, 123_456_789]:
-        sql_mod = con.execute(
-            "SELECT 8 * CAST(POWER(2, GREATEST(0,"
-            f" FLOOR(LOG2(CAST({n} AS DOUBLE) / 8192)))) AS BIGINT)"
-        ).fetchone()[0]
+        # the SAME fragment the oracle CTE embeds -- not a hand copy,
+        # so an edit to the SQL derivation is tested automatically
+        sql_mod = con.execute(f"SELECT {recall_mod_sql(str(n))}").fetchone()[0]
         assert sql_mod == recall_sample_mod(n), (n, sql_mod)
         # budget invariant: sampled-shingle count within 2x of the
         # reference budget (n_ref/base_mod = 1024) at every scale

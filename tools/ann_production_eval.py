@@ -27,14 +27,15 @@ from etl_upc_syllabus_spark.sources.tables import fan_out, load_table
 QUERY_LO, QUERY_HI, K = 10, 20, 5
 
 
-def topk_pairs(df) -> set[tuple[int, int]]:
-    return {(r["query_id"], r["cand_id"]) for r in df.collect()}
-
-
-def timed(df) -> float:
+def timed_topk(df) -> tuple[float, set[tuple[int, int]]]:
+    """One timed execution per config: the timed region is the collect
+    of the bounded top-k result (|queries| * k rows), so the run that
+    is timed IS the run whose pairs are scored -- a separate noop-write
+    timing pass would re-execute the whole plan (review r8)."""
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    return round(time.perf_counter() - t0, 2)
+    rows = df.collect()
+    secs = round(time.perf_counter() - t0, 2)
+    return secs, {(r["query_id"], r["cand_id"]) for r in rows}
 
 
 def main() -> None:
@@ -47,8 +48,7 @@ def main() -> None:
 
     qpred = (F.col("vec_id") >= QUERY_LO) & (F.col("vec_id") < QUERY_HI)
     truth_df = sim.cosine_topk_bruteforce(emb, query_pred=qpred, k=K)
-    t_brute = timed(truth_df)
-    truth = topk_pairs(truth_df)
+    t_brute, truth = timed_topk(truth_df)
 
     results = {"sf_dir": sf_dir, "k": K, "brute_force_sec": t_brute}
     configs = {
@@ -76,8 +76,7 @@ def main() -> None:
             )
             t_train = round(time.perf_counter() - t0, 2)
         df = sim.ivf_pq_adc_topk(emb, **kwargs)
-        secs = timed(df)
-        got = topk_pairs(df)
+        secs, got = timed_topk(df)
         results[name] = {
             "recall_at_5": round(len(truth & got) / len(truth), 3),
             "query_sec": secs,

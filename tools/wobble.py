@@ -31,6 +31,13 @@ def main() -> None:
     query = sys.argv[1]
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    # fail fast on a typo'd name: bench.py would otherwise silently
+    # filter it out AFTER paying a full preflight load-gate wait
+    sys.path.insert(0, _REPO)
+    from etl_upc_syllabus_spark.plans import all_specs
+
+    if query not in all_specs():
+        sys.exit(f"unknown query {query!r}: not in the registry (see OPERATORS.md)")
     floors, samples, preflight = [], [], []
     for _ in range(n):
         env = dict(
@@ -40,6 +47,11 @@ def main() -> None:
             SPARK_GRAFT_BENCH_MAX_WAIT=os.environ.get(
                 "SPARK_GRAFT_BENCH_MAX_WAIT", "120"
             ),
+            # floors are WARM-protocol numbers by definition: never let
+            # an inherited cold-mode flag flip the child harness (cold
+            # payloads have no "samples" and are not comparable to the
+            # recorded warm floors this tool attributes against)
+            SPARK_GRAFT_BENCH_COLD="",
         )
         out = subprocess.run(
             [sys.executable, os.path.join(_REPO, "bench.py")],
