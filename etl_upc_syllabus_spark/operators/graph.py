@@ -76,6 +76,11 @@ def pagerank(
     try:
         nodes = w.select(F.col("src").alias("node")).distinct()
         n = nodes.count()
+        if n == 0:
+            # empty edge list (an empty date slice at a backfill
+            # boundary): zero vertices means zero rank rows, not a
+            # 1/n division error -- schema-stable degenerate branch
+            return nodes.withColumn("pr", F.lit(0.0))
         base = 1.0 - damping
         pr = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
         for _ in range(n_iter):

@@ -146,7 +146,10 @@ def assign_ivf_clusters(
     with zero exchanges from vectors to assignments.
     """
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    best = F.element_at(_nearest_clusters("v", centroids, 1), 1)
+    # F.get (0-based) returns NULL past the end, where ANSI element_at
+    # raises -- the empty-codebook degenerate branch yields an empty
+    # probe array, and a NULL cluster correctly matches no join key
+    best = F.get(_nearest_clusters("v", centroids, 1), 0)
     return e.select("id", "v", best.alias("cluster"))
 
 
@@ -174,6 +177,15 @@ def _nearest_clusters(
     if isinstance(centroids, DataFrame):
         centroids = _collect_codebook(centroids)
     cid_type, rows = centroids
+    if not rows:
+        # Degenerate (empty) codebook -- an empty corpus under the
+        # prefix-seed convention, or a k-means fit over zero vectors.
+        # F.array() with no elements is typed VOID and crashes any
+        # downstream field extraction, so return a correctly-typed
+        # empty id array instead: element_at(.., 1) then yields NULL
+        # (assign joins match nothing) and explode yields no probe
+        # rows -- every IVF/k-means consumer degrades to empty output.
+        return F.array().cast(f"array<{cid_type.simpleString()}>")
     cands = F.array(
         *[
             F.struct(
@@ -369,6 +381,28 @@ def _prefix_vectors(
     return {r[id_col]: [float(v) for v in r[vec_col]] for r in rows}
 
 
+def _empty_encode(emb: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (id, sub, code, dist) frame -- pq_encode's output schema
+    with the id type taken from the source column."""
+    return emb.limit(0).select(
+        F.col(id_col).alias("id"),
+        F.lit(0).cast("long").alias("sub"),
+        F.lit(0).cast("long").alias("code"),
+        F.lit(0.0).alias("dist"),
+    )
+
+
+def _empty_topk(emb: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (query_id, cand_id, adc_dist, rank) frame -- the ADC
+    top-k output schema for the empty-corpus degenerate case."""
+    return emb.limit(0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(id_col).alias("cand_id"),
+        F.lit(0.0).alias("adc_dist"),
+        F.lit(0).cast("long").alias("rank"),
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -397,7 +431,17 @@ def pq_encode(
     if cents is None:
         pv = _prefix_vectors(emb, id_col, vec_col, k)
         cents = [pv[i] for i in sorted(pv)]
-    assert len(cents) == k, f"need {k} seed vectors, found {len(cents)}"
+    if not cents:
+        # empty corpus under the prefix-seed convention: nothing to
+        # encode and no codebook to encode against -- the degenerate
+        # slice a backfill hits constantly at scale. Empty result with
+        # the documented schema (id keeps the source id type).
+        return _empty_encode(emb, id_col)
+    if len(cents) != k:
+        # a PARTIAL codebook is a real configuration error (corpus has
+        # data but fewer than k seed rows): refuse loudly rather than
+        # encode against a silently smaller codebook.
+        raise ValueError(f"need {k} seed vectors, found {len(cents)}")
 
     def sub_dist(sl: Column, cent: list[float]) -> Column:
         carr = F.array(*[F.lit(c) for c in cent])
@@ -497,8 +541,13 @@ def pq_adc_topk(
     # ONE driver collect covers both the codebook prefix and the query
     # set; the codebook is handed to pq_encode so it is not re-collected
     vecs = _prefix_vectors(emb, id_col, vec_col, max(kc, n_queries))
+    if not vecs:
+        # empty corpus: no codebook, no queries -- empty top-k, not a
+        # crash (the schema-stable degenerate branch)
+        return _empty_topk(emb, id_col)
     missing = [i for i in range(kc) if i not in vecs]
-    assert not missing, f"prefix codebook ids missing: {missing}"
+    if missing:
+        raise ValueError(f"prefix codebook ids missing: {missing}")
     cents = [vecs[i] for i in range(kc)]
     codes = pq_encode(emb, id_col, vec_col, m=m, k=kc, dim=dim, cents=cents)
     lut = _adc_lut(emb.sparkSession, vecs, cents, m, dsub, 0, n_queries)
@@ -562,10 +611,15 @@ def ivf_pq_adc_topk(
     # the query vectors (ids in [query_lo, query_hi))
     vecs = _prefix_vectors(emb, id_col, vec_col, max(kc, query_hi))
     if cents is None:
+        if not vecs:
+            # empty corpus: degrade to an empty, schema-stable top-k
+            return _empty_topk(emb, id_col)
         missing = [i for i in range(kc) if i not in vecs]
-        assert not missing, f"prefix codebook ids missing: {missing}"
+        if missing:
+            raise ValueError(f"prefix codebook ids missing: {missing}")
         cents = [vecs[i] for i in range(kc)]
-    assert len(cents) == kc, f"need {kc} PQ codebook vectors, found {len(cents)}"
+    if len(cents) != kc:
+        raise ValueError(f"need {kc} PQ codebook vectors, found {len(cents)}")
     codes = pq_encode(emb, id_col, vec_col, m=m, k=kc, dim=dim, cents=cents)
 
     if centroids is None:

@@ -216,11 +216,13 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     os.makedirs(src)
-    fixture = os.path.join(src, "events.parquet")
-    shutil.copyfile(os.path.join(sf_dir, "events.parquet"), fixture)
+    src_table = os.path.join(sf_dir, "events.parquet")
+    # single-file and directory layouts both stage as flat data files
+    for i, f in enumerate(ev._data_files(src_table)):
+        shutil.copyfile(f, os.path.join(src, f"events_{i:05d}.parquet"))
     # one declared schema covers every file in the source dir, so the
     # late file must carry the same ts physical type as the fixture
-    kind = ev.events_ts_kind(fixture)
+    kind = ev.events_ts_kind(src_table)
     if kind == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = ev.events_raw_schema(kind)

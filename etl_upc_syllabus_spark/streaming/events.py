@@ -32,12 +32,38 @@ _MEMSINK_IDS = itertools.count()
 #: Event type of the watermark-flush sentinel rows (see _staged_flush_dir).
 SENTINEL_TYPE = "_wm_flush"
 
-# Far-future sentinel event times (epoch seconds): 2100-01-01 and 2100-01-02.
-_SENTINEL_TS_S = (4102444800, 4102531200)
+# Far-future sentinel event times (epoch seconds): 2100-01-01/02/03.
+# Two sentinels normally; a third when the source has an EVEN number of
+# data files, so the last sentinel always lands in its own micro-batch
+# (see _staged_flush_dir).
+_SENTINEL_TS_S = (4102444800, 4102531200, 4102617600)
+
+
+def _data_files(path: str) -> list[str]:
+    """Data files of a parquet table at ``path``, single-file or
+    directory layout.
+
+    A 100 TB events table is never one file: Spark/Hive writers emit a
+    DIRECTORY of part files plus ``_SUCCESS``/checksum markers. Every
+    footer probe and staging copy in this module goes through this
+    helper so both layouts work identically (the batch loader gets
+    directory support for free from ``spark.read.parquet``)."""
+    if not os.path.isdir(path):
+        return [path]
+    names = sorted(
+        n
+        for n in os.listdir(path)
+        if not n.startswith(("_", ".")) and n.endswith(".parquet")
+    )
+    if not names:
+        raise FileNotFoundError(f"no parquet data files in directory {path}")
+    return [os.path.join(path, n) for n in names]
 
 
 def events_ts_kind(path: str) -> str:
-    """Physical type of the events ``ts`` column in a parquet file.
+    """Physical type of the events ``ts`` column in a parquet table
+    (single file, or first data file of a directory layout -- one
+    writer produced the table, so all parts share a physical type).
 
     Fixtures have shipped both ``TIMESTAMP(NANOS)`` (readable only as
     int64 under ``spark.sql.legacy.parquet.nanosAsLong``) and plain
@@ -49,7 +75,7 @@ def events_ts_kind(path: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(path).field("ts").type
+    t = pq.read_schema(_data_files(path)[0]).field("ts").type
     if getattr(t, "unit", None) == "ns":
         return "nanos"
     if pa.types.is_integer(t):
@@ -108,7 +134,11 @@ def _probe_events_file(sf_dir: str, glob: str) -> str:
     """
     import fnmatch
 
-    names = sorted(n for n in os.listdir(sf_dir) if fnmatch.fnmatch(n, glob))
+    names = sorted(
+        n
+        for n in os.listdir(sf_dir)
+        if fnmatch.fnmatch(n, glob) and not n.startswith(("_", "."))
+    )
     if not names:
         raise FileNotFoundError(f"no parquet matching {glob!r} in {sf_dir}")
     pick = "events.parquet" if "events.parquet" in names else names[0]
@@ -121,9 +151,16 @@ def read_events_stream(
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over the events fixture (one file today; a
-    directory files keep landing in, in production). The reader schema
+    """File-source stream over the events table: a single file, a
+    directory files keep landing in (production), or a Spark-written
+    ``events.parquet/`` directory of part files. The reader schema
     adapts to the fixture's ts physical type (see events_ts_kind)."""
+    target = os.path.join(sf_dir, glob)
+    if "*" not in glob and os.path.isdir(target):
+        # table-as-directory layout: pathGlobFilter matches LEAF file
+        # names, so a filter on the directory's own name would match
+        # nothing -- stream the part files inside it instead
+        sf_dir, glob = target, "*.parquet"
     kind = events_ts_kind(_probe_events_file(sf_dir, glob))
     if kind == "nanos":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -155,7 +192,7 @@ def _staged_flush_dir(sf_dir: str) -> str:
     import hashlib
 
     src = os.path.join(sf_dir, "events.parquet")
-    stat = os.stat(src)
+    files = _data_files(src)  # single file, or a directory's part files
     kind = events_ts_kind(src)
     # content key must be process-stable (builtin hash() is salted per
     # interpreter, which would defeat cross-run staging reuse). mtime is
@@ -163,8 +200,11 @@ def _staged_flush_dir(sf_dir: str) -> str:
     # not silently reuse a stale staged copy; the ts kind + a format
     # version are included so a code change or a fixture that switched
     # physical types never reuses a stage with mismatched sentinels.
+    stats = [os.stat(f) for f in files]
+    sizes = sum(s.st_size for s in stats)
+    mtime = max(s.st_mtime_ns for s in stats)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}|{stat.st_size}|{stat.st_mtime_ns}|v2|{kind}".encode()
+        f"{os.path.abspath(src)}|{len(files)}|{sizes}|{mtime}|v3|{kind}".encode()
     ).hexdigest()[:16]
     stage = os.path.join(tempfile.gettempdir(), "etl_upc_stream_stage", key)
     marker = os.path.join(stage, "_READY")
@@ -172,11 +212,26 @@ def _staged_flush_dir(sf_dir: str) -> str:
         import pyarrow.parquet as pq
 
         os.makedirs(stage, exist_ok=True)
-        dst = os.path.join(stage, "events.parquet")
-        shutil.copyfile(src, dst)
-        now = os.path.getmtime(dst)
-        os.utime(dst, (now - 60, now - 60))
-        for i, ts_s in enumerate(_SENTINEL_TS_S):
+        now = None
+        for i, f in enumerate(files):
+            dst = os.path.join(stage, f"events_{i:05d}.parquet")
+            shutil.copyfile(f, dst)
+            now = now if now is not None else os.path.getmtime(dst)
+            # ascending sub-second mtimes keep the data files ordered
+            # and strictly older than every sentinel (sentinels start
+            # at now-40; 1 ms per file stays clear up to ~20k files)
+            t = now - 60 + i * 1e-3
+            os.utime(dst, (t, t))
+        # the flush contract needs at least one DATA batch strictly
+        # after the first batch containing a sentinel (that later batch
+        # is what carries the emissions). With maxFilesPerTrigger=2 and
+        # oldest-first pairing, an EVEN number of data files would pair
+        # sentinel 1 with sentinel 2 in the final batch -- so add a
+        # third sentinel to restore the trailing data batch. Odd counts
+        # (including the single-file fixture, which keeps its historic
+        # two-sentinel staging) pair sentinel 1 with the last data file.
+        n_sent = 3 if len(files) % 2 == 0 else 2
+        for i, ts_s in enumerate(_SENTINEL_TS_S[:n_sent]):
             path = os.path.join(stage, f"zz_sentinel_{i}.parquet")
             pq.write_table(sentinel_row_table(kind, i, ts_s), path)
             os.utime(path, (now - 40 + 20 * i, now - 40 + 20 * i))

@@ -104,6 +104,63 @@ def test_both_physical_types_stream_identically(spark, tmp_path, kind):
     assert got == sorted(_ROWS["ts_us"])
 
 
+def _write_directory_fixture(dirpath: str, n_parts: int) -> None:
+    """The rows of _write_fixture as a Spark-style table DIRECTORY:
+    ``events.parquet/`` holding ``n_parts`` part files + _SUCCESS."""
+    table_dir = os.path.join(dirpath, "events.parquet")
+    os.makedirs(table_dir, exist_ok=True)
+    n = len(_ROWS["event_id"])
+    cuts = [round(i * n / n_parts) for i in range(n_parts + 1)]
+    for p in range(n_parts):
+        lo, hi = cuts[p], cuts[p + 1]
+        table = pa.table(
+            {
+                "event_id": pa.array(_ROWS["event_id"][lo:hi], pa.int64()),
+                "ts": pa.array(_ROWS["ts_us"][lo:hi], pa.timestamp("us")),
+                "user_id": pa.array(_ROWS["user_id"][lo:hi], pa.int64()),
+                "event_type": pa.array(_ROWS["event_type"][lo:hi], pa.string()),
+                "value": pa.array(_ROWS["value"][lo:hi], pa.float64()),
+                "props": pa.array(_ROWS["props"][lo:hi], pa.string()),
+            }
+        )
+        pq.write_table(table, os.path.join(table_dir, f"part-{p:05d}.parquet"))
+    with open(os.path.join(table_dir, "_SUCCESS"), "w") as f:
+        f.write("")
+
+
+@pytest.mark.parametrize("n_parts", [2, 3])
+def test_directory_layout_streams_identically(spark, tmp_path, n_parts):
+    """A 100 TB events table is never one file: the directory layout
+    (``events.parquet/`` of part files, the only layout Spark writers
+    produce) must probe, stream, and watermark-flush to the same
+    results as the single-file fixture. 2 parts exercises the
+    even-count staging branch (third sentinel restores the trailing
+    data batch); 3 parts the odd-count branch (r8 directory-layout
+    support in streaming/events.py)."""
+    single = str(tmp_path / "single")
+    _write_fixture(single, "micros")
+    asdir = str(tmp_path / f"asdir{n_parts}")
+    _write_directory_fixture(asdir, n_parts)
+
+    table_dir = os.path.join(asdir, "events.parquet")
+    assert ev.events_ts_kind(table_dir) == "micros"
+    assert len(ev._data_files(table_dir)) == n_parts  # _SUCCESS skipped
+
+    # plain stream: same logical rows from either layout
+    out = ev.run_stream_to_table(
+        ev.read_events_stream(spark, asdir).select(
+            F.unix_micros("ts").alias("us"), "event_id"
+        ),
+        "append",
+    )
+    assert [r["us"] for r in out.orderBy("us").collect()] == sorted(_ROWS["ts_us"])
+
+    # watermark-flushed windowed aggregation: identical emitted windows
+    want = sorted(map(tuple, ev.stream_windowed_counts(spark, single).collect()))
+    got = sorted(map(tuple, ev.stream_windowed_counts(spark, asdir).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_bare_int64_ts_is_refused(tmp_path):
     """ADVICE r4: a ts column shipped as PLAIN int64 (no timestamp
     logical type) has an unknowable unit; guessing nanos would load

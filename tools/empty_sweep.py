@@ -1,0 +1,98 @@
+"""Degenerate-input robustness sweep: every registry query vs a
+ZERO-ROW corpus.
+
+At 100 TB a pipeline constantly sees empty slices -- a date partition
+with no events, a language shard with no documents, a filter that
+matches nothing upstream of a join.  Correctness at the gate SFs says
+nothing about those paths: a query whose build step ``collect()``s a
+codebook, derives a quantile cut, or folds a sampled truth set can
+crash (or mis-plan) when its input is empty even though every row-ful
+fixture passes.
+
+This tool materializes the full 10-table schema at zero rows (schemas
+copied from the sf0.001 fixture via ``limit(0)``) and runs ALL registry
+queries against it, asserting each one builds and executes without
+raising.  Output is one JSON line::
+
+    {"total": N, "ok": N, "failed": {"name": "ExcType: msg", ...},
+     "slowest": [["name", sec], ...]}
+
+Usage::
+
+    python tools/empty_sweep.py [--only NAME[,NAME..]] [--src SF_DIR]
+
+Findings feed fixes in the operator library (guard the degenerate
+branch), then the pytest twin (tests/test_empty_corpus.py) pins the
+property so a regression fails CI, not a production backfill.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_upc_syllabus_spark.plans import all_specs
+from etl_upc_syllabus_spark.session import get_spark
+from etl_upc_syllabus_spark.sources.tables import TABLES
+
+
+def build_empty_fixture(spark, src_sf_dir: str, dest_dir: str) -> None:
+    """Write every fixture table at zero rows, schema copied from src."""
+    for name in TABLES:
+        src = os.path.join(src_sf_dir, f"{name}.parquet")
+        # read with the same nanos conf the loader uses so the copied
+        # schema round-trips; limit(0) keeps the exact column set/types
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(src).limit(0)
+        df.write.mode("overwrite").parquet(os.path.join(dest_dir, f"{name}.parquet"))
+
+
+def main(argv: list[str]) -> int:
+    src = "/root/testdata/sf0.001"
+    only: set[str] | None = None
+    args = list(argv)
+    while args:
+        a = args.pop(0)
+        if a == "--src":
+            src = args.pop(0)
+        elif a == "--only":
+            only = set(args.pop(0).split(","))
+        else:
+            raise SystemExit(f"unknown arg {a!r}")
+
+    spark = get_spark("empty_sweep")
+    failed: dict[str, str] = {}
+    times: dict[str, float] = {}
+    n = 0
+    with tempfile.TemporaryDirectory(prefix="empty_corpus_") as tmp:
+        build_empty_fixture(spark, src, tmp)
+        for spec in all_specs().values():
+            if only is not None and spec.name not in only:
+                continue
+            n += 1
+            t0 = time.monotonic()
+            try:
+                df = spec.fn(spark, tmp)
+                df.count()  # execute the full plan
+            except Exception as exc:  # noqa: BLE001 -- survey, not assert
+                tb_last = traceback.format_exc().strip().splitlines()[-1]
+                failed[spec.name] = f"{type(exc).__name__}: {tb_last[:300]}"
+            times[spec.name] = round(time.monotonic() - t0, 2)
+            spark.catalog.clearCache()
+    slowest = sorted(times.items(), key=lambda kv: -kv[1])[:8]
+    print(
+        json.dumps(
+            {"total": n, "ok": n - len(failed), "failed": failed, "slowest": slowest}
+        )
+    )
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
