@@ -148,8 +148,13 @@ def assign_ivf_clusters(
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # F.get (0-based) returns NULL past the end, where ANSI element_at
     # raises -- the empty-codebook degenerate branch yields an empty
-    # probe array, and a NULL cluster correctly matches no join key
-    best = F.get(_nearest_clusters("v", centroids, 1), 0)
+    # probe array, and a NULL cluster correctly matches no join key.
+    # A NULL vector likewise gets a NULL cluster (all its distances
+    # are NULL; letting null-ordering pick an arbitrary centroid would
+    # silently index unindexable rows).
+    best = F.when(
+        F.col("v").isNotNull(), F.get(_nearest_clusters("v", centroids, 1), 0)
+    )
     return e.select("id", "v", best.alias("cluster"))
 
 
@@ -157,8 +162,12 @@ def _collect_codebook(centroids: DataFrame) -> Codebook:
     """One bounded driver collect of the (cid, c_emb) codebook, for
     query builds that fold it into more than one expression (assign +
     probe): collect once, fold twice -- one Spark job per build, not
-    two (ADVICE r7)."""
-    return centroids.schema["cid"].dataType, centroids.select("cid", "c_emb").collect()
+    two (ADVICE r7). A centroid with a NULL vector is meaningless (it
+    cannot be folded into a distance expression) and is dropped."""
+    return (
+        centroids.schema["cid"].dataType,
+        centroids.filter(F.col("c_emb").isNotNull()).select("cid", "c_emb").collect(),
+    )
 
 
 def _nearest_clusters(
@@ -376,8 +385,14 @@ def _prefix_vectors(
     emb: DataFrame, id_col: str, vec_col: str, n: int
 ) -> dict[int, list[float]]:
     """{id: vector} for the first ``n`` ids -- the one driver collect
-    shared by the PQ encode codebook and the ADC query set."""
-    rows = emb.filter(F.col(id_col) < n).orderBy(id_col).collect()
+    shared by the PQ encode codebook and the ADC query set. Rows with
+    a NULL vector are skipped: they cannot seed a codebook or serve as
+    a query, and iterating None would crash the build."""
+    rows = (
+        emb.filter((F.col(id_col) < n) & F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .collect()
+    )
     return {r[id_col]: [float(v) for v in r[vec_col]] for r in rows}
 
 
@@ -428,6 +443,9 @@ def pq_encode(
     is identical.
     """
     dsub = dim // m
+    # a NULL vector has no subvectors to quantize: excluded from the
+    # index (the same contract as assign_ivf_clusters' NULL cluster)
+    emb = emb.filter(F.col(vec_col).isNotNull())
     if cents is None:
         pv = _prefix_vectors(emb, id_col, vec_col, k)
         cents = [pv[i] for i in sorted(pv)]

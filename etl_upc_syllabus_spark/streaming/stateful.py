@@ -34,8 +34,11 @@ def _update_user_totals(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        # exact integer cents; value column is 2-decimal by fixture contract
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # exact integer cents; value column is 2-decimal by fixture
+        # contract. NULL values count as events but contribute 0 cents
+        # (astype would raise on NaN -- the null-payload degenerate row
+        # any production stream carries must not kill the query).
+        cents += int(pdf["value"].fillna(0.0).mul(100).round().astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
 

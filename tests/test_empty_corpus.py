@@ -1,17 +1,21 @@
-"""Degenerate-input robustness: registry queries over a ZERO-ROW corpus.
+"""Degenerate-input robustness: registry queries over a ZERO-ROW
+corpus and a NULL-HEAVY corpus.
 
 At scale a pipeline constantly sees empty slices -- a date partition
 with no events, a language shard with no documents, a filter matching
-nothing upstream of a join. The r8 empty-corpus sweep
-(tools/empty_sweep.py) found 16 of 198 queries crashing on zero-row
-input: every streaming query (single-file-only events staging), the
-prefix-codebook ANN family (asserting on the empty codebook /
-VOID-typed empty literal arrays / ANSI element_at past the end), and
-PageRank (1/0 on an empty vertex set). This module pins the fixes.
+nothing upstream of a join -- and null-riddled rows: scraped documents
+with NULL text, embeddings that failed to compute, events with NULL
+payloads. The r8 sweeps (tools/empty_sweep.py) found 16 of 198
+queries crashing on zero-row input (single-file-only events staging;
+prefix-codebook ANN asserting on the empty codebook / VOID-typed
+empty literal arrays / ANSI element_at past the end; PageRank 1/0 on
+an empty vertex set) and 7 crashing on null values (NULL embeddings
+iterated driver-side or folded into distance literals; NaN cents in
+the stateful state function). This module pins the fixes.
 
-The default run covers the 16 once-broken queries plus one
+The default run covers the once-broken queries plus one
 representative per family; ``SPARK_GRAFT_EMPTY_FULL=1`` sweeps all
-198 (what tools/empty_sweep.py does standalone).
+198 in both modes (what tools/empty_sweep.py does standalone).
 """
 
 from __future__ import annotations
@@ -104,4 +108,50 @@ def test_query_survives_empty_corpus(spark, empty_sf_dir, name):
     # 0; constant/VALUES-backed queries may legitimately emit rows)
     assert df.count() >= 0
     assert df.schema.fieldNames(), f"{name} lost its schema on empty input"
+    spark.catalog.clearCache()
+
+
+# queries the r8 nulls sweep found crashing on NULL payload values
+NULLS_ONCE_BROKEN = [
+    "stream_stateful_totals",
+    "similarity_topk_ivf",
+    "similarity_kmeans_lloyd",
+    "embedding_pq_encode",
+    "similarity_topk_pq_adc",
+    "similarity_ann_recall",
+    "similarity_topk_ivf_pq",
+]
+
+
+@pytest.fixture(scope="module")
+def nulls_sf_dir(spark, tmp_path_factory) -> str:
+    """The fixture rows with every non-key column NULLed (same rule as
+    tools/empty_sweep.py --mode nulls: join/id keys and the event ts
+    keep their values -- null PAYLOADS are the production degenerate,
+    not broken referential integrity)."""
+    from pyspark.sql import functions as F
+
+    dest = str(tmp_path_factory.mktemp("nulls_corpus"))
+    keep_always = {"ts"}
+    for name in TABLES:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
+        cols = [
+            F.col(f.name)
+            if f.name in keep_always or f.name.lower().endswith(("key", "_id", "id"))
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in df.schema.fields
+        ]
+        df.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(dest, f"{name}.parquet")
+        )
+    return dest
+
+
+@pytest.mark.parametrize("name", NULLS_ONCE_BROKEN)
+def test_query_survives_null_payloads(spark, nulls_sf_dir, name):
+    spec = all_specs()[name]
+    df = spec.fn(spark, nulls_sf_dir)
+    assert df.count() >= 0
+    assert df.schema.fieldNames(), f"{name} lost its schema on null input"
     spark.catalog.clearCache()

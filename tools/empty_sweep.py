@@ -1,25 +1,36 @@
 """Degenerate-input robustness sweep: every registry query vs a
-ZERO-ROW corpus.
+ZERO-ROW corpus (default) or a NULL-HEAVY corpus (``--mode nulls``).
 
 At 100 TB a pipeline constantly sees empty slices -- a date partition
 with no events, a language shard with no documents, a filter that
-matches nothing upstream of a join.  Correctness at the gate SFs says
+matches nothing upstream of a join -- and null-riddled rows: scraped
+documents with NULL text, embedding rows whose vector failed to
+compute, events with NULL payloads.  Correctness at the gate SFs says
 nothing about those paths: a query whose build step ``collect()``s a
 codebook, derives a quantile cut, or folds a sampled truth set can
-crash (or mis-plan) when its input is empty even though every row-ful
-fixture passes.
+crash (or mis-plan) on them even though every clean fixture passes,
+and Python/Arrow seams are the classic crash site for None values.
 
-This tool materializes the full 10-table schema at zero rows (schemas
-copied from the sf0.001 fixture via ``limit(0)``) and runs ALL registry
-queries against it, asserting each one builds and executes without
-raising.  Output is one JSON line::
+Modes:
+
+- ``empty`` (default): the full 10-table schema at zero rows (schemas
+  copied from the sf0.001 fixture via ``limit(0)``);
+- ``nulls``: the fixture's rows with every non-key column replaced by
+  NULL of its own type (key/id/join columns keep their values so the
+  relational shape survives; what is tested is null VALUES, not
+  broken referential integrity).
+
+Runs ALL registry queries against the degenerate corpus, asserting
+each one builds and executes without raising.  Output is one JSON
+line::
 
     {"total": N, "ok": N, "failed": {"name": "ExcType: msg", ...},
      "slowest": [["name", sec], ...]}
 
 Usage::
 
-    python tools/empty_sweep.py [--only NAME[,NAME..]] [--src SF_DIR]
+    python tools/empty_sweep.py [--mode empty|nulls]
+                                [--only NAME[,NAME..]] [--src SF_DIR]
 
 Findings feed fixes in the operator library (guard the degenerate
 branch), then the pytest twin (tests/test_empty_corpus.py) pins the
@@ -53,9 +64,39 @@ def build_empty_fixture(spark, src_sf_dir: str, dest_dir: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(dest_dir, f"{name}.parquet"))
 
 
+#: columns that keep their values in --mode nulls: join/identity keys
+#: (nulling them tests broken referential integrity, not null payloads)
+#: and the event timestamp (a stream row with no event time is dropped
+#: at ingestion in any real pipeline, not processed).
+_KEY_SUFFIXES = ("key", "_id", "id")
+_KEEP_ALWAYS = {"ts"}
+
+
+def build_nulls_fixture(spark, src_sf_dir: str, dest_dir: str) -> None:
+    """Write every fixture table with all non-key columns NULLed."""
+    from pyspark.sql import functions as F
+
+    for name in TABLES:
+        src = os.path.join(src_sf_dir, f"{name}.parquet")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(src)
+        cols = []
+        for f in df.schema.fields:
+            keep = f.name in _KEEP_ALWAYS or f.name.lower().endswith(_KEY_SUFFIXES)
+            cols.append(
+                F.col(f.name)
+                if keep
+                else F.lit(None).cast(f.dataType).alias(f.name)
+            )
+        df.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(dest_dir, f"{name}.parquet")
+        )
+
+
 def main(argv: list[str]) -> int:
     src = "/root/testdata/sf0.001"
     only: set[str] | None = None
+    mode = "empty"
     args = list(argv)
     while args:
         a = args.pop(0)
@@ -63,6 +104,9 @@ def main(argv: list[str]) -> int:
             src = args.pop(0)
         elif a == "--only":
             only = set(args.pop(0).split(","))
+        elif a == "--mode":
+            mode = args.pop(0)
+            assert mode in ("empty", "nulls"), mode
         else:
             raise SystemExit(f"unknown arg {a!r}")
 
@@ -70,8 +114,10 @@ def main(argv: list[str]) -> int:
     failed: dict[str, str] = {}
     times: dict[str, float] = {}
     n = 0
-    with tempfile.TemporaryDirectory(prefix="empty_corpus_") as tmp:
-        build_empty_fixture(spark, src, tmp)
+    with tempfile.TemporaryDirectory(prefix=f"{mode}_corpus_") as tmp:
+        (build_empty_fixture if mode == "empty" else build_nulls_fixture)(
+            spark, src, tmp
+        )
         for spec in all_specs().values():
             if only is not None and spec.name not in only:
                 continue
