@@ -319,7 +319,11 @@ def _stream_payload(body: bytes) -> bytes | None:
 
 def _read_string(data: bytes, i: int) -> tuple[str, int]:
     """Parse a (...) literal string starting at data[i] == '('."""
-    assert data[i : i + 1] == b"("
+    if data[i : i + 1] != b"(":
+        # caller contract violation; a real raise (not assert, which
+        # python -O strips) keeps a malformed token from silently
+        # shifting every subsequent parse position
+        raise ValueError(f"expected '(' at content-stream offset {i}")
     i += 1
     out = bytearray()
     depth = 1

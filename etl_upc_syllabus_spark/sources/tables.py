@@ -57,7 +57,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # itself (ADVICE r4/r5), so a plain call + assert suffices.
             from ..streaming.events import events_ts_kind
 
-            assert events_ts_kind(path) == "nanos"
+            kind = events_ts_kind(path)
+            if kind != "nanos":
+                # a real raise (assert strips under python -O): dividing
+                # a non-nanos int64 by 1000 would load values 1000x off
+                raise ValueError(
+                    f"events ts read as bigint but footer says {kind!r} at {path}"
+                )
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             # session tz is UTC (session.py), so the cast is value-preserving;
