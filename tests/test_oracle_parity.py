@@ -49,6 +49,14 @@ SIZE_SENSITIVE = [
     "gopher_repetition_filter",
     "similarity_topk_ivf",
     "text_fingerprint",
+    # -- the r8-continuation null-safety rework (NULL-embedding
+    # exclusion + ANSI-safe probe indexing) changed these queries'
+    # plans after their r07 driver check: both-SF replica coverage
+    # while the rotation catches up, same protocol as above
+    "similarity_kmeans_lloyd",
+    "embedding_pq_encode",
+    "similarity_topk_pq_adc",
+    "stream_stateful_totals",
     # -- size-sensitive logic (r6 item 5)
     "agg_histogram_fixed_bins",
     "agg_percentiles",
