@@ -205,8 +205,43 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Distinct id pairs (a < b) sharing at least one LSH band bucket."""
+def lsh_candidate_pairs(
+    signatures: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """Distinct id pairs (a < b) sharing at least one LSH band bucket.
+
+    ``bucket_cap`` bounds the quadratic blowup of DUPLICATE-FLOODED
+    buckets -- the real shape of web-scale corpora, where a boilerplate
+    page repeated m times puts all m docs in one band bucket and the
+    self-join emits m(m-1)/2 pairs (60k copies = 1.8e9 pairs from one
+    bucket). Buckets larger than the cap emit STAR pairs instead --
+    (bucket-min id, member) -- which is linear in m and preserves the
+    duplicate CLUSTERS exactly through the downstream
+    jaccard_verify -> connected_components pipeline whenever the hub
+    pair passes verification (for flood buckets the members are
+    near-identical by construction, so they do). The trade: within an
+    oversized bucket, two docs whose similarity exists only PAIRWISE
+    (not through the hub) are no longer candidates -- acceptable
+    because LSH buckets that large are dup floods, not coincidences,
+    and the alternative is a quadratic shuffle that kills the job.
+    Default None keeps the exact all-pairs semantics (the
+    oracle-checked registry configuration; gate buckets are tiny).
+    """
+    if bucket_cap is not None:
+        w = W.partitionBy("band", "band_hash")
+        sized = signatures.select(
+            "id",
+            "band",
+            "band_hash",
+            F.count(F.lit(1)).over(w).alias("m"),
+            F.min("id").over(w).alias("hub"),
+        )
+        small = sized.filter(F.col("m") <= bucket_cap).drop("m", "hub")
+        star = (
+            sized.filter((F.col("m") > bucket_cap) & (F.col("id") > F.col("hub")))
+            .select(F.col("hub").alias("a"), F.col("id").alias("b"))
+        )
+        return lsh_candidate_pairs(small, None).union(star).distinct()
     left = signatures.select(
         F.col("id").alias("a"), F.col("band").alias("band_l"), F.col("band_hash").alias("bh_l")
     )

@@ -381,3 +381,31 @@ def test_recall_sample_mod_properties_hypothesis():
         assert sql_like == mod, (n, sql_like, mod)
 
     check()
+
+
+def test_bucket_cap_bounds_flood_and_preserves_clusters(spark):
+    """A duplicate-flooded bucket (the web-boilerplate shape) must not
+    go quadratic: with bucket_cap the candidate count is linear in the
+    flood size, and the downstream verify -> connected-components
+    clusters are IDENTICAL to the uncapped all-pairs result."""
+    from etl_upc_syllabus_spark.operators.components import connected_components
+
+    flood = [(i, BASE) for i in range(60)]  # 60 identical docs
+    extra = [(100, NEAR), (101, OTHER), (102, OTHER + " second copy " + OTHER)]
+    df = spark.createDataFrame(flood + extra, "doc_id long, text string").coalesce(4)
+    sets = dd.shingle_sets(df, "doc_id", "text")
+    sigs = dd.minhash_signatures(sets)
+
+    uncapped = dd.lsh_candidate_pairs(sigs)
+    capped = dd.lsh_candidate_pairs(sigs, bucket_cap=16)
+    n_unc, n_cap = uncapped.count(), capped.count()
+    # all-pairs: 60*59/2 pairs from the flood alone; star: 59 hub pairs
+    assert n_unc >= 60 * 59 // 2
+    assert n_cap < 3 * 60  # linear in flood size (hub pairs, all bands)
+
+    def clusters(pairs):
+        edges = dd.jaccard_verify(pairs, sets).filter("jaccard >= 0.8")
+        comp = connected_components(edges.select("a", "b"))
+        return sorted((r["id"], r["component"]) for r in comp.collect())
+
+    assert clusters(capped) == clusters(uncapped)
