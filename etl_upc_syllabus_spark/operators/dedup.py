@@ -228,19 +228,26 @@ def lsh_candidate_pairs(
     oracle-checked registry configuration; gate buckets are tiny).
     """
     if bucket_cap is not None:
-        w = W.partitionBy("band", "band_hash")
-        sized = signatures.select(
-            "id",
-            "band",
-            "band_hash",
-            F.count(F.lit(1)).over(w).alias("m"),
-            F.min("id").over(w).alias("hub"),
+        # Bucket sizing as an AGGREGATE restricted to OVERSIZED buckets,
+        # not a window: a window over (band, band_hash) would shuffle
+        # every signature row once per consumer subtree (measured 3x in
+        # the first formulation), while the aggregate's exchange carries
+        # only per-bucket partial counts and the oversized list is tiny
+        # by nature (floods are few) -- so it broadcasts, and signature
+        # rows never shuffle for sizing at all.
+        keys = ["band", "band_hash"]
+        oversized = (
+            signatures.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("m"), F.min("id").alias("hub"))
+            .filter(F.col("m") > bucket_cap)
+            .select(*keys, "hub")
         )
-        small = sized.filter(F.col("m") <= bucket_cap).drop("m", "hub")
         star = (
-            sized.filter((F.col("m") > bucket_cap) & (F.col("id") > F.col("hub")))
+            signatures.join(F.broadcast(oversized), keys)
+            .filter(F.col("id") > F.col("hub"))
             .select(F.col("hub").alias("a"), F.col("id").alias("b"))
         )
+        small = signatures.join(F.broadcast(oversized), keys, "left_anti")
         return lsh_candidate_pairs(small, None).union(star).distinct()
     left = signatures.select(
         F.col("id").alias("a"), F.col("band").alias("band_l"), F.col("band_hash").alias("bh_l")

@@ -79,10 +79,14 @@ def cosine_topk_bruteforce(
     with no shuffle -- the right plan when |queries| << |corpus|.
     """
     query_pred = query_pred if query_pred is not None else (F.col(id_col) < 10)
-    q = emb.filter(query_pred).select(
+    # NULL vectors can neither query nor be retrieved: without the
+    # filters their NULL cosines would still occupy ranked output rows
+    q = emb.filter(query_pred & F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
     )
-    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb"))
+    c = emb.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb")
+    )
     sim = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
@@ -328,7 +332,12 @@ def cosine_topk_ivf(
     # exchange that shuffled query VECTORS). Probe rows then carry
     # (query_id, q_emb, cluster) into the cluster join, where AQE
     # broadcasts the small probe side -- the corpus never shuffles.
-    q = emb.filter(query_pred).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
+    # NULL query vectors are excluded: their all-NULL probe distances
+    # sort FIRST in struct ordering, so without the filter they would
+    # probe arbitrary lists and emit NULL-cosine ranked rows.
+    q = emb.filter(query_pred & F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    )
     probes = q.select(
         "query_id", "q_emb", _nearest_clusters("q_emb", codebook, nprobe).alias("cluster")
     ).withColumn("cluster", F.explode("cluster"))
@@ -449,16 +458,19 @@ def pq_encode(
     if cents is None:
         pv = _prefix_vectors(emb, id_col, vec_col, k)
         cents = [pv[i] for i in sorted(pv)]
-    if not cents:
+    if not cents and emb.filter(F.col(vec_col).isNotNull()).isEmpty():
         # empty corpus under the prefix-seed convention: nothing to
         # encode and no codebook to encode against -- the degenerate
         # slice a backfill hits constantly at scale. Empty result with
-        # the documented schema (id keeps the source id type).
+        # the documented schema (id keeps the source id type). The
+        # guard is "no INDEXABLE (non-NULL) vectors at all" -- a corpus
+        # that has indexable vectors but none below id k is a
+        # configuration error and falls through to the loud raise.
         return _empty_encode(emb, id_col)
     if len(cents) != k:
-        # a PARTIAL codebook is a real configuration error (corpus has
-        # data but fewer than k seed rows): refuse loudly rather than
-        # encode against a silently smaller codebook.
+        # a PARTIAL (or absent-with-data) codebook is a real
+        # configuration error: refuse loudly rather than encode
+        # against a silently smaller codebook.
         raise ValueError(f"need {k} seed vectors, found {len(cents)}")
 
     def sub_dist(sl: Column, cent: list[float]) -> Column:
@@ -559,9 +571,10 @@ def pq_adc_topk(
     # ONE driver collect covers both the codebook prefix and the query
     # set; the codebook is handed to pq_encode so it is not re-collected
     vecs = _prefix_vectors(emb, id_col, vec_col, max(kc, n_queries))
-    if not vecs:
+    if not vecs and emb.filter(F.col(vec_col).isNotNull()).isEmpty():
         # empty corpus: no codebook, no queries -- empty top-k, not a
-        # crash (the schema-stable degenerate branch)
+        # crash (the schema-stable degenerate branch; isEmpty keeps a
+        # non-0-based id space falling through to the loud raise)
         return _empty_topk(emb, id_col)
     missing = [i for i in range(kc) if i not in vecs]
     if missing:
@@ -629,8 +642,9 @@ def ivf_pq_adc_topk(
     # the query vectors (ids in [query_lo, query_hi))
     vecs = _prefix_vectors(emb, id_col, vec_col, max(kc, query_hi))
     if cents is None:
-        if not vecs:
+        if not vecs and emb.filter(F.col(vec_col).isNotNull()).isEmpty():
             # empty corpus: degrade to an empty, schema-stable top-k
+            # (isEmpty keeps a non-0-based id space raising loudly)
             return _empty_topk(emb, id_col)
         missing = [i for i in range(kc) if i not in vecs]
         if missing:
@@ -653,9 +667,11 @@ def ivf_pq_adc_topk(
     # slice(array_sort(structs)) over the literal-folded codebook --
     # no window exchange, no query vector ever shuffles (ADC needs
     # only the LUT downstream, so probes carry bare (query_id, cluster))
-    q = emb.filter((F.col(id_col) >= query_lo) & (F.col(id_col) < query_hi)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
-    )
+    q = emb.filter(
+        (F.col(id_col) >= query_lo)
+        & (F.col(id_col) < query_hi)
+        & F.col(vec_col).isNotNull()  # NULL queries: no LUT, no probes
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
     probes = q.select(
         "query_id", _nearest_clusters("q_emb", codebook, nprobe).alias("cluster")
     ).withColumn("cluster", F.explode("cluster"))

@@ -274,10 +274,17 @@ def stream_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = (
         "doc_id bigint, text string, lang string, source string, n_chars bigint"
     )
+    # table-as-directory layout: pathGlobFilter matches LEAF file names
+    # only, so when documents.parquet is a Spark-written directory the
+    # stream must point inside it (same redirect as read_events_stream)
+    src, glob = sf_dir, "documents.parquet"
+    target = os.path.join(sf_dir, glob)
+    if os.path.isdir(target):
+        src, glob = target, "*.parquet"
     docs = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        .option("pathGlobFilter", glob)
+        .parquet(src)
     )
     meta = extract_media_metadata(as_media_table(docs, "doc_id", "text"))
     return ev.run_stream_to_table(meta, "append")

@@ -25,7 +25,6 @@ import os
 import pytest
 
 from etl_upc_syllabus_spark.plans import all_specs
-from etl_upc_syllabus_spark.sources.tables import TABLES
 
 from .conftest import SF_DIR
 
@@ -86,16 +85,17 @@ def _selected() -> list[str]:
 def empty_sf_dir(spark, tmp_path_factory) -> str:
     """All fixture tables at zero rows, schemas copied from SF_DIR.
 
-    Written as Spark parquet DIRECTORIES deliberately: that is the
-    layout every production table has, so this fixture also covers the
-    directory-layout events staging path (single-file staging is what
-    the real gate fixtures exercise).
+    Built by THE SAME builder the sweep tool uses (imported, not
+    duplicated -- so the pytest twin can never drift from the sweep
+    that found the bugs). Written as Spark parquet DIRECTORIES
+    deliberately: that is the layout every production table has, so
+    this fixture also covers the directory-layout events staging path
+    (single-file staging is what the real gate fixtures exercise).
     """
+    from tools.empty_sweep import build_empty_fixture
+
     dest = str(tmp_path_factory.mktemp("empty_corpus"))
-    for name in TABLES:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet")).limit(0)
-        df.write.mode("overwrite").parquet(os.path.join(dest, f"{name}.parquet"))
+    build_empty_fixture(spark, SF_DIR, dest)
     return dest
 
 
@@ -125,26 +125,14 @@ NULLS_ONCE_BROKEN = [
 
 @pytest.fixture(scope="module")
 def nulls_sf_dir(spark, tmp_path_factory) -> str:
-    """The fixture rows with every non-key column NULLed (same rule as
-    tools/empty_sweep.py --mode nulls: join/id keys and the event ts
-    keep their values -- null PAYLOADS are the production degenerate,
-    not broken referential integrity)."""
-    from pyspark.sql import functions as F
+    """The fixture rows with every non-key column NULLed, built by the
+    sweep tool's own builder (join/id keys and the event ts keep their
+    values -- null PAYLOADS are the production degenerate, not broken
+    referential integrity)."""
+    from tools.empty_sweep import build_nulls_fixture
 
     dest = str(tmp_path_factory.mktemp("nulls_corpus"))
-    keep_always = {"ts"}
-    for name in TABLES:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(SF_DIR, f"{name}.parquet"))
-        cols = [
-            F.col(f.name)
-            if f.name in keep_always or f.name.lower().endswith(("key", "_id", "id"))
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in df.schema.fields
-        ]
-        df.select(*cols).write.mode("overwrite").parquet(
-            os.path.join(dest, f"{name}.parquet")
-        )
+    build_nulls_fixture(spark, SF_DIR, dest)
     return dest
 
 

@@ -259,3 +259,44 @@ def test_pq_trained_codebook_beats_prefix_recall(spark, sf_dir):
     assert r_trained >= max(2 * r_prefix, 0.05), (
         f"trained PQ recall {r_trained:.3f} vs prefix {r_prefix:.3f}"
     )
+
+
+def test_nonzero_based_id_space_raises_not_silent_empty(spark):
+    """A corpus whose ids start above k has no prefix-seed rows but IS
+    indexable: the degenerate-empty branch must NOT swallow it (that
+    would silently build an empty index over real data); it raises
+    the configuration error loudly instead."""
+    rows = [(10_000 + i, [float(i + j) for j in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="seed vectors|codebook ids missing"):
+        sim.pq_encode(emb, m=4, k=4, dim=8).count()
+    with pytest.raises(ValueError, match="codebook ids missing"):
+        sim.pq_adc_topk(emb, m=4, kc=4, dim=8).count()
+    with pytest.raises(ValueError, match="codebook ids missing"):
+        sim.ivf_pq_adc_topk(emb, m=4, kc=4, dim=8).count()
+
+
+def test_null_query_vector_excluded_from_ann_output(spark):
+    """A NULL embedding in the query range must yield NO output rows
+    for that query -- not NULL-cosine ranked rows from arbitrary
+    probed lists (its all-NULL probe distances sort first in struct
+    order, so without the query-side filter it would probe the
+    lowest-cid lists)."""
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") != 12, F.col("embedding")),  # id 12 -> NULL
+    )
+    for df in (
+        sim.cosine_topk_ivf(emb, k=3),
+        sim.cosine_topk_bruteforce(
+            emb, query_pred=(F.col("vec_id") >= 10) & (F.col("vec_id") < 20), k=3
+        ),
+        sim.ivf_pq_adc_topk(emb, m=4, kc=4, dim=8, k=3),
+    ):
+        got = df.collect()
+        assert got, "non-null queries must still produce results"
+        assert all(r["query_id"] != 12 for r in got), got
+        assert all(r["cand_id"] != 12 for r in got), got

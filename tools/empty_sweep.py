@@ -50,17 +50,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_upc_syllabus_spark.plans import all_specs
 from etl_upc_syllabus_spark.session import get_spark
-from etl_upc_syllabus_spark.sources.tables import TABLES
+from etl_upc_syllabus_spark.sources.tables import TABLES, load_table
 
 
 def build_empty_fixture(spark, src_sf_dir: str, dest_dir: str) -> None:
-    """Write every fixture table at zero rows, schema copied from src."""
+    """Write every fixture table at zero rows, schema copied from src.
+
+    Tables go through load_table, NOT a raw parquet read: a raw read
+    of a TIMESTAMP(NANOS)-generation events fixture under the
+    nanosAsLong conf resolves ts to bare int64, and writing THAT back
+    produces a column with no timestamp logical type -- which
+    events_ts_kind refuses by design. load_table normalizes ts to
+    TimestampType first, so the degenerate fixture keeps a proper
+    logical type whatever the source generation used."""
     for name in TABLES:
-        src = os.path.join(src_sf_dir, f"{name}.parquet")
-        # read with the same nanos conf the loader uses so the copied
-        # schema round-trips; limit(0) keeps the exact column set/types
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(src).limit(0)
+        df = load_table(spark, src_sf_dir, name).limit(0)
         df.write.mode("overwrite").parquet(os.path.join(dest_dir, f"{name}.parquet"))
 
 
@@ -73,13 +77,14 @@ _KEEP_ALWAYS = {"ts"}
 
 
 def build_nulls_fixture(spark, src_sf_dir: str, dest_dir: str) -> None:
-    """Write every fixture table with all non-key columns NULLed."""
+    """Write every fixture table with all non-key columns NULLed.
+
+    Same load_table route as build_empty_fixture (ts keeps a real
+    timestamp logical type whatever the source generation)."""
     from pyspark.sql import functions as F
 
     for name in TABLES:
-        src = os.path.join(src_sf_dir, f"{name}.parquet")
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(src)
+        df = load_table(spark, src_sf_dir, name)
         cols = []
         for f in df.schema.fields:
             keep = f.name in _KEEP_ALWAYS or f.name.lower().endswith(_KEY_SUFFIXES)
