@@ -75,7 +75,17 @@ def events_ts_kind(path: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(_data_files(path)[0]).field("ts").type
+    data_file = _data_files(path)[0]
+    # physical-type probe FIRST: legacy INT96 timestamps (the historic
+    # Spark/Impala writer default) surface as timestamp[ns] in the
+    # Arrow schema, indistinguishable from TIMESTAMP(NANOS) -- but
+    # Spark reads INT96 natively as TimestampType, while reading it
+    # under the nanos-as-long schema crashes the vectorized reader.
+    pq_schema = pq.ParquetFile(data_file).schema
+    ts_idx = [c.name for c in pq_schema].index("ts")
+    if pq_schema.column(ts_idx).physical_type == "INT96":
+        return "micros_tz"  # UTC-adjusted; TimestampType, no conversion
+    t = pq.read_schema(data_file).field("ts").type
     if getattr(t, "unit", None) == "ns":
         return "nanos"
     if pa.types.is_integer(t):

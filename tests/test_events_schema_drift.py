@@ -104,6 +104,53 @@ def test_both_physical_types_stream_identically(spark, tmp_path, kind):
     assert got == sorted(_ROWS["ts_us"])
 
 
+def test_int96_fixture_probes_and_streams(spark, tmp_path):
+    """Legacy INT96 timestamps (the historic Spark writer default)
+    surface as timestamp[ns] in Arrow schemas -- indistinguishable from
+    TIMESTAMP(NANOS) without a physical-type probe, and reading them
+    under the nanos-as-long schema crashes the vectorized reader. The
+    probe must classify INT96 by PHYSICAL type and stream it natively
+    (found by the r8 nulls sweep when a Spark-written fixture used the
+    INT96 default)."""
+    d = str(tmp_path / "int96")
+    os.makedirs(d)
+    table = pa.table(
+        {
+            "event_id": pa.array(_ROWS["event_id"], pa.int64()),
+            "ts": pa.array(
+                [u * 1000 for u in _ROWS["ts_us"]], pa.timestamp("ns", tz="UTC")
+            ),
+            "user_id": pa.array(_ROWS["user_id"], pa.int64()),
+            "event_type": pa.array(_ROWS["event_type"], pa.string()),
+            "value": pa.array(_ROWS["value"], pa.float64()),
+            "props": pa.array(_ROWS["props"], pa.string()),
+        }
+    )
+    path = os.path.join(d, "events.parquet")
+    pq.write_table(table, path, use_deprecated_int96_timestamps=True)
+    assert ev.events_ts_kind(path) == "micros_tz"
+    out = ev.run_stream_to_table(
+        ev.read_events_stream(spark, d).select(F.unix_micros("ts").alias("us")),
+        "append",
+    )
+    assert [r["us"] for r in out.orderBy("us").collect()] == sorted(_ROWS["ts_us"])
+
+
+def test_engine_writes_modern_timestamp_type(spark, tmp_path):
+    """The engine's own parquet writes must emit TIMESTAMP_MICROS, not
+    the deprecated INT96 default (session.py pins outputTimestampType),
+    so everything this engine writes round-trips through its own
+    footer probe."""
+    out = str(tmp_path / "roundtrip")
+    df = spark.createDataFrame([(1,)], "event_id long").withColumn(
+        "ts", F.timestamp_micros(F.lit(1704067200_000000))
+    )
+    df.write.parquet(out)
+    part = [f for f in os.listdir(out) if f.endswith(".parquet")][0]
+    col = pq.ParquetFile(os.path.join(out, part)).schema.column(1)
+    assert col.physical_type == "INT64", col
+
+
 def _write_directory_fixture(dirpath: str, n_parts: int) -> None:
     """The rows of _write_fixture as a Spark-style table DIRECTORY:
     ``events.parquet/`` holding ``n_parts`` part files + _SUCCESS."""
