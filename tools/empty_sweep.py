@@ -68,6 +68,21 @@ def build_empty_fixture(spark, src_sf_dir: str, dest_dir: str) -> None:
         df.write.mode("overwrite").parquet(os.path.join(dest_dir, f"{name}.parquet"))
 
 
+def build_tiny_fixture(spark, src_sf_dir: str, dest_dir: str, n: int = 5) -> None:
+    """Write every fixture table truncated to its first ``n`` rows (in
+    id order where one exists) -- the small-sample degenerate:
+    percentiles over fewer rows than buckets, codebook prefixes at the
+    corpus size boundary, windows with single-row partitions."""
+    for name in TABLES:
+        df = load_table(spark, src_sf_dir, name)
+        id_cols = [c for c in df.columns if c.lower().endswith(("key", "_id", "id"))]
+        if id_cols:
+            df = df.orderBy(*id_cols[:1])
+        df.limit(n).write.mode("overwrite").parquet(
+            os.path.join(dest_dir, f"{name}.parquet")
+        )
+
+
 #: columns that keep their values in --mode nulls: join/identity keys
 #: (nulling them tests broken referential integrity, not null payloads)
 #: and the event timestamp (a stream row with no event time is dropped
@@ -111,7 +126,7 @@ def main(argv: list[str]) -> int:
             only = set(args.pop(0).split(","))
         elif a == "--mode":
             mode = args.pop(0)
-            assert mode in ("empty", "nulls"), mode
+            assert mode in ("empty", "nulls", "tiny"), mode
         else:
             raise SystemExit(f"unknown arg {a!r}")
 
@@ -119,10 +134,13 @@ def main(argv: list[str]) -> int:
     failed: dict[str, str] = {}
     times: dict[str, float] = {}
     n = 0
+    builders = {
+        "empty": build_empty_fixture,
+        "nulls": build_nulls_fixture,
+        "tiny": build_tiny_fixture,
+    }
     with tempfile.TemporaryDirectory(prefix=f"{mode}_corpus_") as tmp:
-        (build_empty_fixture if mode == "empty" else build_nulls_fixture)(
-            spark, src, tmp
-        )
+        builders[mode](spark, src, tmp)
         for spec in all_specs().values():
             if only is not None and spec.name not in only:
                 continue
