@@ -56,6 +56,7 @@ SIZE_SENSITIVE = [
     "similarity_kmeans_lloyd",
     "embedding_pq_encode",
     "similarity_topk_pq_adc",
+    "similarity_topk_bruteforce",
     "stream_stateful_totals",
     # -- size-sensitive logic (r6 item 5)
     "agg_histogram_fixed_bins",
