@@ -32,11 +32,9 @@ _MEMSINK_IDS = itertools.count()
 #: Event type of the watermark-flush sentinel rows (see _staged_flush_dir).
 SENTINEL_TYPE = "_wm_flush"
 
-# Far-future sentinel event times (epoch seconds): 2100-01-01/02/03.
-# Two sentinels normally; a third when the source has an EVEN number of
-# data files, so the last sentinel always lands in its own micro-batch
-# (see _staged_flush_dir).
-_SENTINEL_TS_S = (4102444800, 4102531200, 4102617600)
+# Far-future sentinel event times (epoch seconds): 2100-01-01 and
+# 2100-01-02 (see _staged_flush_dir).
+_SENTINEL_TS_S = (4102444800, 4102531200)
 
 
 def _data_files(path: str) -> list[str]:
@@ -214,7 +212,7 @@ def _staged_flush_dir(sf_dir: str) -> str:
     sizes = sum(s.st_size for s in stats)
     mtime = max(s.st_mtime_ns for s in stats)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}|{len(files)}|{sizes}|{mtime}|v3|{kind}".encode()
+        f"{os.path.abspath(src)}|{len(files)}|{sizes}|{mtime}|v4|{kind}".encode()
     ).hexdigest()[:16]
     stage = os.path.join(tempfile.gettempdir(), "etl_upc_stream_stage", key)
     marker = os.path.join(stage, "_READY")
@@ -232,16 +230,11 @@ def _staged_flush_dir(sf_dir: str) -> str:
             # at now-40; 1 ms per file stays clear up to ~20k files)
             t = now - 60 + i * 1e-3
             os.utime(dst, (t, t))
-        # the flush contract needs at least one DATA batch strictly
-        # after the first batch containing a sentinel (that later batch
-        # is what carries the emissions). With maxFilesPerTrigger=2 and
-        # oldest-first pairing, an EVEN number of data files would pair
-        # sentinel 1 with sentinel 2 in the final batch -- so add a
-        # third sentinel to restore the trailing data batch. Odd counts
-        # (including the single-file fixture, which keeps its historic
-        # two-sentinel staging) pair sentinel 1 with the last data file.
-        n_sent = 3 if len(files) % 2 == 0 else 2
-        for i, ts_s in enumerate(_SENTINEL_TS_S[:n_sent]):
+        # exactly two sentinels: the drain harness batches ALL data
+        # files + sentinel 1 together (see _run_flushed_window_stream),
+        # so sentinel 2 is always the trailing data batch that carries
+        # the emissions -- no parity logic needed
+        for i, ts_s in enumerate(_SENTINEL_TS_S):
             path = os.path.join(stage, f"zz_sentinel_{i}.parquet")
             pq.write_table(sentinel_row_table(kind, i, ts_s), path)
             os.utime(path, (now - 40 + 20 * i, now - 40 + 20 * i))
@@ -330,14 +323,25 @@ def _run_flushed_window_stream(spark: SparkSession, sf_dir: str, agg_fn) -> Data
     """Watermarked append-mode window aggregation over the staged
     stream; sentinel groups are dropped from the materialized result.
 
-    maxFilesPerTrigger=2 gives exactly two micro-batches (oldest-first
-    by mtime): batch 1 = events + sentinel 1 advances the watermark
-    past every real window; batch 2 = sentinel 2 is the data batch in
-    which they all emit -- so completion is ordered before
-    processAllAvailable() returns.
+    maxFilesPerTrigger = (number of data files) + 1 gives exactly two
+    micro-batches (oldest-first by mtime): batch 1 = ALL data files +
+    sentinel 1 advances the watermark past every real window; batch 2
+    = sentinel 2 is the data batch in which they all emit -- so
+    completion is ordered before processAllAvailable() returns.
+    Batching every data file together is load-bearing for the bounded
+    drain: splitting data across micro-batches would advance the
+    watermark BETWEEN them, silently dropping rows of an
+    out-of-time-order directory layout as late (measured at sf1: an
+    8-part repartitioned events table lost rows under the old
+    2-file-per-batch pairing while producing the same window count).
+    A live stream wants exactly that late-drop semantics; a bounded
+    fixture drain compared against a batch oracle does not.
     """
     stage = _staged_flush_dir(sf_dir)
-    stream = read_events_stream(spark, stage, glob="*.parquet", max_files_per_trigger=2)
+    n_data = sum(1 for f in os.listdir(stage) if f.startswith("events_"))
+    stream = read_events_stream(
+        spark, stage, glob="*.parquet", max_files_per_trigger=n_data + 1
+    )
     out = run_stream_to_table(agg_fn(stream), "append")
     return out.filter(F.col("event_type") != SENTINEL_TYPE)
 

@@ -153,21 +153,26 @@ def test_engine_writes_modern_timestamp_type(spark, tmp_path):
 
 def _write_directory_fixture(dirpath: str, n_parts: int) -> None:
     """The rows of _write_fixture as a Spark-style table DIRECTORY:
-    ``events.parquet/`` holding ``n_parts`` part files + _SUCCESS."""
+    ``events.parquet/`` holding ``n_parts`` part files + _SUCCESS.
+
+    Rows are STRIPED across parts (part p takes rows p, p+n, ...), so
+    every part spans the full time range -- the adversarial layout a
+    repartitioned table has. Under the old 2-files-per-micro-batch
+    drain this made later batches carry events older than the
+    advanced watermark, silently dropping them as late; the
+    single-data-batch drain must be insensitive to row placement."""
     table_dir = os.path.join(dirpath, "events.parquet")
     os.makedirs(table_dir, exist_ok=True)
-    n = len(_ROWS["event_id"])
-    cuts = [round(i * n / n_parts) for i in range(n_parts + 1)]
     for p in range(n_parts):
-        lo, hi = cuts[p], cuts[p + 1]
+        sel = slice(p, None, n_parts)
         table = pa.table(
             {
-                "event_id": pa.array(_ROWS["event_id"][lo:hi], pa.int64()),
-                "ts": pa.array(_ROWS["ts_us"][lo:hi], pa.timestamp("us")),
-                "user_id": pa.array(_ROWS["user_id"][lo:hi], pa.int64()),
-                "event_type": pa.array(_ROWS["event_type"][lo:hi], pa.string()),
-                "value": pa.array(_ROWS["value"][lo:hi], pa.float64()),
-                "props": pa.array(_ROWS["props"][lo:hi], pa.string()),
+                "event_id": pa.array(_ROWS["event_id"][sel], pa.int64()),
+                "ts": pa.array(_ROWS["ts_us"][sel], pa.timestamp("us")),
+                "user_id": pa.array(_ROWS["user_id"][sel], pa.int64()),
+                "event_type": pa.array(_ROWS["event_type"][sel], pa.string()),
+                "value": pa.array(_ROWS["value"][sel], pa.float64()),
+                "props": pa.array(_ROWS["props"][sel], pa.string()),
             }
         )
         pq.write_table(table, os.path.join(table_dir, f"part-{p:05d}.parquet"))
@@ -180,10 +185,11 @@ def test_directory_layout_streams_identically(spark, tmp_path, n_parts):
     """A 100 TB events table is never one file: the directory layout
     (``events.parquet/`` of part files, the only layout Spark writers
     produce) must probe, stream, and watermark-flush to the same
-    results as the single-file fixture. 2 parts exercises the
-    even-count staging branch (third sentinel restores the trailing
-    data batch); 3 parts the odd-count branch (r8 directory-layout
-    support in streaming/events.py)."""
+    results as the single-file fixture, for even AND odd part counts
+    (all data files drain in ONE micro-batch ahead of the sentinels,
+    so no row can go watermark-late regardless of how events are
+    distributed across parts -- r8 directory-layout support in
+    streaming/events.py)."""
     single = str(tmp_path / "single")
     _write_fixture(single, "micros")
     asdir = str(tmp_path / f"asdir{n_parts}")
