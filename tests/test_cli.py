@@ -111,3 +111,19 @@ def test_cli_200_course_corpus(spark, tmp_path):
     # Arrow warmup, which a contended host can inflate arbitrarily.
     if os.environ.get("SPARK_GRAFT_TIMING_ASSERTS"):
         assert elapsed < 300, f"200-course CLI run took {elapsed:.0f}s"
+
+
+def test_cli_empty_input_dir(spark, tmp_path):
+    """A nightly run with no new files must succeed with empty
+    artifacts, not crash: exit 0, empty consolidated array, empty
+    quarantine, and a valid (if bare) calendar PDF."""
+    raw = tmp_path / "raw"
+    out = tmp_path / "data"
+    raw.mkdir()
+    (raw / "config.json").write_text(
+        json.dumps({"2025-2": {"start_date": "2025-08-25", "end_date": "2025-12-06"}})
+    )
+    assert main([str(raw), str(out)]) == 0
+    assert json.loads((out / "all_courses.json").read_text(encoding="utf-8")) == []
+    assert json.loads((out / "quarantine.json").read_text(encoding="utf-8")) == []
+    assert (out / "weekly_calendar.pdf").read_bytes()[:5] == b"%PDF-"
