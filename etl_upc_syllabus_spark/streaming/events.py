@@ -240,7 +240,41 @@ def _staged_flush_dir(sf_dir: str) -> str:
             os.utime(path, (now - 40 + 20 * i, now - 40 + 20 * i))
         with open(marker, "w") as f:
             f.write("ok")
+        _gc_stale_stages(os.path.dirname(stage), keep=stage)
     return stage
+
+
+#: staged copies older than this are reclaimed on the next staging
+_STAGE_GC_SECONDS = 7 * 24 * 3600
+
+
+def _gc_stale_stages(root: str, keep: str) -> None:
+    """Reclaim content-keyed stage dirs whose fixture changed long ago.
+
+    Every fixture regeneration mints a new content key, so without GC
+    the stage root accumulates one full events copy per generation
+    forever (196 MB each at sf10). Only dirs with a _READY marker
+    untouched for _STAGE_GC_SECONDS are removed -- a marker that old
+    cannot belong to a concurrently-starting stream, and an unfinished
+    (markerless) sibling is never touched. Best-effort: GC failure
+    must never fail the staging that triggered it."""
+    import time
+
+    cutoff = time.time() - _STAGE_GC_SECONDS
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        path = os.path.join(root, name)
+        if path == keep:
+            continue
+        marker = os.path.join(path, "_READY")
+        try:
+            if os.path.exists(marker) and os.path.getmtime(marker) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def events_ts_array(kind: str, epoch_seconds: list[int]):

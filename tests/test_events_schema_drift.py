@@ -279,3 +279,23 @@ def test_registry_sorts_broken_latest_first(tmp_path):
     # schedule (the ordering all_specs applies)
     order = sorted(rounds, key=lambda k: rounds[k])
     assert set(order[:2]) == {"regressed", "errored"}
+
+
+def test_stage_gc_reclaims_only_old_completed_stages(tmp_path):
+    """The staging GC removes only sibling stages whose _READY marker
+    is older than the horizon; fresh stages and unfinished
+    (markerless) ones survive."""
+    import time
+
+    root = tmp_path / "stage_root"
+    old, fresh, unfinished = root / "aaa", root / "bbb", root / "ccc"
+    for d in (old, fresh, unfinished):
+        os.makedirs(d)
+        (d / "events_00000.parquet").write_bytes(b"x")
+    for d in (old, fresh):
+        (d / "_READY").write_text("ok")
+    t = time.time() - ev._STAGE_GC_SECONDS - 60
+    os.utime(old / "_READY", (t, t))
+    ev._gc_stale_stages(str(root), keep=str(root / "keepme"))
+    assert not old.exists()
+    assert fresh.exists() and unfinished.exists()
