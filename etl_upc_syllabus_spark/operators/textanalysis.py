@@ -13,6 +13,8 @@ blueprint's added LLM-pipeline surface.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -142,18 +144,44 @@ def lang_id(col: Column | str) -> Column:
 def char_shingles(col: Column | str, k: int = 8, stride: int = 4) -> Column:
     """Character k-gram shingles at the given stride over normalized text.
 
-    The normalized text is LET-BOUND (see :func:`let_bind`) so the
-    inner per-shingle substr references a bound lambda VARIABLE --
-    referencing the norm_text expression directly inside the lambda
-    would re-run the normalization regex once per shingle element after
-    projection collapse (the shingle_sets trap; operators/dedup.py)."""
+    Semantics: one shingle per char position 1, 1+stride, ... while a
+    full k-gram fits (positions i <= len-k+1); a doc shorter than k
+    yields its whole text as the single shingle.
+
+    Scale shape: the obvious formulation -- transform(sequence(...),
+    i -> substr(s, i, k)) -- is QUADRATIC in document length: Spark's
+    UTF8String indexes by codepoint, so substr at char position i scans
+    the byte buffer from the start (O(i)); summed over the ~len/stride
+    strided positions that is O(len^2/stride) per document (measured
+    3.7x wall per doubling; a 1 MB page took minutes). Here the text is
+    chunked ONCE into gcd(k, stride)-char blocks by a single linear
+    regexp pass, and each shingle is the concat of k/g consecutive
+    blocks -- O(1) array lookups per shingle, O(len) per document,
+    byte-identical output (shingle starts land on chunk boundaries
+    because g divides stride, and a full k-gram spans exactly k/g full
+    chunks). (?s) keeps `.` matching the exotic line separators
+    (U+2028 etc.) that survive norm_text's \\s collapse.
+
+    Both the normalized text and the chunk array are LET-BOUND (see
+    :func:`let_bind`) so each is evaluated once per row -- referencing
+    the expressions directly inside the lambdas would re-run them per
+    consumer reference after projection collapse (the shingle_sets
+    trap; operators/dedup.py)."""
+    g = math.gcd(k, stride)
+    q = k // g  # chunks per shingle
+    step = stride // g  # chunk-index step between shingle starts
     return let_bind(
         norm_text(col),
-        lambda s: F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.length(s) - (k - 1), F.lit(1)), F.lit(stride)
-            ),
-            lambda i: F.substr(s, i, F.lit(k)),
+        lambda s: F.when(F.length(s) < k, F.array(s)).otherwise(
+            let_bind(
+                F.regexp_extract_all(s, F.lit(f"(?s).{{{g}}}"), 0),
+                lambda chunks: F.transform(
+                    F.sequence(
+                        F.lit(0), ((F.length(s) - k) / F.lit(stride)).cast("int")
+                    ),
+                    lambda m: F.concat_ws("", F.slice(chunks, m * step + 1, q)),
+                ),
+            )
         ),
     )
 

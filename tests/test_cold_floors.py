@@ -41,6 +41,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_upc_syllabus_spark.operators import dedup as dd
+from etl_upc_syllabus_spark.operators import textanalysis as ta
 
 from .conftest import SF_DIR
 
@@ -136,4 +137,52 @@ def test_shingle_build_scales_linearly(spark):
         f"shingle build scaled {ratio:.1f}x for 8x token length "
         f"({t_short:.3f}s -> {t_long:.3f}s): super-linear growth means "
         "the tokenizer is being re-evaluated per element again"
+    )
+
+
+def _time_fingerprint(spark, n_docs: int, n_chars: int) -> float:
+    """Min-of-3 cold fingerprint wall time on ``n_docs`` docs of
+    ``n_chars`` characters each."""
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_chars // 6)),
+                lambda i: F.concat(
+                    F.lit("tok"), ((F.col("id") * 131 + i) % 997).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        docs.select("doc_id", ta.fingerprint("text").alias("fp")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@pytest.mark.cold
+def test_fingerprint_scales_linearly_in_doc_length(spark):
+    """Char-shingle fingerprinting must be linear in DOCUMENT LENGTH.
+
+    The substr-based shingle build was O(len^2/stride) per document:
+    UTF8String indexes by codepoint, so substr at char position i is an
+    O(i) scan, summed over len/stride strided positions (measured 3.7x
+    wall per length doubling; 1 MB pages effectively hung). The chunked
+    rewrite (operators/textanalysis.py char_shingles) is linear. An 8x
+    length lever separates the regimes: linear ~<=8x, quadratic ~64x
+    (calibrated: chunked 1.4x, substr form 38x on this harness)."""
+    spark.catalog.clearCache()
+    _time_fingerprint(spark, 16, 2048)  # warmup: JIT + codegen
+    t_short = _time_fingerprint(spark, 64, 4096)
+    t_long = _time_fingerprint(spark, 64, 32768)
+    ratio = t_long / max(t_short, 1e-3)
+    assert ratio < 20.0, (
+        f"fingerprint scaled {ratio:.1f}x for 8x doc length "
+        f"({t_short:.3f}s -> {t_long:.3f}s): super-linear growth means "
+        "per-position substr scans are back in the shingle build"
     )

@@ -129,6 +129,7 @@ def test_let_bind_is_semantically_transparent(spark):
 
     got = df.select(
         "doc_id",
+        "text",
         cu.word_bigrams("text").alias("bi"),
         direct_bigrams.alias("bi_direct"),
         cu.word_ngrams("text", 3).alias("tri"),
@@ -137,7 +138,15 @@ def test_let_bind_is_semantically_transparent(spark):
     ).collect()
     for r in got:
         assert r["bi"] == r["bi_direct"], r
-        assert r["cs"] == r["cs_direct"], r
+        if r["text"] is None:
+            # the chunked shingle rewrite maps NULL text to NULL (the
+            # old substr form accidentally yielded [NULL] because
+            # greatest() skips NULL args); the sole consumer
+            # (fingerprint = array_min(transform(md5))) is NULL under
+            # both, which test_fingerprint_null_text pins
+            assert r["cs"] is None, r
+        else:
+            assert r["cs"] == r["cs_direct"], r
         if r["bi"] is not None and len(r["bi"]) >= 2:
             # n-gram arrays are consistent with the bigram count
             assert len(r["tri"]) == max(len(r["bi"]) - 1, 0), r
