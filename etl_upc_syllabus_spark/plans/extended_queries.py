@@ -14,10 +14,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
-from ..functions.text import chunk_starts
 from ..operators.asof import asof_join
 from ..operators.similarity import _dot, _norm, hyperplane_bucket
-from ..operators.textanalysis import norm_text
+from ..operators import textanalysis as ta
 from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
 from .registry import query
@@ -121,22 +120,25 @@ def json_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
          UNNEST(range(1, greatest(length({fr.NORM}) - 119, 1) + 1, 100)) r(i)
     """,
     doc="Doc->chunks fan-out (the UDTF shape of an LLM-pipeline chunker) "
-    "expressed relationally: sequence + posexplode of overlapping "
-    "120-char windows at stride 100 -- no Python UDTF needed, so it "
-    "stays in whole-stage codegen.",
+    "expressed relationally: overlapping 120-char windows at stride "
+    "100, built by the linear chunk-assembly shingler and posexploded "
+    "-- no Python UDTF needed, so it stays in whole-stage codegen. "
+    "The earlier sequence + substr(norm, i, 120) form was quadratic in "
+    "document length (substr's codepoint addressing scans from the "
+    "string start, O(i) per window) and carried the full document "
+    "through the generate; chunking before the explode is O(len) and "
+    "the exploded rows hold only their 120-char window.",
     tags=("text", "chunking", "udtf"),
 )
 def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = fan_out(load_table(spark, sf_dir, "documents")).select(
-        "doc_id", norm_text("text").alias("norm")
-    )
-    starts = chunk_starts(F.length("norm"), width=120, stride=100)
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     return d.select(
-        "doc_id", "norm", F.posexplode(starts).alias("chunk_idx", "i")
-    ).select(
         "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.substr("norm", F.col("i"), F.lit(120)).alias("chunk"),
+        F.posexplode(ta.char_shingles("text", k=120, stride=100)).alias(
+            "chunk_idx", "chunk"
+        ),
+    ).select(
+        "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk"
     )
 
 

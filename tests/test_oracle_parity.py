@@ -58,6 +58,10 @@ SIZE_SENSITIVE = [
     "similarity_topk_pq_adc",
     "similarity_topk_bruteforce",
     "stream_stateful_totals",
+    # -- the r8-continuation linear chunked-shingle rework (quadratic
+    # substr scan removed): text_fingerprint is listed above; the
+    # chunker shares the same builder at k=120/stride=100
+    "text_chunking",
     # -- size-sensitive logic (r6 item 5)
     "agg_histogram_fixed_bins",
     "agg_percentiles",
