@@ -22,6 +22,8 @@ ranking so rank order is identical across engines.
 from __future__ import annotations
 
 import hashlib
+import json
+import math
 
 from pyspark.sql import Column, DataFrame, Row
 from pyspark.sql import functions as F
@@ -44,6 +46,30 @@ def plane_weight(p: int, i: int) -> float:
     """
     hv = int(hashlib.md5(f"{p}_{i}".encode()).hexdigest()[:8], 16)
     return (hv % PLANE_MOD - (PLANE_MOD - 1) // 2) / 1000.0
+
+
+def _const_matrix(rows: list[list[float | None]]) -> Column:
+    """A small K x dim matrix as ONE constant ``array<array<double>>``.
+
+    Folding a codebook element-by-element (``F.array(*[F.lit(x) ...])``
+    per centroid) costs K*dim py4j round-trips of pure DRIVER time --
+    at production embedding widths that dwarfs the query itself (dim
+    1536, K=16: ~14 s to build the assign expression vs 0.25 s to run
+    it; measured r8). Shipping the matrix as a single JSON literal is
+    one round-trip, and Catalyst's ConstantFolding evaluates the
+    foldable ``from_json`` (and any ``F.get(mat, i)`` over it) at
+    optimization time, so the optimized plan carries the same folded
+    array literals as before -- value- and plan-equivalent, minus the
+    driver tax. The double roundtrip is exact: ``json.dumps`` emits
+    shortest-repr, Spark parses with ``Double.parseDouble``.
+
+    NaN/Infinity are not JSON; such matrices (never produced by the
+    finite-mean codebook trainers) fall back to per-literal folding.
+    """
+    vals = [[None if v is None else float(v) for v in r] for r in rows]
+    if any(v is not None and not math.isfinite(v) for r in vals for v in r):
+        return F.array(*[F.array(*[F.lit(v) for v in r]).cast("array<double>") for r in vals])
+    return F.from_json(F.lit(json.dumps(vals)), "array<array<double>>")
 
 
 def _dot(a: Column | str, b: Column | str) -> Column:
@@ -101,9 +127,12 @@ def hyperplane_bucket(vec_col: Column | str, dim: int, n_planes: int = N_PLANES)
     """LSH bucket signature: concatenated sign bits of `n_planes`
     deterministic hyperplane projections ('10110101'-style string)."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    mat = _const_matrix(
+        [[plane_weight(p, i) for i in range(1, dim + 1)] for p in range(n_planes)]
+    )
     bits = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(plane_weight(p, i)) for i in range(1, dim + 1)])
+        plane = F.get(mat, p)  # constant-folds to the per-plane literal
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, w_: x.cast("double") * w_),
             F.lit(0.0),
@@ -199,15 +228,15 @@ def _nearest_clusters(
         # (assign joins match nothing) and explode yields no probe
         # rows -- every IVF/k-means consumer degrades to empty output.
         return F.array().cast(f"array<{cid_type.simpleString()}>")
+    mat = _const_matrix([list(r["c_emb"]) for r in rows])
     cands = F.array(
         *[
             F.struct(
-                F.round(
-                    _sqdist(vec_col, F.array(*[F.lit(float(x)) for x in r["c_emb"]])), 6
-                ).alias("dist"),
+                # F.get(mat, idx) constant-folds to the centroid literal
+                F.round(_sqdist(vec_col, F.get(mat, idx)), 6).alias("dist"),
                 F.lit(r["cid"]).cast(cid_type).alias("cid"),
             )
-            for r in rows
+            for idx, r in enumerate(rows)
         ]
     )
     return F.transform(F.slice(F.array_sort(cands), 1, n), lambda s: s["cid"])
@@ -473,8 +502,11 @@ def pq_encode(
         # against a silently smaller codebook.
         raise ValueError(f"need {k} seed vectors, found {len(cents)}")
 
-    def sub_dist(sl: Column, cent: list[float]) -> Column:
-        carr = F.array(*[F.lit(c) for c in cent])
+    cmat = _const_matrix([list(c) for c in cents])
+
+    def sub_dist(sl: Column, c: int, j: int) -> Column:
+        # slice(get(cmat, c), ...) constant-folds to the subspace literal
+        carr = F.slice(F.get(cmat, c), j * dsub + 1, dsub)
         return F.round(
             F.aggregate(
                 F.zip_with(
@@ -492,7 +524,7 @@ def pq_encode(
         cands = F.array(
             *[
                 F.struct(
-                    sub_dist(sl, cents[c][j * dsub : (j + 1) * dsub]).alias("dist"),
+                    sub_dist(sl, c, j).alias("dist"),
                     F.lit(c).cast("long").alias("cid"),
                 )
                 for c in range(k)
