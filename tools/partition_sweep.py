@@ -14,19 +14,29 @@ that claim end-to-end by running EVERY ``queries()`` entry under an
 alien partition layout and comparing against the same DuckDB oracles
 the driver uses.
 
+The same harness sweeps any other session-conf axis a deployment
+controls via repeatable ``--conf key=value`` flags -- the r8 runs
+covered ``spark.sql.ansi.enabled=false`` (legacy migration configs
+must not shift values: nothing relies on ANSI failure semantics),
+``spark.sql.codegen.wholeStage=false`` (interpreted and codegen'd
+evaluation must agree), and ``spark.sql.adaptive.enabled=false``
+(which also proves session.tune()'s re-pin, like the TZ suite).
+
 Usage::
 
     python tools/partition_sweep.py [--npart 200] [--sf SF_DIR]
                                     [--only NAME[,NAME..]]
+                                    [--conf key=value ...]
 
 Output: one JSON line::
 
-    {"npart": N, "total": N, "ok": N, "failed": {"name": "reason"},
-     "wall_s": N}
+    {"npart": N, "conf": {...}, "total": N, "ok": N,
+     "failed": {"name": "reason"}, "wall_s": N}
 
 Queries without an ``oracle_sql()`` entry get the driver's weaker
-rows>=0 execution check. AQE stays ON (the production configuration;
-it must coalesce the oversized shuffles without changing values).
+rows>=0 execution check. AQE stays ON by default (the production
+configuration; it must coalesce the oversized shuffles without
+changing values).
 """
 
 from __future__ import annotations
@@ -43,6 +53,7 @@ def main(argv: list[str]) -> int:
     npart = 200
     sf = "/root/testdata/sf0.01"
     only: set[str] | None = None
+    extra_conf: dict[str, str] = {}
     args = list(argv)
     while args:
         a = args.pop(0)
@@ -52,6 +63,9 @@ def main(argv: list[str]) -> int:
             sf = args.pop(0)
         elif a == "--only":
             only = set(args.pop(0).split(","))
+        elif a == "--conf":
+            k, _, v = args.pop(0).partition("=")
+            extra_conf[k] = v
         else:
             raise SystemExit(f"unknown arg {a!r}")
 
@@ -60,15 +74,17 @@ def main(argv: list[str]) -> int:
     # session never exercises
     from pyspark.sql import SparkSession
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", str(npart))
         .config("spark.default.parallelism", str(npart))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .appName("partition_sweep")
-        .getOrCreate()
     )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as mod
@@ -91,6 +107,7 @@ def main(argv: list[str]) -> int:
         json.dumps(
             {
                 "npart": npart,
+                "conf": extra_conf,
                 "total": len(names),
                 "ok": len(names) - len(failed),
                 "failed": failed,
