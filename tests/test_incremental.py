@@ -88,3 +88,58 @@ def test_streaming_cdc_upsert_cross_batch_retraction(spark, tmp_path):
     out = {r["k"]: r for r in cdc_apply(emissions, key="k", seq="seq").collect()}
     assert set(out) == {1}
     assert out[1]["seq"] == 1 and out[1]["value"] == 10.0  # stale seq 0 ignored
+
+
+def test_stateful_restart_recovers_state(spark, tmp_path):
+    """State-store recovery across restart -- the exactly-once property
+    a deployed stateful pipeline lives on. Run 1 drains file A and
+    checkpoints per-user (n, cents) state; run 2 (a fresh query
+    instance on the same checkpoint, as after process death) must
+    process ONLY file B yet emit totals over A+B -- state recovered,
+    nothing reprocessed, nothing dropped. The compacted emission log
+    must equal the batch groupBy over all files (the oracle)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from etl_upc_syllabus_spark.streaming.stateful import run_stateful_increment
+
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("value", DoubleType())]
+    )
+    src = os.path.join(str(tmp_path), "src")
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    # file A: users 1-5, three events each; file B: users 3-8, two each
+    rows_a = [(u, round(u + 0.25 * j, 2)) for u in range(1, 6) for j in range(3)]
+    rows_b = [(u, round(10.0 * u + 0.5 * j, 2)) for u in range(3, 9) for j in range(2)]
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("append").parquet(src)
+    n1 = run_stateful_increment(spark, src, sink, ckpt, schema)
+    assert n1 == len(rows_a)
+
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+    n2 = run_stateful_increment(spark, src, sink, ckpt, schema)
+    assert n2 == len(rows_b)  # file A never reprocessed
+
+    # compact the emission log: totals are monotone, take the max
+    out = (
+        spark.read.parquet(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_cents").alias("total_cents"),
+        )
+    )
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_cents"]) for r in out.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_cents"]) for r in batch.collect()}
+    assert got == want, (got, want)
+    # and users 3-5 specifically prove CROSS-RESTART accumulation
+    for u in (3, 4, 5):
+        assert got[u][0] == 5, got[u]
