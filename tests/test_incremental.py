@@ -143,3 +143,92 @@ def test_stateful_restart_recovers_state(spark, tmp_path):
     # and users 3-5 specifically prove CROSS-RESTART accumulation
     for u in (3, 4, 5):
         assert got[u][0] == 5, got[u]
+
+
+def test_windowed_watermark_restart(spark, tmp_path):
+    """Watermark + window state must survive a checkpoint restart.
+
+    Three AvailableNow drains of a watermarked tumbling-window count
+    (append mode, parquet sink) on one checkpoint: run 1 file A, run 2
+    file B (later hour) carrying one LATE row under run 1's watermark,
+    run 3 a far-future flush row. Exactly-once: the union of emissions
+    equals the batch windows over A+B-minus-the-late-row -- proving
+    (a) windows held in state at shutdown emit after restart, (b) the
+    recovered watermark DROPS the late row (a reset watermark would
+    count it), (c) nothing double-emits."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from etl_upc_syllabus_spark.streaming.events import windowed_counts
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = os.path.join(str(tmp_path), "src")
+    sink = os.path.join(str(tmp_path), "sink")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    def t(h, m, s=0):
+        return dt.datetime(2024, 3, 1, h, m, s)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            windowed_counts(stream, width="10 minutes", watermark="10 seconds")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows_a = [
+        (t(10, 1), "view", 1.0),
+        (t(10, 2), "view", 2.0),
+        (t(10, 11), "click", 3.0),
+        (t(10, 21), "view", 4.0),
+    ]
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    late = (t(10, 3), "view", 100.0)  # under run 1's watermark: must drop
+    rows_b = [(t(11, 1), "click", 5.0), (t(11, 12), "view", 6.0), late]
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    flush = [(t(23, 59), "flush", 0.0)]
+    spark.createDataFrame(flush, schema).coalesce(1).write.mode("append").parquet(src)
+    drain()
+
+    got = (
+        spark.read.parquet(sink)
+        .filter(F.col("event_type") != "flush")
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    want = (
+        windowed_counts(
+            spark.createDataFrame(rows_a + rows_b[:2], schema),
+            width="10 minutes",
+            watermark=None,
+        )
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want], (got, want)
+    # the late row really was dropped, not merged into 10:00's window
+    w10 = [r for r in got if r["window_start"] == "2024-03-01 10:00:00"][0]
+    assert (w10["n"], w10["total_value"]) == (2, 3.0)
