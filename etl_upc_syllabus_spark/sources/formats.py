@@ -48,3 +48,70 @@ def roundtrip(df: DataFrame, path: str, fmt: str) -> DataFrame:
     source_format_roundtrip query."""
     write_format(df, path, fmt)
     return read_format(df.sparkSession, path, fmt, df.schema)
+
+
+def read_resilient(
+    spark: SparkSession, path: str, schema: T.StructType, fmt: str = "parquet"
+) -> DataFrame:
+    """Lake read that survives corrupt/vanished files.
+
+    A 100 TB lake always carries a few bad objects (truncated uploads,
+    mid-compaction deletes); the default reader aborts the whole job
+    on the first one, which is the wrong posture for a backfill. This
+    read skips corrupt and missing files at TASK time (per-source
+    options, not session-wide conf -- other reads in the same session
+    keep fail-fast semantics) and relies on the explicit schema so no
+    footer is consulted at planning. Pair with
+    :func:`scan_corrupt_files` to AUDIT what was skipped -- silently
+    dropping files without a report is how a lake rots.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("ignoreCorruptFiles", "true")
+        .option("ignoreMissingFiles", "true")
+        .format(fmt)
+        .load(path)
+    )
+
+
+def scan_corrupt_files(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Distributed corruption audit: (file, ok, error) per data file.
+
+    The driver only LISTS the directory; footer/readability probes run
+    on executors via mapInPandas (pyarrow metadata read for parquet --
+    a few KB per file -- full decode for row formats), so the audit
+    scales with the cluster, not the driver. The result is the skip
+    report a :func:`read_resilient` backfill publishes next to its
+    output.
+    """
+    import os as _os
+
+    import pandas as _pd
+
+    names = sorted(
+        _os.path.join(path, f)
+        for f in _os.listdir(path)
+        if not f.startswith(("_", "."))
+    )
+    files = spark.createDataFrame([(n,) for n in names], "file string")
+
+    def probe(batches):
+        for pdf in batches:
+            oks, errs = [], []
+            for f in pdf["file"]:
+                try:
+                    if fmt == "parquet":
+                        import pyarrow.parquet as _pq
+
+                        _pq.ParquetFile(f)  # footer + magic validation
+                    else:
+                        with open(f, "rb") as fh:
+                            fh.read()
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 -- the audit IS the catch
+                    oks.append(False)
+                    errs.append(f"{type(e).__name__}: {str(e)[:200]}")
+            yield _pd.DataFrame({"file": pdf["file"], "ok": oks, "error": errs})
+
+    return files.mapInPandas(probe, "file string, ok boolean, error string")
