@@ -414,7 +414,11 @@ def run_stream_to_table(
     query start; for the local fixture-drain harness 32 partitions is
     pure per-batch overhead, so shuffle partitions are lowered for the
     query's lifetime and restored after. (A production cluster sizes
-    this to state volume / executor count instead.) No-data
+    this to state volume / executor count instead. The set/restore is
+    session-global: value-neutral under concurrent queries -- partition
+    count is sweep-proven value-invariant -- but a batch query PLANNED
+    mid-drain may get the lowered count, so a perf-isolated deployment
+    gives streaming its own session.) No-data
     micro-batches are disabled for the query's lifetime too: every
     emission in this module is deliberately carried by a DATA batch
     (the sentinel-flush design, _staged_flush_dir), so the extra
