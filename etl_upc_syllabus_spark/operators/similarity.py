@@ -773,3 +773,73 @@ def pq_train_codebook(
         model = KMeans(k=kc, seed=seed + j, maxIter=max_iter).fit(feats)
         books.append([[float(x) for x in c] for c in model.clusterCenters()])
     return [[x for j in range(m) for x in books[j][c]] for c in range(kc)]
+
+
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    kc: int = 4,
+    dim: int = 64,
+    query_lo: int = 10,
+    query_hi: int = 20,
+    shortlist: int = 50,
+    k: int = 5,
+    centroids: DataFrame | None = None,
+    cents: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ search with an EXACT re-rank of the ADC shortlist --
+    FAISS's IVFADC+refine, the full production query shape at real
+    embedding widths.
+
+    ADC distances rank CLUSTERS, not neighbors-within-a-cluster: once
+    candidates quantize to similar codes (same-cluster points differ
+    only by noise the codebook never resolves), their ADC distances
+    tie and the tie-break is arbitrary -- measured recall@5 of plain
+    `ivf_pq_adc_topk` collapses to ~k/cluster_size at dim 768+ however
+    large m gets (tools/ann_production_eval.py --dim 768). Deployed
+    systems therefore take the ADC top-``shortlist`` and re-score just
+    those with exact distances. Per query that touches ``shortlist``
+    raw vectors instead of |corpus| -- the memory story of PQ, the
+    fan-in story of IVF, and brute-force exactness where it matters.
+
+    Plan shape: the shortlist (|queries| * shortlist id pairs, a few
+    KB) broadcasts into joins against the corpus for the candidate and
+    query vectors, so raw embeddings are projected at the scan and
+    never shuffle; exact cosine is rounded to 6 dp before the final
+    rank (the repo ANN convention, candidate-id tie-break).
+    """
+    adc = ivf_pq_adc_topk(
+        emb,
+        id_col,
+        vec_col,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        m=m,
+        kc=kc,
+        dim=dim,
+        query_lo=query_lo,
+        query_hi=query_hi,
+        k=shortlist,
+        centroids=centroids,
+        cents=cents,
+    ).select("query_id", "cand_id")
+    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    pairs = (
+        F.broadcast(adc)
+        .join(vecs.withColumnRenamed("_vid", "cand_id").withColumnRenamed("_v", "c_emb"), "cand_id")
+        .join(
+            vecs.withColumnRenamed("_vid", "query_id").withColumnRenamed("_v", "q_emb"),
+            "query_id",
+        )
+    )
+    sim_col = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pairs.select("query_id", "cand_id", sim_col.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -361,3 +361,56 @@ def test_wide_dim_expression_build_cost_is_flat(spark):
     assert t_wide / t_small < 8, (
         f"expression build scales with dim again: {t_small:.3f}s -> {t_wide:.3f}s"
     )
+
+
+def test_ivf_pq_rerank_recovers_exact_topk(spark):
+    """The exact re-rank stage must recover brute-force ranking from
+    the ADC shortlist (FAISS IVFADC+refine). Planted-cluster corpus at
+    a width where plain ADC provably cannot rank within a cluster
+    (same-cluster codes tie): rerank recall@5 must be high while the
+    ADC-only top-5 stays near the ~k/cluster_size floor."""
+    import random
+
+    rng = random.Random(3)
+    dim, n, n_clusters = 128, 800, 16
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = [
+        (i, [x + rng.gauss(0.0, 0.25) for x in centers[rng.randrange(n_clusters)]])
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    qpred = (F.col("vec_id") >= 10) & (F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.cosine_topk_bruteforce(emb, query_pred=qpred, k=5).collect()
+    }
+    kwargs = dict(n_centroids=16, nprobe=4, m=8, kc=16, dim=dim,
+                  query_lo=10, query_hi=20)
+    adc = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.ivf_pq_adc_topk(emb, k=5, **kwargs).collect()
+    }
+    rer = {
+        (r["query_id"], r["cand_id"])
+        for r in sim.ivf_pq_rerank_topk(emb, shortlist=100, k=5, **kwargs).collect()
+    }
+    r_adc = len(truth & adc) / len(truth)
+    r_rer = len(truth & rer) / len(truth)
+    assert r_rer >= 0.8, (r_rer, r_adc)
+    assert r_rer > r_adc + 0.3, (r_rer, r_adc)
+
+
+def test_ivf_pq_rerank_never_shuffles_corpus_vectors(spark):
+    """The re-rank joins broadcast the tiny shortlist; no exchange may
+    carry an embedding (the family invariant test_ann_never_shuffles_
+    vectors pins for registry queries, extended to the rerank op)."""
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    df = sim.ivf_pq_rerank_topk(emb, m=4, kc=4, dim=8, shortlist=10, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "emb" not in ex and "embedding" not in ex, ex
+    assert df.count() > 0
