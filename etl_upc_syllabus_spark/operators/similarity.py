@@ -502,11 +502,21 @@ def pq_encode(
         # against a silently smaller codebook.
         raise ValueError(f"need {k} seed vectors, found {len(cents)}")
 
-    cmat = _const_matrix([list(c) for c in cents])
+    # ONE folded matrix PER SUBSPACE (kc x dsub), not one full kc x dim
+    # matrix: ConstantFolding evaluates from_json once per REFERENCE,
+    # and sub_dist references the codebook m*kc times -- against the
+    # full matrix that re-parses the whole K*dim JSON per reference
+    # (m=64, kc=32, dim=1536: 2048 parses of a 1.2 MB literal =
+    # optimizer-side OOM, measured r8). Per-subspace folding keeps
+    # each reference's parse at kc*dsub.
+    smats = [
+        _const_matrix([list(c[j * dsub : (j + 1) * dsub]) for c in cents])
+        for j in range(m)
+    ]
 
     def sub_dist(sl: Column, c: int, j: int) -> Column:
-        # slice(get(cmat, c), ...) constant-folds to the subspace literal
-        carr = F.slice(F.get(cmat, c), j * dsub + 1, dsub)
+        # get(smats[j], c) constant-folds to the subspace literal
+        carr = F.get(smats[j], c)
         return F.round(
             F.aggregate(
                 F.zip_with(
