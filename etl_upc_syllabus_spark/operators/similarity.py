@@ -636,6 +636,11 @@ def pq_adc_topk(
     )
 
 
+#: Embedding width above which plain ADC ranking is a recall trap
+#: (see ivf_pq_adc_topk's wide-dim warning).
+ADC_SAFE_DIM = 256
+
+
 def ivf_pq_adc_topk(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -650,10 +655,32 @@ def ivf_pq_adc_topk(
     k: int = 5,
     centroids: DataFrame | None = None,
     cents: list[list[float]] | None = None,
+    warn_wide_dim: bool = True,
 ) -> DataFrame:
     """IVF-PQ composed ANN search: coarse probe -> ADC rank within the
     probed inverted lists only -- the production query shape of a
     100 TB vector index (FAISS's IVFADC layout, done relationally).
+
+    **Wide-dim recall warning.** ADC distances rank CLUSTERS, not
+    neighbors within a cluster: once same-cluster candidates quantize
+    to similar codes, their ADC distances tie and the id tie-break is
+    arbitrary. At production embedding widths this collapses recall
+    however large ``m`` gets (measured, tools/ann_production_eval.py):
+
+    ========  ====  =========  ======================================
+    dim       m     recall@5   remedy
+    ========  ====  =========  ======================================
+    64 (gate) 4     0.98+      plain ADC fine (codes resolve corpus)
+    768       4-64  0.02-0.04  ivf_pq_rerank_topk, shortlist >= tie
+    1536      4-64  0.02-0.04  width (~corpus/n_centroids; m=16 +
+                               shortlist 250 measured recall 1.000)
+    ========  ====  =========  ======================================
+
+    A call at ``dim >= ADC_SAFE_DIM`` without the re-rank therefore
+    emits a RuntimeWarning pointing at :func:`ivf_pq_rerank_topk`
+    (which sets ``warn_wide_dim=False`` on its internal shortlist
+    call); results are unchanged -- the plan at any gate-checked
+    configuration is byte-identical.
 
     ``centroids`` (cid, c_emb) overrides the IVF coarse codebook and
     ``cents`` the PQ codebook -- pass spark.ml KMeans fits for the
@@ -680,6 +707,19 @@ def ivf_pq_adc_topk(
     tiebreaks, LUT rounding pushed into a Spark expression (SQL
     half-away-from-zero semantics).
     """
+    if warn_wide_dim and dim >= ADC_SAFE_DIM:
+        import warnings
+
+        warnings.warn(
+            f"ivf_pq_adc_topk at dim {dim}: plain ADC distances tie within "
+            f"clusters at production embedding widths (measured recall@5 "
+            f"0.02-0.04 at dim 768/1536 for any m) -- use ivf_pq_rerank_topk "
+            f"with shortlist >= the expected ADC tie width "
+            f"(~corpus/n_centroids; m=16 + shortlist 250 measured recall "
+            f"1.000, see tools/ann_production_eval.py).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # one bounded driver collect covers the PQ codebook (ids < kc) and
     # the query vectors (ids in [query_lo, query_hi))
     vecs = _prefix_vectors(emb, id_col, vec_col, max(kc, query_hi))
@@ -836,6 +876,7 @@ def ivf_pq_rerank_topk(
         k=shortlist,
         centroids=centroids,
         cents=cents,
+        warn_wide_dim=False,  # this IS the wide-dim remedy
     ).select("query_id", "cand_id")
     vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     pairs = (

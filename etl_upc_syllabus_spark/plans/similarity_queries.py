@@ -456,3 +456,82 @@ def similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
     return sim.ivf_pq_adc_topk(emb)
+
+
+@query(
+    "similarity_topk_ivf_pq_rerank",
+    f"""
+    WITH {fr.dims_cte()},
+    ivfc AS (SELECT vec_id AS cid, i, x AS cx FROM dims WHERE vec_id < 8),
+    ivfd AS (SELECT d.vec_id, c.cid,
+                    round(sum((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+             FROM dims d JOIN ivfc c ON c.i = d.i
+             GROUP BY d.vec_id, c.cid),
+    assigned AS (SELECT vec_id, cid AS cluster FROM (
+                   SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn FROM ivfd) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid AS cluster FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS rn
+                 FROM ivfd WHERE vec_id >= 10 AND vec_id < 20) WHERE rn <= 2),
+    pqc AS (SELECT vec_id AS cid, (i - 1) // 16 AS sub, i, x AS cx
+            FROM dims WHERE vec_id < 4),
+    sdist AS (SELECT d.vec_id, (d.i - 1) // 16 AS sub, c.cid,
+                     round(sum((d.x - c.cx) * (d.x - c.cx)), 6) AS dist
+              FROM dims d JOIN pqc c ON c.i = d.i
+              GROUP BY 1, 2, 3),
+    codes AS (SELECT vec_id, sub, cid AS code
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                                                 ORDER BY dist, cid) AS rn
+                    FROM sdist)
+              WHERE rn = 1),
+    qd AS (SELECT vec_id AS query_id, (i - 1) // 16 AS sub, i, x
+           FROM dims WHERE vec_id >= 10 AND vec_id < 20),
+    lut AS (SELECT q.query_id, q.sub, c.cid AS code,
+                   round(sum((q.x - c.cx) * (q.x - c.cx)), 6) AS d
+            FROM qd q JOIN pqc c ON c.i = q.i GROUP BY 1, 2, 3),
+    cand AS (SELECT p.query_id, a.vec_id AS cand_id
+             FROM probes p JOIN assigned a ON a.cluster = p.cluster
+             WHERE p.query_id != a.vec_id),
+    adc AS (SELECT c.query_id, c.cand_id, round(sum(l.d), 6) AS adc_dist
+            FROM cand c JOIN codes co ON co.vec_id = c.cand_id
+                        JOIN lut l ON l.query_id = c.query_id
+                                   AND l.sub = co.sub AND l.code = co.code
+            GROUP BY 1, 2),
+    shortl AS (SELECT query_id, cand_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, cand_id) AS rn FROM adc)
+               WHERE rn <= 50),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY vec_id),
+    dots AS (SELECT s.query_id, s.cand_id, sum(dq.x * dc.x) AS dot
+             FROM shortl s JOIN dims dq ON dq.vec_id = s.query_id
+                           JOIN dims dc ON dc.vec_id = s.cand_id AND dc.i = dq.i
+             GROUP BY 1, 2),
+    sims AS (SELECT query_id, cand_id, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+             FROM dots JOIN norms nq ON nq.vec_id = query_id
+                       JOIN norms nc ON nc.vec_id = cand_id),
+    ranked AS (SELECT *, CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+               FROM sims)
+    SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="IVF-PQ search with an EXACT re-rank of the ADC shortlist "
+    "(VERDICT r8 item 2, the sanctioned query 199): FAISS's "
+    "IVFADC+refine, the full production ANN query shape. Plain ADC "
+    "distances rank clusters, not neighbors-within-a-cluster -- "
+    "measured recall@5 of un-refined ADC collapses to 0.02-0.04 at "
+    "dim 768/1536 for ANY m (tools/ann_production_eval.py) -- so "
+    "deployed systems take the ADC top-shortlist (50 here, exceeding "
+    "the gate fixture's ~corpus/n_centroids tie width) and re-score "
+    "just those with exact cosine. Per query that touches `shortlist` "
+    "raw vectors instead of |corpus|; the shortlist id pairs broadcast "
+    "into the vector joins, so no exchange ever carries an embedding "
+    "(operators/similarity.py ivf_pq_rerank_topk; "
+    "tests/test_plan_invariants.py pins the no-embedding-shuffle "
+    "claim). Deterministic prefix codebooks keep both the ADC cut and "
+    "the re-rank oracle-replayable.",
+    tags=("similarity", "ann", "ivf", "pq", "rerank"),
+)
+def similarity_topk_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fan_out(load_table(spark, sf_dir, "embeddings"))
+    return sim.ivf_pq_rerank_topk(emb, shortlist=50, k=5)

@@ -62,6 +62,13 @@ SIZE_SENSITIVE = [
     # substr scan removed): text_fingerprint is listed above; the
     # chunker shares the same builder at k=120/stride=100
     "text_chunking",
+    # -- streaming stragglers on the r8 directory-capable staging
+    # (VERDICT r8 item 5): these three run through the reworked flush
+    # harness but sat outside this list and the r08 driver batch, so
+    # the staging rework had no two-SF value evidence of its own
+    "stream_anomaly_flags",
+    "stream_cdc_upsert",
+    "stream_media_decode",
     # -- size-sensitive logic (r6 item 5)
     "agg_histogram_fixed_bins",
     "agg_percentiles",
@@ -79,6 +86,7 @@ SIZE_SENSITIVE = [
     "sequence_packing",
     "similarity_ann_recall",
     "similarity_topk_ivf_pq",
+    "similarity_topk_ivf_pq_rerank",
     "similarity_topk_lsh",
     "split_train_val_test",
     "supplier_lead_time_percentiles",

@@ -190,6 +190,7 @@ SHUFFLE_BUDGETS = {
     "similarity_topk_pq_adc": 2,
     "similarity_topk_ivf": 1,
     "similarity_topk_ivf_pq": 2,  # ADC partial/final agg + rank window
+    "similarity_topk_ivf_pq_rerank": 3,  # ADC's 2 + the exact re-rank window
 }
 
 
@@ -208,6 +209,7 @@ def test_shuffle_budget(spark, sf_dir, name):
 ANN_VECTOR_NEVER_SHUFFLES = [
     "similarity_topk_ivf",
     "similarity_topk_ivf_pq",
+    "similarity_topk_ivf_pq_rerank",
     "similarity_topk_pq_adc",
     "embedding_pq_encode",
 ]

@@ -401,6 +401,39 @@ def test_ivf_pq_rerank_recovers_exact_topk(spark):
     assert r_rer > r_adc + 0.3, (r_rer, r_adc)
 
 
+def test_wide_dim_adc_warns_and_rerank_does_not(spark):
+    """Default-safe wide-dim ANN (VERDICT r8 item 4): a naive plain-ADC
+    call at production embedding widths (dim >= ADC_SAFE_DIM) must warn
+    that its top-k is tie-garbage and point at the re-rank remedy; the
+    remedy itself (ivf_pq_rerank_topk, whose internal shortlist call IS
+    that same ADC) must stay silent; and the gate configuration (dim
+    64) must stay warning-free so the frozen registry plans are
+    untouched."""
+    import warnings
+
+    import random
+
+    rng = random.Random(5)
+    dim = 768
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    kwargs = dict(n_centroids=4, nprobe=2, m=4, kc=4, dim=dim, query_lo=10, query_hi=20)
+
+    with pytest.warns(RuntimeWarning, match="ivf_pq_rerank_topk"):
+        sim.ivf_pq_adc_topk(emb, k=5, **kwargs)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        sim.ivf_pq_rerank_topk(emb, shortlist=20, k=5, **kwargs)
+
+    # gate width: no warning -- the registry query's behavior is unchanged
+    rows64 = [(i, [float(i + j) for j in range(64)]) for i in range(30)]
+    emb64 = spark.createDataFrame(rows64, "vec_id bigint, embedding array<double>")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        sim.ivf_pq_adc_topk(emb64, n_centroids=4, kc=4, dim=64, k=3)
+
+
 def test_ivf_pq_rerank_never_shuffles_corpus_vectors(spark):
     """The re-rank joins broadcast the tiny shortlist; no exchange may
     carry an embedding (the family invariant test_ann_never_shuffles_
