@@ -57,11 +57,19 @@ def audit_row(name: str, tree: str, formatted: str) -> dict[str, object]:
     # released queries) has trivially-zero counts: mark it so a reader
     # never mistakes a checkpoint-masked row for a genuinely narrow
     # plan -- the real pipeline ran eagerly at build time and its shape
-    # is documented in the query's doc string / _build_* companion
-    if len(ops) == 1 and next(iter(ops.values())) == "Scan" and "ExistingRDD" in next(
-        iter(bodies.values())
+    # is documented in the query's doc string / _build_* companion.
+    # The detection must also catch a checkpoint scan UNDER trivial
+    # Project/Filter wrappers (ADVICE r8): requiring exactly one node
+    # would label such a plan node_id with near-zero counts -- exactly
+    # the "genuinely narrow plan" misread the flag exists to prevent.
+    _TRIVIAL_OVER_SCAN = {"Scan", "Project", "Filter", "ColumnarToRow", "InputAdapter"}
+    scan_bodies = [bodies[nid] for nid, op in ops.items() if op == "Scan"]
+    if (
+        scan_bodies
+        and all("ExistingRDD" in b for b in scan_bodies)
+        and set(ops.values()) <= _TRIVIAL_OVER_SCAN
     ):
-        counted_by = "checkpointed"
+        counted_by = "checkpointed" if len(ops) == 1 else "checkpoint+trivial"
     if ops:
         shuffles = sum(
             1

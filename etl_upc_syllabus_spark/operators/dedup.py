@@ -205,8 +205,17 @@ def minhash_signatures(
     )
 
 
+#: Max oversized-bucket rows the flood-protection path will broadcast.
+#: A (band, band_hash, hub) row is ~50 bytes, so 2M rows is ~100 MB of
+#: driver + per-executor memory -- past that the "floods are few"
+#: assumption has failed and the hub join falls back to a shuffled join.
+LSH_OVERSIZED_BROADCAST_MAX = 2_000_000
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bucket_cap: int | None = None
+    signatures: DataFrame,
+    bucket_cap: int | None = None,
+    oversized_broadcast_max: int = LSH_OVERSIZED_BROADCAST_MAX,
 ) -> DataFrame:
     """Distinct id pairs (a < b) sharing at least one LSH band bucket.
 
@@ -226,6 +235,14 @@ def lsh_candidate_pairs(
     and the alternative is a quadratic shuffle that kills the job.
     Default None keeps the exact all-pairs semantics (the
     oracle-checked registry configuration; gate buckets are tiny).
+
+    ``oversized_broadcast_max`` bounds the broadcast itself: the hub
+    join assumes floods are FEW, but a corpus of many distinct flooded
+    buckets (templated boilerplate families) makes the oversized list
+    itself large, and broadcasting it would OOM the driver with no
+    diagnostic tying the failure to this knob. Past the bound the hub
+    joins fall back to shuffled joins (correctness identical -- the
+    broadcast is a pure locality hint) and a warning names the knob.
     """
     if bucket_cap is not None:
         # Bucket sizing as an AGGREGATE restricted to OVERSIZED buckets,
@@ -242,12 +259,32 @@ def lsh_candidate_pairs(
             .filter(F.col("m") > bucket_cap)
             .select(*keys, "hub")
         )
+        # bounded guard before broadcasting: count at most max+1 rows
+        # (limit keeps the probe job from scanning an unbounded
+        # aggregate output). The sizing agg re-runs in the joins below
+        # -- one extra narrow pass, cheap next to a driver OOM.
+        n_over = oversized.limit(oversized_broadcast_max + 1).count()
+        if n_over > oversized_broadcast_max:
+            import warnings
+
+            warnings.warn(
+                f"lsh_candidate_pairs: {n_over}+ distinct flooded buckets "
+                f"exceed oversized_broadcast_max="
+                f"{oversized_broadcast_max}; the 'floods are few' broadcast "
+                f"assumption failed -- falling back to shuffled hub joins "
+                f"(same pairs, one extra shuffle of signature rows).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            hub = oversized  # shuffled join: no broadcast hint
+        else:
+            hub = F.broadcast(oversized)
         star = (
-            signatures.join(F.broadcast(oversized), keys)
+            signatures.join(hub, keys)
             .filter(F.col("id") > F.col("hub"))
             .select(F.col("hub").alias("a"), F.col("id").alias("b"))
         )
-        small = signatures.join(F.broadcast(oversized), keys, "left_anti")
+        small = signatures.join(hub, keys, "left_anti")
         return lsh_candidate_pairs(small, None).union(star).distinct()
     left = signatures.select(
         F.col("id").alias("a"), F.col("band").alias("band_l"), F.col("band_hash").alias("bh_l")

@@ -74,25 +74,48 @@ def read_resilient(
     )
 
 
-def scan_corrupt_files(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
-    """Distributed corruption audit: (file, ok, error) per data file.
+def _leaf_data_files(path: str) -> list[str]:
+    """Recursive leaf-data-file lister for a lake table directory.
 
-    The driver only LISTS the directory; footer/readability probes run
-    on executors via mapInPandas (pyarrow metadata read for parquet --
-    a few KB per file -- full decode for row formats), so the audit
-    scales with the cluster, not the driver. The result is the skip
-    report a :func:`read_resilient` backfill publishes next to its
-    output.
+    A real lake table is a TREE, not a flat directory: Hive-style
+    partition subdirectories (``key=val/``), nested ``table.parquet/``
+    dirs, plus ``_SUCCESS``/checksum/hidden markers at every level.
+    The audit must probe exactly the leaf files a reader would consume
+    -- skipping ``_``/``.``-prefixed entries (directories AND files) at
+    every depth, and never probing a directory as if it were a file
+    (``open(dir)`` raises, which would report a healthy partition dir
+    as corrupt). A single file path returns itself.
     """
     import os as _os
 
+    if not _os.path.isdir(path):
+        return [path]
+    out: list[str] = []
+    for root, dirnames, filenames in _os.walk(path):
+        dirnames[:] = sorted(d for d in dirnames if not d.startswith(("_", ".")))
+        out.extend(
+            _os.path.join(root, f)
+            for f in filenames
+            if not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+def scan_corrupt_files(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Distributed corruption audit: (file, ok, error) per data file.
+
+    The driver only LISTS the tree (recursively -- partition
+    subdirectories like ``key=val/`` are audited too, matching what
+    :func:`read_resilient` actually reads); footer/readability probes
+    run on executors via mapInPandas (pyarrow metadata read for
+    parquet -- a few KB per file -- full decode for row formats), so
+    the audit scales with the cluster, not the driver. The result is
+    the skip report a :func:`read_resilient` backfill publishes next
+    to its output.
+    """
     import pandas as _pd
 
-    names = sorted(
-        _os.path.join(path, f)
-        for f in _os.listdir(path)
-        if not f.startswith(("_", "."))
-    )
+    names = _leaf_data_files(path)
     files = spark.createDataFrame([(n,) for n in names], "file string")
 
     def probe(batches):

@@ -241,6 +241,16 @@ def _staged_flush_dir(sf_dir: str) -> str:
         with open(marker, "w") as f:
             f.write("ok")
         _gc_stale_stages(os.path.dirname(stage), keep=stage)
+    else:
+        # reuse path: refresh the marker so an ACTIVELY reused stage
+        # never ages past the GC cutoff -- without this, a stage for a
+        # fixture unchanged for > _STAGE_GC_SECONDS stays the live
+        # stage yet staging any other fixture would rmtree it (worst
+        # case racing a concurrently running stream reading its files)
+        try:
+            os.utime(marker)
+        except OSError:
+            pass  # best-effort, like the GC itself
     return stage
 
 

@@ -409,3 +409,27 @@ def test_bucket_cap_bounds_flood_and_preserves_clusters(spark):
         return sorted((r["id"], r["component"]) for r in comp.collect())
 
     assert clusters(capped) == clusters(uncapped)
+
+
+def test_bucket_cap_broadcast_bound_falls_back_with_warning(spark):
+    """Many DISTINCT flooded buckets (templated boilerplate families)
+    break the 'floods are few' broadcast assumption (ADVICE r8): past
+    ``oversized_broadcast_max`` the hub join must fall back to a
+    shuffled join WITH a warning naming the knob, and the emitted pairs
+    must be identical to the broadcast path's."""
+    import pytest as _pt
+
+    flood = [(i, BASE) for i in range(40)]
+    extra = [(100, NEAR), (101, OTHER)]
+    df = spark.createDataFrame(flood + extra, "doc_id long, text string").coalesce(4)
+    sigs = dd.minhash_signatures(dd.shingle_sets(df, "doc_id", "text"))
+
+    broadcast_pairs = sorted(
+        (r["a"], r["b"]) for r in dd.lsh_candidate_pairs(sigs, bucket_cap=8).collect()
+    )
+    with _pt.warns(RuntimeWarning, match="oversized_broadcast_max"):
+        fallback = dd.lsh_candidate_pairs(
+            sigs, bucket_cap=8, oversized_broadcast_max=1
+        )
+        fallback_pairs = sorted((r["a"], r["b"]) for r in fallback.collect())
+    assert fallback_pairs == broadcast_pairs

@@ -299,3 +299,24 @@ def test_stage_gc_reclaims_only_old_completed_stages(tmp_path):
     ev._gc_stale_stages(str(root), keep=str(root / "keepme"))
     assert not old.exists()
     assert fresh.exists() and unfinished.exists()
+
+
+def test_stage_reuse_refreshes_gc_marker(tmp_path):
+    """Reusing a staged copy must touch its _READY marker (ADVICE r8):
+    a fixture unchanged for > _STAGE_GC_SECONDS is still the LIVE
+    stage, but with a stale marker any staging of another fixture
+    would rmtree it -- worst case under a concurrently running stream
+    reading those files. The reuse path re-dates the marker so an
+    actively reused stage never crosses the GC cutoff."""
+    import time
+
+    d = str(tmp_path / "fix")
+    _write_fixture(d, "micros")
+    stage = ev._staged_flush_dir(d)
+    marker = os.path.join(stage, "_READY")
+    t = time.time() - ev._STAGE_GC_SECONDS - 60
+    os.utime(marker, (t, t))
+    assert ev._staged_flush_dir(d) == stage  # same content key -> reuse
+    assert time.time() - os.path.getmtime(marker) < 3600, (
+        "reuse did not refresh the GC marker"
+    )

@@ -281,3 +281,37 @@ def test_triangle_pipeline_shuffles_only_narrow_ids(spark, sf_dir):
                 f"non-graph attribute '{attr}' crosses a wedge-pipeline "
                 f"exchange:\n{body[:400]}"
             )
+
+
+# --- checkpoint-label honesty (ADVICE r8) -----------------------------------
+
+
+def test_checkpoint_scan_under_trivial_wrapper_is_flagged():
+    """A localCheckpoint scan under a trivial Project/Filter must not
+    be labeled node_id with near-zero counts -- that is exactly the
+    'genuinely narrow plan' misread the checkpointed flag exists to
+    prevent. Bare scan -> 'checkpointed'; trivially wrapped scan ->
+    'checkpoint+trivial'; a real plan (parquet scan) stays node_id."""
+    bare = "(1) Scan ExistingRDD[id#1L, v#2]\nOutput [2]: [id#1L, v#2]\n"
+    assert audit_row("x", "", bare)["counted_by"] == "checkpointed"
+
+    wrapped = (
+        "(1) Project [id#1L]\nInput [2]: [id#1L, v#2]\n"
+        "(2) Filter (id#1L > 1)\nInput [2]: [id#1L, v#2]\n"
+        "(3) Scan ExistingRDD[id#1L, v#2]\nOutput [2]: [id#1L, v#2]\n"
+    )
+    assert audit_row("x", "", wrapped)["counted_by"] == "checkpoint+trivial"
+
+    real = (
+        "(1) Project [id#1L]\nInput [2]: [id#1L, v#2]\n"
+        "(2) Scan parquet [id#1L, v#2]\nLocation: InMemoryFileIndex\n"
+    )
+    assert audit_row("x", "", real)["counted_by"] == "node_id"
+
+    # a checkpoint scan JOINED into a bigger plan is NOT checkpoint-
+    # masked -- live operators above it must keep their real counts
+    mixed = (
+        "(1) HashAggregate [id#1L]\nInput [1]: [id#1L]\n"
+        "(2) Scan ExistingRDD[id#1L, v#2]\nOutput [2]: [id#1L, v#2]\n"
+    )
+    assert audit_row("x", "", mixed)["counted_by"] == "node_id"

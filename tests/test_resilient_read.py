@@ -68,3 +68,37 @@ def test_corruption_audit_names_exactly_the_bad_files(spark, lake_with_corruptio
         assert by_file[f]["error"], f  # the reason is published
     for f in {"part-0.parquet", "part-1.parquet", "part-2.parquet"}:
         assert by_file[f]["error"] is None
+
+
+def test_corruption_audit_walks_partition_subdirectories(spark, tmp_path):
+    """The audit must probe the TREE a reader consumes (ADVICE r8): a
+    corrupt file inside a Hive-style ``key=val/`` partition dir must be
+    reported, a healthy nested file must be probed ok, the partition
+    directory itself must never be probed-as-a-file (falsely corrupt),
+    and ``_``/``.``-prefixed markers are skipped at every depth."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "plake")
+    sub_ok = os.path.join(path, "period=2024a")
+    sub_bad = os.path.join(path, "period=2024b")
+    os.makedirs(sub_ok)
+    os.makedirs(sub_bad)
+    os.makedirs(os.path.join(path, ".hidden_dir"))
+    tbl = pa.table({"id": pa.array(range(10), pa.int64()),
+                    "v": pa.array([float(i) for i in range(10)], pa.float64())})
+    pq.write_table(tbl, os.path.join(sub_ok, "part-0.parquet"))
+    pq.write_table(tbl, os.path.join(path, ".hidden_dir", "part-x.parquet"))
+    with open(os.path.join(sub_bad, "part-0.parquet"), "wb") as f:
+        f.write(b"truncated garbage")
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write("")
+    with open(os.path.join(sub_ok, "_committed_1"), "w") as f:
+        f.write("")
+
+    report = scan_corrupt_files(spark, path).collect()
+    rel = {os.path.relpath(r["file"], path): r for r in report}
+    assert set(rel) == {"period=2024a/part-0.parquet", "period=2024b/part-0.parquet"}
+    assert rel["period=2024a/part-0.parquet"]["ok"]
+    assert not rel["period=2024b/part-0.parquet"]["ok"]
+    assert rel["period=2024b/part-0.parquet"]["error"]
