@@ -110,6 +110,92 @@ def run_cold(names: list[str], sf_dir: str) -> dict[str, float]:
     return timings
 
 
+#: a suite reading this far above its recorded floor triggers the
+#: embedded wobble-attribution probe (BASELINE.md protocol)
+WOBBLE_OUTLIER_RATIO = 1.25
+#: independent isolated invocations per probed outlier, and the max
+#: number of outliers probed (worst-ratio first; the rest are listed
+#: un-probed so the artifact still names them)
+WOBBLE_N = 3
+WOBBLE_MAX_QUERIES = 3
+
+
+def _wobble_outliers(
+    timings: dict[str, float], sf: float, sf_dir: str
+) -> dict[str, object]:
+    """Self-documenting drift attribution (VERDICT r8 item 7): any
+    query whose best-of-N exceeds its recorded floor (BENCH_FLOORS.json)
+    by >25% gets the wobble protocol embedded in the artifact -- N
+    INDEPENDENT isolated single-query bench invocations (fresh process,
+    own preflight gate), exactly what tools/wobble.py runs by hand. A
+    best-of-N floor that reproduces the record attributes the suite
+    reading to host noise inside the artifact itself; a floor stuck
+    above the record implicates a commit. Disabled with
+    SPARK_GRAFT_BENCH_WOBBLE=0; never runs in single-query child
+    invocations (SPARK_GRAFT_BENCH_QUERIES set) or off the floors' SF.
+    """
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_BENCH_WOBBLE") == "0":
+        return {}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(repo, "BENCH_FLOORS.json"), encoding="utf-8") as fh:
+            rec = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    if rec.get("sf") != sf:
+        return {}
+    floors = rec.get("floors", {})
+    outliers = sorted(
+        (
+            (name, t / floors[name])
+            for name, t in timings.items()
+            if name in floors and floors[name] > 0 and t > WOBBLE_OUTLIER_RATIO * floors[name]
+        ),
+        key=lambda kv: -kv[1],
+    )
+    if not outliers:
+        return {}
+    result: dict[str, object] = {}
+    for name, ratio in outliers[WOBBLE_MAX_QUERIES:]:
+        result[name] = {"recorded_floor": floors[name], "ratio": round(ratio, 2),
+                        "probed": False}
+    for name, ratio in outliers[:WOBBLE_MAX_QUERIES]:
+        probe_floors: list[float] = []
+        preflight: list[list[float]] = []
+        for _ in range(WOBBLE_N):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_SF_DIR=sf_dir,
+                SPARK_GRAFT_BENCH_QUERIES=name,
+                SPARK_GRAFT_BENCH_MAX_WAIT=os.environ.get(
+                    "SPARK_GRAFT_BENCH_WOBBLE_MAX_WAIT", "60"
+                ),
+                SPARK_GRAFT_BENCH_COLD="",
+            )
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(repo, "bench.py")],
+                    env=env, cwd=repo, capture_output=True, text=True,
+                    timeout=600, check=True,
+                )
+                payload = json.loads(out.stdout.strip().splitlines()[-1])
+                probe_floors.append(payload["queries"][name])
+                preflight.append(payload["loadavg_preflight"])
+            except Exception:  # noqa: BLE001 -- attribution is best-effort
+                continue
+        result[name] = {
+            "recorded_floor": floors[name],
+            "ratio": round(ratio, 2),
+            "probed": True,
+            "floors": probe_floors,
+            "best": min(probe_floors) if probe_floors else None,
+            "preflight": preflight,
+        }
+    return result
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -175,6 +261,7 @@ def main() -> None:
     # take-the-last-line consumer. With the JVM down, the JSON line is
     # guaranteed to be the final stdout write.
     spark.stop()
+    wobble = {} if override else _wobble_outliers(timings, sf, sf_dir)
     print(
         json.dumps(
             {
@@ -190,6 +277,7 @@ def main() -> None:
                 "contended": contended,
                 "runs_per_query": n_runs,
                 "sf": sf,
+                **({"wobble_floors": wobble} if wobble else {}),
             }
         )
     )
