@@ -261,6 +261,14 @@ def main() -> None:
     # take-the-last-line consumer. With the JVM down, the JSON line is
     # guaranteed to be the final stdout write.
     spark.stop()
+    # cold suite alongside warm (VERDICT r8 item 3): both modes are
+    # first-class in the official artifact, not just in BASELINE.md
+    # prose. Fresh JVM per query -- adds minutes, so single-query
+    # child invocations and SPARK_GRAFT_BENCH_WITH_COLD=0 skip it.
+    with_cold = (
+        not override and os.environ.get("SPARK_GRAFT_BENCH_WITH_COLD", "1") != "0"
+    )
+    cold_timings = run_cold(names, sf_dir) if with_cold else {}
     wobble = {} if override else _wobble_outliers(timings, sf, sf_dir)
     print(
         json.dumps(
@@ -277,6 +285,14 @@ def main() -> None:
                 "contended": contended,
                 "runs_per_query": n_runs,
                 "sf": sf,
+                **(
+                    {
+                        "cold_value": round(sum(cold_timings.values()), 3),
+                        "cold_queries": cold_timings,
+                    }
+                    if cold_timings
+                    else {}
+                ),
                 **({"wobble_floors": wobble} if wobble else {}),
             }
         )
