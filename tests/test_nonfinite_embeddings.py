@@ -1,0 +1,74 @@
+"""Non-finite embedding posture (r9 probe, tools/nan_probe.py).
+
+Two hostile element classes the r8 sweeps never injected:
+
+- **NaN / +-Infinity elements** (fp16 overflow at export, broken
+  normalizers): measured 11/11 value-parity across engines on the full
+  embedding-reading registry family -- both Spark and DuckDB order NaN
+  greater than every double and agree on round(NaN)/round(inf), so
+  rankings and hashes match. Pinned here on a representative subset.
+- **NULL elements inside a non-NULL vector** (parquet allows them;
+  pandas->Arrow conversion PRODUCES them silently from NaN): measured
+  divergence -- Spark's zip_with/aggregate null-propagates the whole
+  dot product while SQL SUM skips NULLs -- and a driver-side TypeError
+  in the PQ family's codebook collect. This is DOCUMENTED undefined
+  behavior (the engine contract is finite-or-NULL vectors, not
+  element-null); the crash posture is pinned so the r10 fix (extend
+  the NULL-vector contract to element level, post-rotation per the
+  registry freeze) changes this test deliberately, not silently.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from nan_probe import build_nonfinite_fixture  # noqa: E402
+
+from etl_upc_syllabus_spark.plans import all_specs
+
+from .oracle_harness import compare, duckdb_run
+
+NAN_SUBSET = [
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_pq_rerank",
+    "embedding_outlier_detection",
+]
+
+
+@pytest.fixture(scope="module")
+def nan_fixture(spark, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("nanfix"))
+    build_nonfinite_fixture(spark, "/root/testdata/sf0.001", dest, mode="nan")
+    return dest
+
+
+@pytest.fixture(scope="module")
+def elemnull_fixture(spark, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("elemnullfix"))
+    build_nonfinite_fixture(spark, "/root/testdata/sf0.001", dest, mode="elemnull")
+    return dest
+
+
+@pytest.mark.parametrize("name", NAN_SUBSET)
+def test_nan_inf_embeddings_keep_oracle_parity(spark, nan_fixture, name):
+    spec = all_specs()[name]
+    sdf = spec.fn(spark, nan_fixture)
+    odf = duckdb_run(spec.oracle, nan_fixture)
+    compare(sdf, odf, f"{name}@nan")
+
+
+def test_element_null_vectors_are_documented_ub(spark, elemnull_fixture):
+    """Posture pin, not an endorsement: a vector with NULL ELEMENTS is
+    outside the engine contract today. The PQ family's driver-side
+    codebook collect raises TypeError on it (loud, not silent-wrong).
+    When the element-level NULL contract lands (r10+), this pin flips
+    to a parity assertion on purpose."""
+    spec = all_specs()["embedding_pq_encode"]
+    with pytest.raises(TypeError):
+        spec.fn(spark, elemnull_fixture).collect()

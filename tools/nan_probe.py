@@ -1,0 +1,175 @@
+"""Non-finite-embedding probe: NaN / +-Infinity through the ANN family.
+
+The r8 degenerate sweeps covered zero-row, NULL-payload, and tiny
+corpora -- but never NON-FINITE floats, which real embedding pipelines
+do produce (fp16 overflow at export, 0/0 in a broken normalizer).
+NaN is hostile in a way NULL is not: it is a VALUE, so NULL guards do
+not catch it, it poisons every arithmetic expression it touches, and
+the two engines' orderings only agree by convention (both Spark and
+DuckDB sort NaN greater than every other double -- a convention this
+probe verifies rather than assumes).
+
+Builds a fixture from --src (default sf0.001) where the embeddings
+table carries, at ids chosen to hit every role in the prefix-seed
+convention (codebook member, query, corpus candidate):
+
+- one vector with a single NaN element,
+- one all-NaN vector,
+- one vector with a +Infinity element,
+- one with -Infinity,
+
+then runs every embedding-reading registry query against its DuckDB
+oracle with the test-grade compare. Output: one JSON line
+{"total": N, "ok": N, "diverged": {...}, "errored": {...}}.
+
+A divergence here is NOT automatically a bug to fix -- the engine's
+documented contract (OPERATORS.md / similarity.py) is that embeddings
+are finite; the probe's job is to turn "undefined behavior" into a
+MEASURED posture (identical garbage, divergent garbage, or crash) so
+the contract line in the docs is evidence, not hope.
+
+Usage: python tools/nan_probe.py [--src SF_DIR] [--only NAME,..]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import tempfile
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from etl_upc_syllabus_spark.plans import all_specs
+from etl_upc_syllabus_spark.session import get_spark
+from etl_upc_syllabus_spark.sources.tables import TABLES, load_table
+
+#: ids mutated, chosen against the prefix-seed conventions: 2 sits in
+#: every prefix codebook (kc>=4) AND the PQ/IVF seed range; 12 is a
+#: query under every query_pred in use ([10,20) / <10 / <50); 30 is a
+#: plain corpus candidate; 31 carries the second non-finite class.
+MUTATIONS = {
+    2: ("one_nan", lambda v: [float("nan")] + v[1:]),
+    12: ("all_nan", lambda v: [float("nan")] * len(v)),
+    30: ("pos_inf", lambda v: [float("inf")] + v[1:]),
+    31: ("neg_inf", lambda v: [float("-inf")] + v[1:]),
+}
+
+
+def build_nonfinite_fixture(
+    spark, src_sf_dir: str, dest_dir: str, mode: str = "nan"
+) -> None:
+    """Copy every fixture file; inject hostile elements into
+    embeddings. Single-FILE parquet via pyarrow (not a Spark directory
+    write): the DuckDB oracle side reads ``{table}.parquet`` as one
+    file, exactly like the real fixtures.
+
+    The embedding column is rebuilt as an EXPLICIT pyarrow array of
+    the source element type -- a pandas round-trip silently coerces
+    NaN to element-NULL at Table.from_pandas (discovered by this
+    probe's first run), which is mode "elemnull", a distinct hostile
+    class parquet genuinely allows: a non-NULL vector with NULL
+    elements.
+    """
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(dest_dir):
+        shutil.rmtree(dest_dir)  # stale dir-layout leftovers break copyfile
+    os.makedirs(dest_dir)
+    for name in TABLES:
+        src = os.path.join(src_sf_dir, f"{name}.parquet")
+        dst = os.path.join(dest_dir, f"{name}.parquet")
+        if name != "embeddings":
+            shutil.copyfile(src, dst)
+            continue
+        tbl = pq.read_table(src)
+        emb_idx = tbl.schema.get_field_index("embedding")
+        emb_type = tbl.schema.field(emb_idx).type
+        ids = tbl.column("vec_id").to_pylist()
+        vecs = tbl.column("embedding").to_pylist()
+        out = []
+        for vid, vec in zip(ids, vecs):
+            mut = MUTATIONS.get(vid)
+            if mut is not None:
+                vec = mut[1]([float(x) for x in vec])
+                if mode == "elemnull":
+                    vec = [None if (x is not None and not math.isfinite(x)) else x
+                           for x in vec]
+            out.append(vec)
+        new_col = pa.array(out, type=emb_type)
+        pq.write_table(tbl.set_column(emb_idx, "embedding", new_col), dst)
+
+
+def embedding_query_names(specs) -> list[str]:
+    return sorted(
+        n
+        for n, s in specs.items()
+        if ("similarity" in s.tags or "embedding" in n or n == "dedup_embedding_cosine")
+        and s.oracle is not None
+    )
+
+
+def main(argv: list[str]) -> int:
+    src = "/root/testdata/sf0.001"
+    only = None
+    mode = "nan"
+    args = list(argv)
+    while args:
+        a = args.pop(0)
+        if a == "--src":
+            src = args.pop(0)
+        elif a == "--only":
+            only = set(args.pop(0).split(","))
+        elif a == "--mode":
+            mode = args.pop(0)
+            assert mode in ("nan", "elemnull"), mode
+        else:
+            sys.exit(f"unknown arg {a!r}")
+
+    from tests.oracle_harness import compare, duckdb_run
+
+    spark = get_spark("nan-probe")
+    specs = all_specs()
+    names = embedding_query_names(specs)
+    if only:
+        names = [n for n in names if n in only]
+
+    dest = os.path.join(tempfile.gettempdir(), "etl_upc_nanprobe")
+    build_nonfinite_fixture(spark, src, dest, mode=mode)
+
+    ok, diverged, errored = [], {}, {}
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = specs[name].fn(spark, dest)
+            odf = duckdb_run(specs[name].oracle, dest)
+            compare(sdf, odf, name)
+            ok.append(name)
+        except AssertionError as exc:
+            diverged[name] = str(exc)[:300]
+        except Exception as exc:  # noqa: BLE001 -- survey, not assert
+            errored[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
+        print(f"  {name}: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "mode": mode,
+                "total": len(names),
+                "ok": len(ok),
+                "diverged": diverged,
+                "errored": errored,
+            }
+        )
+    )
+    return 0 if len(ok) == len(names) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
