@@ -186,3 +186,43 @@ def test_fingerprint_scales_linearly_in_doc_length(spark):
         f"({t_short:.3f}s -> {t_long:.3f}s): super-linear growth means "
         "per-position substr scans are back in the shingle build"
     )
+
+
+# --- wobble-outlier selection (r9: embedded drift attribution) --------------
+
+
+def test_wobble_outlier_selection(tmp_path, monkeypatch):
+    """The embedded wobble probe must fire only for genuine outliers
+    (>1.25x the recorded floor, floors-SF match, not disabled), list
+    beyond-cap outliers un-probed, and stay silent otherwise. Probing
+    itself spawns subprocesses, so selection is tested with the probe
+    cap at 0 -- every selected outlier lands in the un-probed listing."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    floors = {"sf": 0.1, "floors": {"q_a": 1.0, "q_b": 1.0, "q_c": 1.0}}
+    repo = os.path.dirname(os.path.abspath(bench.__file__))
+    real_floors = os.path.join(repo, "BENCH_FLOORS.json")
+    backup = json.load(open(real_floors))
+    try:
+        json.dump(floors, open(real_floors, "w"))
+        monkeypatch.setattr(bench, "WOBBLE_MAX_QUERIES", 0)
+
+        # below threshold: no outliers
+        assert bench._wobble_outliers({"q_a": 1.2, "q_b": 0.9}, 0.1, "x") == {}
+        # SF mismatch: never fires
+        assert bench._wobble_outliers({"q_a": 9.0}, 0.001, "x") == {}
+        # disabled: never fires
+        monkeypatch.setenv("SPARK_GRAFT_BENCH_WOBBLE", "0")
+        assert bench._wobble_outliers({"q_a": 9.0}, 0.1, "x") == {}
+        monkeypatch.delenv("SPARK_GRAFT_BENCH_WOBBLE")
+        # genuine outliers: listed with floor + ratio (un-probed at cap 0),
+        # non-outliers and unknown queries excluded
+        out = bench._wobble_outliers(
+            {"q_a": 2.0, "q_b": 1.2, "q_c": 1.3, "q_unknown": 50.0}, 0.1, "x"
+        )
+        assert set(out) == {"q_a", "q_c"}
+        assert out["q_a"] == {"recorded_floor": 1.0, "ratio": 2.0, "probed": False}
+    finally:
+        json.dump(backup, open(real_floors, "w"), indent=1)
