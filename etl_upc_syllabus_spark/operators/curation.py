@@ -227,3 +227,58 @@ def fuzzy_match_pairs(
         )
         .filter(F.col("lev") <= max_dist)
     )
+
+
+def quarantine_nonfinite(
+    df: DataFrame, cols: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows whose float columns carry NaN / +-Infinity from the
+    clean stream -> (clean, quarantined-with-reason).
+
+    The r9 non-finite probe (tools/nan_probe.py --mode events) measured
+    what poisoned scalars do downstream: DuckDB refuses NaN->DECIMAL /
+    NaN->BIGINT casts loudly, Spark's non-ANSI cast silently NULLs the
+    same value inside aggregate sums, a stateful stream dies mid-batch
+    on the ANSI path, and pandas-seam ranks diverge silently -- so the
+    only sane contract is the one every other quarantine in this repo
+    enforces: split at INGESTION, publish what was split, keep the hot
+    path finite (same posture as the malformed-CSV quarantine and
+    try_cast gates; reference etl_pipeline.py:231-239 quarantines
+    unparseable rows the same way).
+
+    Default ``cols``: every top-level float/double column. The filter
+    is a codegen'd boolean per column (isnan + +-Infinity literal
+    compare -- NULL stays CLEAN: absent is a legal value, poisoned is
+    not), so the split runs at scan speed with no shuffle; at 100 TB
+    the quarantined side is written next to the output as the skip
+    report, exactly like scan_corrupt_files' audit.
+    """
+    from pyspark.sql import types as T
+
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+        ]
+    if not cols:
+        return df, df.limit(0).withColumn("quarantine_reason", F.lit(""))
+    inf = float("inf")
+
+    def bad(c: str) -> Column:
+        x = F.col(c)
+        return x.isNotNull() & (F.isnan(x) | (x == inf) | (x == -inf))
+
+    any_bad = None
+    for c in cols:
+        b = bad(c)
+        any_bad = b if any_bad is None else (any_bad | b)
+    # per-column culprit names, nulls compacted away (array_compact) --
+    # a plain F.array() literal would be VOID-typed (the r8 gotcha)
+    reason = F.array_compact(F.array(*[F.when(bad(c), F.lit(c)) for c in cols]))
+    clean = df.filter(~any_bad)
+    quarantined = df.filter(any_bad).withColumn(
+        "quarantine_reason",
+        F.concat(F.lit("nonfinite:"), F.array_join(reason, ",")),
+    )
+    return clean, quarantined

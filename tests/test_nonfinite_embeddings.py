@@ -72,3 +72,30 @@ def test_element_null_vectors_are_documented_ub(spark, elemnull_fixture):
     spec = all_specs()["embedding_pq_encode"]
     with pytest.raises(TypeError):
         spec.fn(spark, elemnull_fixture).collect()
+
+
+def test_quarantine_nonfinite_splits_and_names_culprits(spark):
+    """The ingestion guard the events probe motivates: non-finite
+    scalars split from the clean stream with per-column culprit names;
+    NULL stays clean (absent is legal, poisoned is not); downstream
+    decimal aggregation of the CLEAN side then agrees across engines
+    by construction."""
+    from etl_upc_syllabus_spark.operators.curation import quarantine_nonfinite
+
+    rows = [
+        (1, 1.0, 2.0),
+        (2, float("nan"), 2.0),
+        (3, 1.0, float("inf")),
+        (4, float("-inf"), float("nan")),
+        (5, None, 2.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double")
+    clean, quar = quarantine_nonfinite(df)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 5]
+    got = {r["id"]: r["quarantine_reason"] for r in quar.collect()}
+    assert got == {2: "nonfinite:a", 3: "nonfinite:b", 4: "nonfinite:a,b"}
+
+    # no float columns: everything is clean, empty quarantine
+    ints = spark.createDataFrame([(1,)], "id long")
+    c2, q2 = quarantine_nonfinite(ints)
+    assert c2.count() == 1 and q2.count() == 0

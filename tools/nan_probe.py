@@ -58,6 +58,15 @@ MUTATIONS = {
     31: ("neg_inf", lambda v: [float("-inf")] + v[1:]),
 }
 
+#: event_ids whose scalar ``value`` goes non-finite in --table events
+#: (spread across users/types so windows, sessions, and funnels all
+#: see one).
+EVENT_MUTATIONS = {
+    5: float("nan"),
+    17: float("inf"),
+    29: float("-inf"),
+}
+
 
 def build_nonfinite_fixture(
     spark, src_sf_dir: str, dest_dir: str, mode: str = "nan"
@@ -82,11 +91,21 @@ def build_nonfinite_fixture(
     if os.path.isdir(dest_dir):
         shutil.rmtree(dest_dir)  # stale dir-layout leftovers break copyfile
     os.makedirs(dest_dir)
+    target = "events" if mode == "events" else "embeddings"
     for name in TABLES:
         src = os.path.join(src_sf_dir, f"{name}.parquet")
         dst = os.path.join(dest_dir, f"{name}.parquet")
-        if name != "embeddings":
+        if name != target:
             shutil.copyfile(src, dst)
+            continue
+        if name == "events":
+            tbl = pq.read_table(src)
+            v_idx = tbl.schema.get_field_index("value")
+            ids = tbl.column("event_id").to_pylist()
+            vals = tbl.column("value").to_pylist()
+            new = [EVENT_MUTATIONS.get(i, v) for i, v in zip(ids, vals)]
+            col = pa.array(new, type=tbl.schema.field(v_idx).type)
+            pq.write_table(tbl.set_column(v_idx, "value", col), dst)
             continue
         tbl = pq.read_table(src)
         emb_idx = tbl.schema.get_field_index("embedding")
@@ -115,6 +134,18 @@ def embedding_query_names(specs) -> list[str]:
     )
 
 
+def events_query_names(specs) -> list[str]:
+    """Oracle queries whose SQL reads the events table (the scalar
+    ``value`` column is the only other float surface in the fixtures)."""
+    import re as _re
+
+    return sorted(
+        n
+        for n, s in specs.items()
+        if s.oracle is not None and _re.search(r"\bevents\b", s.oracle)
+    )
+
+
 def main(argv: list[str]) -> int:
     src = "/root/testdata/sf0.001"
     only = None
@@ -128,7 +159,7 @@ def main(argv: list[str]) -> int:
             only = set(args.pop(0).split(","))
         elif a == "--mode":
             mode = args.pop(0)
-            assert mode in ("nan", "elemnull"), mode
+            assert mode in ("nan", "elemnull", "events"), mode
         else:
             sys.exit(f"unknown arg {a!r}")
 
@@ -136,7 +167,7 @@ def main(argv: list[str]) -> int:
 
     spark = get_spark("nan-probe")
     specs = all_specs()
-    names = embedding_query_names(specs)
+    names = events_query_names(specs) if mode == "events" else embedding_query_names(specs)
     if only:
         names = [n for n in names if n in only]
 
