@@ -28,7 +28,19 @@ are finite; the probe's job is to turn "undefined behavior" into a
 MEASURED posture (identical garbage, divergent garbage, or crash) so
 the contract line in the docs is evidence, not hope.
 
-Usage: python tools/nan_probe.py [--src SF_DIR] [--only NAME,..]
+Three modes (--mode):
+
+- ``nan`` (default): true NaN / +-Infinity elements in embeddings --
+  measured 11/11 cross-engine parity (r9);
+- ``elemnull``: NULL elements inside non-NULL vectors -- measured
+  loud-crash (PQ family) / divergent (dot products) UB, pinned in
+  tests/test_nonfinite_embeddings.py;
+- ``events``: NaN / +-Inf in the scalar ``events.value`` -- 31/38
+  parity, 7 measured postures (BASELINE.md r9 section); the
+  consequence operator is curation.quarantine_nonfinite.
+
+Usage: python tools/nan_probe.py [--mode nan|elemnull|events]
+                                 [--src SF_DIR] [--only NAME,..]
 """
 
 from __future__ import annotations
