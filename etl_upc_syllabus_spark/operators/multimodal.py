@@ -510,3 +510,74 @@ def audio_fingerprint(media: DataFrame, frame: int = 8) -> DataFrame:
 
     audio = media.filter(F.col("media_type") == "audio").select("doc_id", "payload")
     return audio.mapInPandas(fp_batches, schema=AUDIO_FP_SCHEMA)
+
+
+DECODABLE_SCHEMA = "doc_id bigint, media_type string, decodable boolean, error string"
+
+
+def probe_decodable(media: DataFrame) -> DataFrame:
+    """Per-payload decodability audit: (doc_id, media_type, decodable,
+    error) via the REAL decoders -- the media analog of
+    sources.formats.scan_corrupt_files (and of curation.
+    quarantine_nonfinite): corruption is audited and PUBLISHED, never
+    silently skipped.
+
+    Exists because the per-frame decode stages (sample_frames,
+    resize_thumbnails, perceptual_ahash, ...) intentionally have no
+    error branch -- their outputs are per-frame/per-thumb rows where a
+    degraded placeholder would be indistinguishable from real pixels
+    (the same silent-wrongness extract_media_metadata's length-derived
+    fallback avoids by construction, documented there). So ONE corrupt
+    object in a 100 TB decode job kills the stage (measured posture,
+    pinned in tests). The production composition is
+    probe -> :func:`filter_decodable` -> decode stage. The probe is a
+    full decode pass -- headers-only would be cheaper but cannot catch
+    mid-stream corruption (truncated LZW, bad IDAT), the same trade
+    scan_corrupt_files documents for row formats.
+    """
+
+    def probe_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            oks, errs = [], []
+            for mt, payload in zip(pdf["media_type"], pdf["payload"]):
+                try:
+                    _DECODERS[mt](bytes(payload))
+                    oks.append(True)
+                    errs.append(None)
+                except (
+                    NotImplementedError,
+                    MediaFormatError,
+                    struct.error,
+                    zlib.error,
+                    KeyError,
+                    IndexError,
+                ) as e:
+                    oks.append(False)
+                    errs.append(f"{type(e).__name__}: {str(e)[:120]}")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "decodable": oks,
+                    "error": errs,
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        probe_batches, schema=DECODABLE_SCHEMA
+    )
+
+
+def filter_decodable(media: DataFrame) -> DataFrame:
+    """Media rows whose payload the real decoder accepts -- the
+    pre-decode gate that keeps one corrupt object from killing a
+    100 TB frame-sample/resize job.
+
+    Plan shape matters here: the UNDECODABLE id list is small by
+    nature (corruption is the exception), so it broadcasts into a
+    left_anti join -- payloads never cross an exchange. A semi-join on
+    the full probe output would shuffle every payload byte; the anti
+    side is the one that is bounded.
+    """
+    bad = probe_decodable(media).filter(~F.col("decodable")).select("doc_id")
+    return media.join(F.broadcast(bad), "doc_id", "left_anti")
