@@ -99,3 +99,31 @@ def test_quarantine_nonfinite_splits_and_names_culprits(spark):
     ints = spark.createDataFrame([(1,)], "id long")
     c2, q2 = quarantine_nonfinite(ints)
     assert c2.count() == 1 and q2.count() == 0
+
+
+EVENTS_NAN_SUBSET = [
+    "events_hourly_profile",
+    "events_funnel_conversion",
+    "window_lag_delta",
+    "events_debounce",
+]
+
+
+@pytest.fixture(scope="module")
+def events_nan_fixture(spark, tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("evnanfix"))
+    build_nonfinite_fixture(spark, "/root/testdata/sf0.001", dest, mode="events")
+    return dest
+
+
+@pytest.mark.parametrize("name", EVENTS_NAN_SUBSET)
+def test_nonfinite_event_values_keep_oracle_parity(spark, events_nan_fixture, name):
+    """The 31-green leg of the events probe, pinned on a subset: NaN /
+    +-Inf event values flow through windows, funnels, debounce, and
+    hourly profiles identically in both engines (the 7 measured
+    exceptions -- poisoned DECIMAL/BIGINT casts and pandas rank -- are
+    documented UB in BASELINE.md, guarded by quarantine_nonfinite)."""
+    spec = all_specs()[name]
+    sdf = spec.fn(spark, events_nan_fixture)
+    odf = duckdb_run(spec.oracle, events_nan_fixture)
+    compare(sdf, odf, f"{name}@events-nan")
