@@ -24,6 +24,7 @@ import os
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
@@ -127,3 +128,51 @@ def test_nonfinite_event_values_keep_oracle_parity(spark, events_nan_fixture, na
     sdf = spec.fn(spark, events_nan_fixture)
     odf = duckdb_run(spec.oracle, events_nan_fixture)
     compare(sdf, odf, f"{name}@events-nan")
+
+
+def test_quarantine_gate_keeps_stateful_stream_alive(spark, events_nan_fixture):
+    """The probe's worst measured posture, then the guard fixing it:
+    a single poisoned event value kills the stateful
+    applyInPandasWithState stream mid-batch (loud, but in production
+    that is an outage); the same stream behind quarantine_nonfinite
+    completes and its totals equal the batch groupBy over the clean
+    rows -- the documented pre-aggregation composition."""
+    from etl_upc_syllabus_spark.operators.curation import quarantine_nonfinite
+    from etl_upc_syllabus_spark.sources.tables import load_table
+    from etl_upc_syllabus_spark.streaming import stateful as st
+    from etl_upc_syllabus_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    # posture: ungated stream dies on the poisoned micro-batch
+    with pytest.raises(Exception):
+        st.stream_user_totals(spark, events_nan_fixture).collect()
+
+    # guard: gate the stream, run to completion
+    stream = read_events_stream(spark, events_nan_fixture)
+    clean, _ = quarantine_nonfinite(stream, cols=["value"])
+    out = run_stream_to_table(st.running_user_totals(clean), "update")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_cents").alias("total_cents"),
+        )
+        .collect()
+    }
+
+    # oracle: batch groupBy over the same gated rows
+    batch = load_table(spark, events_nan_fixture, "events")
+    bclean, _ = quarantine_nonfinite(batch, cols=["value"])
+    want = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in bclean.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and got
