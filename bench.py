@@ -139,8 +139,12 @@ def _wobble_outliers(
     if os.environ.get("SPARK_GRAFT_BENCH_WOBBLE") == "0":
         return {}
     repo = os.path.dirname(os.path.abspath(__file__))
+    # overridable so tests never mutate the committed floors artifact
+    floors_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FLOORS", os.path.join(repo, "BENCH_FLOORS.json")
+    )
     try:
-        with open(os.path.join(repo, "BENCH_FLOORS.json"), encoding="utf-8") as fh:
+        with open(floors_path, encoding="utf-8") as fh:
             rec = json.load(fh)
     except (OSError, ValueError):
         return {}

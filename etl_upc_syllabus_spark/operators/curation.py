@@ -262,7 +262,13 @@ def quarantine_nonfinite(
             if isinstance(f.dataType, (T.DoubleType, T.FloatType))
         ]
     if not cols:
-        return df, df.limit(0).withColumn("quarantine_reason", F.lit(""))
+        # filter(False), not limit(0): the operator is stream-facing
+        # (the stateful-stream gate composition) and Limit is not
+        # supported on streaming Datasets -- an empty-split no-op must
+        # stay startable as a stream on both sides
+        return df, df.filter(F.lit(False)).withColumn(
+            "quarantine_reason", F.lit("")
+        )
     inf = float("inf")
 
     def bad(c: str) -> Column:

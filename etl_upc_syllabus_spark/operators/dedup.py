@@ -262,8 +262,17 @@ def lsh_candidate_pairs(
         # bounded guard before broadcasting: count at most max+1 rows
         # (limit keeps the probe job from scanning an unbounded
         # aggregate output). The sizing agg re-runs in the joins below
-        # -- one extra narrow pass, cheap next to a driver OOM.
-        n_over = oversized.limit(oversized_broadcast_max + 1).count()
+        # -- one extra narrow pass, cheap next to a driver OOM. NOTE:
+        # this makes the capped path EAGER at plan-construction time
+        # (one Spark job before any action) -- acceptable for the
+        # batch dedup pipelines that use bucket_cap; a streaming input
+        # cannot be counted, so it keeps the unguarded broadcast
+        # (previous behavior) rather than crashing here.
+        n_over = (
+            0
+            if signatures.isStreaming
+            else oversized.limit(oversized_broadcast_max + 1).count()
+        )
         if n_over > oversized_broadcast_max:
             import warnings
 

@@ -540,6 +540,14 @@ def probe_decodable(media: DataFrame) -> DataFrame:
         for pdf in batches:
             oks, errs = [], []
             for mt, payload in zip(pdf["media_type"], pdf["payload"]):
+                if payload is None:
+                    # a NULL payload is undecodable BY the probe, not a
+                    # probe crash: bytes(None) raises TypeError, which
+                    # must not kill the very stage that exists to stop
+                    # one bad object from killing stages
+                    oks.append(False)
+                    errs.append("null payload")
+                    continue
                 try:
                     _DECODERS[mt](bytes(payload))
                     oks.append(True)
@@ -568,7 +576,17 @@ def probe_decodable(media: DataFrame) -> DataFrame:
     )
 
 
-def filter_decodable(media: DataFrame) -> DataFrame:
+#: Max undecodable ids filter_decodable will broadcast; past it the
+#: "corruption is rare" assumption has failed (wrong-format bucket,
+#: mass truncation) and the anti join falls back to a shuffled join
+#: rather than OOM the driver -- the same bound-and-fall-back contract
+#: as dedup.LSH_OVERSIZED_BROADCAST_MAX.
+BAD_IDS_BROADCAST_MAX = 10_000_000
+
+
+def filter_decodable(
+    media: DataFrame, bad_broadcast_max: int = BAD_IDS_BROADCAST_MAX
+) -> DataFrame:
     """Media rows whose payload the real decoder accepts -- the
     pre-decode gate that keeps one corrupt object from killing a
     100 TB frame-sample/resize job.
@@ -577,7 +595,31 @@ def filter_decodable(media: DataFrame) -> DataFrame:
     nature (corruption is the exception), so it broadcasts into a
     left_anti join -- payloads never cross an exchange. A semi-join on
     the full probe output would shuffle every payload byte; the anti
-    side is the one that is bounded.
+    side is the one that is bounded. The bad id list is
+    localCheckpoint-materialized first (EAGER: the probe decode pass
+    runs here, once) so the size guard and the join reuse one pass
+    instead of decoding the corpus twice; mass-corruption inputs past
+    ``bad_broadcast_max`` fall back to a shuffled anti join with a
+    warning (payloads then do shuffle -- survival beats locality when
+    most of the corpus is bad anyway).
     """
-    bad = probe_decodable(media).filter(~F.col("decodable")).select("doc_id")
+    bad = (
+        probe_decodable(media)
+        .filter(~F.col("decodable"))
+        .select("doc_id")
+        .localCheckpoint()
+    )
+    n_bad = bad.limit(bad_broadcast_max + 1).count()
+    if n_bad > bad_broadcast_max:
+        import warnings
+
+        warnings.warn(
+            f"filter_decodable: {n_bad}+ undecodable payloads exceed "
+            f"bad_broadcast_max={bad_broadcast_max}; mass corruption -- "
+            f"falling back to a shuffled anti join (payloads will cross "
+            f"an exchange). Audit the source with probe_decodable.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return media.join(bad, "doc_id", "left_anti")
     return media.join(F.broadcast(bad), "doc_id", "left_anti")

@@ -202,27 +202,26 @@ def test_wobble_outlier_selection(tmp_path, monkeypatch):
     bench = importlib.import_module("bench")
 
     floors = {"sf": 0.1, "floors": {"q_a": 1.0, "q_b": 1.0, "q_c": 1.0}}
-    repo = os.path.dirname(os.path.abspath(bench.__file__))
-    real_floors = os.path.join(repo, "BENCH_FLOORS.json")
-    backup = json.load(open(real_floors))
-    try:
-        json.dump(floors, open(real_floors, "w"))
-        monkeypatch.setattr(bench, "WOBBLE_MAX_QUERIES", 0)
+    # a TMP floors file via SPARK_GRAFT_BENCH_FLOORS -- the committed
+    # BENCH_FLOORS.json artifact must never be mutated by a test (a
+    # crash mid-test would permanently clobber it with fake floors)
+    floors_file = str(tmp_path / "floors.json")
+    json.dump(floors, open(floors_file, "w"))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FLOORS", floors_file)
+    monkeypatch.setattr(bench, "WOBBLE_MAX_QUERIES", 0)
 
-        # below threshold: no outliers
-        assert bench._wobble_outliers({"q_a": 1.2, "q_b": 0.9}, 0.1, "x") == {}
-        # SF mismatch: never fires
-        assert bench._wobble_outliers({"q_a": 9.0}, 0.001, "x") == {}
-        # disabled: never fires
-        monkeypatch.setenv("SPARK_GRAFT_BENCH_WOBBLE", "0")
-        assert bench._wobble_outliers({"q_a": 9.0}, 0.1, "x") == {}
-        monkeypatch.delenv("SPARK_GRAFT_BENCH_WOBBLE")
-        # genuine outliers: listed with floor + ratio (un-probed at cap 0),
-        # non-outliers and unknown queries excluded
-        out = bench._wobble_outliers(
-            {"q_a": 2.0, "q_b": 1.2, "q_c": 1.3, "q_unknown": 50.0}, 0.1, "x"
-        )
-        assert set(out) == {"q_a", "q_c"}
-        assert out["q_a"] == {"recorded_floor": 1.0, "ratio": 2.0, "probed": False}
-    finally:
-        json.dump(backup, open(real_floors, "w"), indent=1)
+    # below threshold: no outliers
+    assert bench._wobble_outliers({"q_a": 1.2, "q_b": 0.9}, 0.1, "x") == {}
+    # SF mismatch: never fires
+    assert bench._wobble_outliers({"q_a": 9.0}, 0.001, "x") == {}
+    # disabled: never fires
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_WOBBLE", "0")
+    assert bench._wobble_outliers({"q_a": 9.0}, 0.1, "x") == {}
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_WOBBLE")
+    # genuine outliers: listed with floor + ratio (un-probed at cap 0),
+    # non-outliers and unknown queries excluded
+    out = bench._wobble_outliers(
+        {"q_a": 2.0, "q_b": 1.2, "q_c": 1.3, "q_unknown": 50.0}, 0.1, "x"
+    )
+    assert set(out) == {"q_a", "q_c"}
+    assert out["q_a"] == {"recorded_floor": 1.0, "ratio": 2.0, "probed": False}

@@ -80,3 +80,16 @@ def test_gate_never_shuffles_payloads(spark, media_with_corruption):
     )
     for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "payload" not in ex, ex
+
+
+def test_probe_reports_null_payload_instead_of_dying(spark):
+    """Review fix: bytes(None) raises TypeError outside the decoder
+    except-list -- a NULL payload must be REPORTED undecodable, not
+    kill the gate that exists to stop one bad object killing stages."""
+    rows = [(1, "image", bytearray(b"\x89PNG not really")), (2, "image", None)]
+    media = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    report = {r["doc_id"]: r for r in mm.probe_decodable(media).collect()}
+    assert not report[2]["decodable"]
+    assert report[2]["error"] == "null payload"
+    gated = mm.filter_decodable(media)
+    assert {r["doc_id"] for r in gated.collect()} == set()  # both bad, none crash

@@ -43,16 +43,16 @@ NAN_SUBSET = [
 
 
 @pytest.fixture(scope="module")
-def nan_fixture(spark, tmp_path_factory):
+def nan_fixture(tmp_path_factory):
     dest = str(tmp_path_factory.mktemp("nanfix"))
-    build_nonfinite_fixture(spark, "/root/testdata/sf0.001", dest, mode="nan")
+    build_nonfinite_fixture("/root/testdata/sf0.001", dest, mode="nan")
     return dest
 
 
 @pytest.fixture(scope="module")
-def elemnull_fixture(spark, tmp_path_factory):
+def elemnull_fixture(tmp_path_factory):
     dest = str(tmp_path_factory.mktemp("elemnullfix"))
-    build_nonfinite_fixture(spark, "/root/testdata/sf0.001", dest, mode="elemnull")
+    build_nonfinite_fixture("/root/testdata/sf0.001", dest, mode="elemnull")
     return dest
 
 
@@ -111,9 +111,9 @@ EVENTS_NAN_SUBSET = [
 
 
 @pytest.fixture(scope="module")
-def events_nan_fixture(spark, tmp_path_factory):
+def events_nan_fixture(tmp_path_factory):
     dest = str(tmp_path_factory.mktemp("evnanfix"))
-    build_nonfinite_fixture(spark, "/root/testdata/sf0.001", dest, mode="events")
+    build_nonfinite_fixture("/root/testdata/sf0.001", dest, mode="events")
     return dest
 
 
@@ -176,3 +176,27 @@ def test_quarantine_gate_keeps_stateful_stream_alive(spark, events_nan_fixture):
         .collect()
     }
     assert got == want and got
+
+
+def test_quarantine_nonfinite_no_float_cols_is_stream_safe(spark, events_nan_fixture):
+    """Review fix: the no-float-columns branch used limit(0), which is
+    unsupported on streaming Datasets -- the empty split must stay
+    startable as a stream on both sides."""
+    from etl_upc_syllabus_spark.operators.curation import quarantine_nonfinite
+    from etl_upc_syllabus_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    stream = read_events_stream(spark, events_nan_fixture).select(
+        "event_id", "ts", "event_type"
+    )  # no float columns left
+    clean, quar = quarantine_nonfinite(stream)
+    assert clean.isStreaming and quar.isStreaming
+    out = run_stream_to_table(
+        clean.withWatermark("ts", "10 seconds")
+        .groupBy("event_type")
+        .count(),
+        "update",
+    )
+    assert out.count() > 0

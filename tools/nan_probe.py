@@ -57,7 +57,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from etl_upc_syllabus_spark.plans import all_specs
 from etl_upc_syllabus_spark.session import get_spark
-from etl_upc_syllabus_spark.sources.tables import TABLES, load_table
+from etl_upc_syllabus_spark.sources.tables import TABLES
 
 #: ids mutated, chosen against the prefix-seed conventions: 2 sits in
 #: every prefix codebook (kc>=4) AND the PQ/IVF seed range; 12 is a
@@ -81,7 +81,7 @@ EVENT_MUTATIONS = {
 
 
 def build_nonfinite_fixture(
-    spark, src_sf_dir: str, dest_dir: str, mode: str = "nan"
+    src_sf_dir: str, dest_dir: str, mode: str = "nan"
 ) -> None:
     """Copy every fixture file; inject hostile elements into
     embeddings. Single-FILE parquet via pyarrow (not a Spark directory
@@ -108,7 +108,13 @@ def build_nonfinite_fixture(
         src = os.path.join(src_sf_dir, f"{name}.parquet")
         dst = os.path.join(dest_dir, f"{name}.parquet")
         if name != target:
-            shutil.copyfile(src, dst)
+            # fixtures may be single files OR table-as-directory
+            # layouts (events.parquet/ of part files, supported since
+            # r8) -- copy whichever shape is on disk
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copyfile(src, dst)
             continue
         if name == "events":
             tbl = pq.read_table(src)
@@ -184,7 +190,7 @@ def main(argv: list[str]) -> int:
         names = [n for n in names if n in only]
 
     dest = os.path.join(tempfile.gettempdir(), "etl_upc_nanprobe")
-    build_nonfinite_fixture(spark, src, dest, mode=mode)
+    build_nonfinite_fixture(src, dest, mode=mode)
 
     ok, diverged, errored = [], {}, {}
     for name in names:
