@@ -225,3 +225,62 @@ def test_wobble_outlier_selection(tmp_path, monkeypatch):
     )
     assert set(out) == {"q_a", "q_c"}
     assert out["q_a"] == {"recorded_floor": 1.0, "ratio": 2.0, "probed": False}
+
+
+# --- artifact emission (r10: the driver tail-captures ~2000 chars) ----------
+
+
+def test_summary_line_fits_tail_window():
+    """BENCH_r09 came back parsed:null because the single JSON line
+    outgrew the driver's 2000-char tail-capture window (VERDICT r9
+    finding #1). The fix splits emission: extended evidence on a
+    preceding line, a compact summary LAST. Pin the summary's
+    worst-case length — 15 queries with the longest real registry
+    names, 5-figure timings, full cold suite, and every query flagged
+    as a wobble outlier — under 1800 chars with margin, and pin that
+    the bulky keys stay OFF the summary line."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    names = list(bench.HEADLINE)
+    assert len(names) == 15
+    timings = {n: 99999.999 for n in names}
+    samples = {n: [99999.999, 99999.999, 99999.999] for n in names}
+    warmups = {n: 99999.999 for n in names}
+    cold = {n: 99999.999 for n in names}
+    wobble = {
+        n: {
+            "recorded_floor": 99999.999,
+            "ratio": 99.99,
+            "probed": True,
+            "floors": [99999.999] * 3,
+            "best": 99999.999,
+            "preflight": [[99.99, 99.99, 99.99]] * 3,
+            "probe_contended": True,
+            "budget_exhausted": True,
+        }
+        for n in names
+    }
+    extended, summary = bench.build_artifact(
+        timings, samples, warmups, [99.99, 99.99, 99.99], True, 3, 0.1,
+        cold, wobble,
+    )
+    line = json.dumps(summary)
+    assert len(line) < 1800, f"summary line is {len(line)} chars"
+    # the bulky evidence must ride the extended line, never the summary
+    for bulky in ("samples", "warmup", "cold_queries", "wobble_floors"):
+        assert bulky not in summary
+        assert bulky in extended or bulky in ("cold_queries", "wobble_floors")
+    assert extended["samples"] == samples
+    assert extended["cold_queries"] == cold
+    assert extended["wobble_floors"] == wobble
+    # summary still carries everything the graded tail parse needs
+    assert summary["metric"] == "headline_suite_total"
+    assert summary["value"] == round(sum(timings.values()), 3)
+    assert summary["unit"] == "sec"
+    assert summary["queries"] == timings
+    assert summary["contended"] is True
+    assert summary["sf"] == 0.1
+    assert summary["cold_value"] == round(sum(cold.values()), 3)
+    assert summary["wobble_outliers"] == sorted(names)
