@@ -265,9 +265,13 @@ def quarantine_nonfinite(
         # filter(False), not limit(0): the operator is stream-facing
         # (the stateful-stream gate composition) and Limit is not
         # supported on streaming Datasets -- an empty-split no-op must
-        # stay startable as a stream on both sides
+        # stay startable as a stream on both sides. The reason value
+        # keeps the populated branch's 'nonfinite:<cols>' format (with
+        # an empty culprit list) so a consumer parsing the prefix sees
+        # one uniform schema value across branches (ADVICE r9) -- the
+        # branch emits zero rows either way.
         return df, df.filter(F.lit(False)).withColumn(
-            "quarantine_reason", F.lit("")
+            "quarantine_reason", F.lit("nonfinite:")
         )
     inf = float("inf")
 

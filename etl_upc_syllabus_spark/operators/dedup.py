@@ -268,11 +268,25 @@ def lsh_candidate_pairs(
         # batch dedup pipelines that use bucket_cap; a streaming input
         # cannot be counted, so it keeps the unguarded broadcast
         # (previous behavior) rather than crashing here.
-        n_over = (
-            0
-            if signatures.isStreaming
-            else oversized.limit(oversized_broadcast_max + 1).count()
-        )
+        if signatures.isStreaming:
+            import warnings
+
+            # a streaming input cannot be counted, so the broadcast
+            # bound is UNENFORCED on this branch -- say so once, so a
+            # streaming flood OOM is attributable to this knob rather
+            # than mysterious (ADVICE r9)
+            warnings.warn(
+                "lsh_candidate_pairs(bucket_cap=...) on a STREAMING "
+                "input: oversized_broadcast_max cannot be enforced "
+                "(sizing needs a count) -- the flood-cap broadcast is "
+                "unbounded here; a driver OOM under a duplicate flood "
+                "is attributable to this unguarded branch.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            n_over = 0
+        else:
+            n_over = oversized.limit(oversized_broadcast_max + 1).count()
         if n_over > oversized_broadcast_max:
             import warnings
 

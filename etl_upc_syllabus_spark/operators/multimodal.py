@@ -552,14 +552,17 @@ def probe_decodable(media: DataFrame) -> DataFrame:
                     _DECODERS[mt](bytes(payload))
                     oks.append(True)
                     errs.append(None)
-                except (
-                    NotImplementedError,
-                    MediaFormatError,
-                    struct.error,
-                    zlib.error,
-                    KeyError,
-                    IndexError,
-                ) as e:
+                except Exception as e:  # noqa: BLE001 -- audit path:
+                    # a hostile payload can raise OUTSIDE any fixed
+                    # tuple (MemoryError/OverflowError from an
+                    # adversarially large declared dimension driving a
+                    # huge buffer allocation, an unexpected ValueError)
+                    # and the probe exists precisely to stop one bad
+                    # object from killing stages -- record type+message
+                    # instead of dying (ADVICE r9). The narrow tuple
+                    # stays on the metadata DEGRADE path (media_meta),
+                    # where silently swallowing an unexpected error
+                    # class would be silent-wrongness.
                     oks.append(False)
                     errs.append(f"{type(e).__name__}: {str(e)[:120]}")
             yield pd.DataFrame(

@@ -17,6 +17,24 @@ Two paths, same output shape (query_id, cand_id, cosine, rank):
 Hyperplane weights derive from md5 (deterministic, reproducible in
 the DuckDB oracle); cosine values are rounded to 6 decimals *before*
 ranking so rank order is identical across engines.
+
+**Indexability contract (element-level NULL, r10).** A vector is
+*indexable* iff it is non-NULL AND contains no NULL element
+(:func:`indexable`). Non-indexable vectors cannot seed a codebook,
+serve as a query, be retrieved as a candidate, or receive a cluster
+assignment -- every operator here filters them the way it always
+filtered whole-NULL vectors. The element-level extension exists
+because parquet legally stores ``[1.0, NULL, 2.0]`` and pandas->Arrow
+*silently creates* it from NaN (r9 probe finding): before r10, such
+vectors null-propagated whole Spark dot products while SQL SUM skipped
+the NULL term -- silently divergent rankings -- and crashed the PQ
+family's driver-side codebook collect with a bare TypeError. The
+DuckDB oracles share the contract via the dims CTE's element-NULL
+exclusion (plans/_fragments.dims_cte). A PREFIX-SEED id that exists
+but is non-indexable is dropped from the codebook (both engines see
+the same smaller codebook, original centroid ids preserved as codes);
+an id absent from the corpus altogether still raises the loud
+configuration error.
 """
 
 from __future__ import annotations
@@ -72,6 +90,16 @@ def _const_matrix(rows: list[list[float | None]]) -> Column:
     return F.from_json(F.lit(json.dumps(vals)), "array<array<double>>")
 
 
+def indexable(vec_col: Column | str) -> Column:
+    """True iff the vector can participate in the ANN index: non-NULL
+    and free of NULL ELEMENTS (see module docstring). ``forall`` is a
+    codegen'd single pass over the array -- negligible next to the dot
+    products that follow, and evaluated at the scan so non-indexable
+    rows never reach a join or window."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return vec.isNotNull() & F.forall(vec, lambda x: x.isNotNull())
+
+
 def _dot(a: Column | str, b: Column | str) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
@@ -105,12 +133,14 @@ def cosine_topk_bruteforce(
     with no shuffle -- the right plan when |queries| << |corpus|.
     """
     query_pred = query_pred if query_pred is not None else (F.col(id_col) < 10)
-    # NULL vectors can neither query nor be retrieved: without the
-    # filters their NULL cosines would still occupy ranked output rows
-    q = emb.filter(query_pred & F.col(vec_col).isNotNull()).select(
+    # non-indexable vectors (NULL, or NULL elements) can neither query
+    # nor be retrieved: without the filters their NULL cosines would
+    # still occupy ranked output rows (and an element-NULL vector's dot
+    # product null-propagates where SQL SUM would skip -- divergent)
+    q = emb.filter(query_pred & indexable(vec_col)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
     )
-    c = emb.filter(F.col(vec_col).isNotNull()).select(
+    c = emb.filter(indexable(vec_col)).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb")
     )
     sim = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
@@ -182,11 +212,12 @@ def assign_ivf_clusters(
     # F.get (0-based) returns NULL past the end, where ANSI element_at
     # raises -- the empty-codebook degenerate branch yields an empty
     # probe array, and a NULL cluster correctly matches no join key.
-    # A NULL vector likewise gets a NULL cluster (all its distances
-    # are NULL; letting null-ordering pick an arbitrary centroid would
-    # silently index unindexable rows).
+    # A non-indexable vector (NULL, or NULL elements) likewise gets a
+    # NULL cluster (its distances are NULL or null-propagated; letting
+    # null-ordering pick an arbitrary centroid would silently index
+    # unindexable rows).
     best = F.when(
-        F.col("v").isNotNull(), F.get(_nearest_clusters("v", centroids, 1), 0)
+        indexable(F.col("v")), F.get(_nearest_clusters("v", centroids, 1), 0)
     )
     return e.select("id", "v", best.alias("cluster"))
 
@@ -195,11 +226,13 @@ def _collect_codebook(centroids: DataFrame) -> Codebook:
     """One bounded driver collect of the (cid, c_emb) codebook, for
     query builds that fold it into more than one expression (assign +
     probe): collect once, fold twice -- one Spark job per build, not
-    two (ADVICE r7). A centroid with a NULL vector is meaningless (it
-    cannot be folded into a distance expression) and is dropped."""
+    two (ADVICE r7). A centroid with a non-indexable vector (NULL, or
+    NULL elements) is meaningless -- it cannot be folded into a finite
+    distance expression -- and is dropped; the oracle's dims CTE drops
+    the same vectors, so both engines see the same codebook."""
     return (
         centroids.schema["cid"].dataType,
-        centroids.filter(F.col("c_emb").isNotNull()).select("cid", "c_emb").collect(),
+        centroids.filter(indexable("c_emb")).select("cid", "c_emb").collect(),
     )
 
 
@@ -297,9 +330,13 @@ def kmeans_lloyd(
     aggregate, both linear.
 
     A cluster that loses all members simply drops out of the centroid
-    table (same semantics in the SQL replay).
+    table (same semantics in the SQL replay). Non-indexable vectors
+    (NULL, or NULL elements) receive NO assignment row -- they are
+    outside the index, exactly as the oracle's dims CTE never explodes
+    them; a non-indexable seed (id < k) just drops out of the initial
+    codebook on both sides.
     """
-    e = emb.select(
+    e = emb.filter(indexable(vec_col)).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     cent = e.filter(F.col("id") < k).select(
@@ -361,10 +398,10 @@ def cosine_topk_ivf(
     # exchange that shuffled query VECTORS). Probe rows then carry
     # (query_id, q_emb, cluster) into the cluster join, where AQE
     # broadcasts the small probe side -- the corpus never shuffles.
-    # NULL query vectors are excluded: their all-NULL probe distances
-    # sort FIRST in struct ordering, so without the filter they would
-    # probe arbitrary lists and emit NULL-cosine ranked rows.
-    q = emb.filter(query_pred & F.col(vec_col).isNotNull()).select(
+    # Non-indexable query vectors are excluded: their all-NULL probe
+    # distances sort FIRST in struct ordering, so without the filter
+    # they would probe arbitrary lists and emit NULL-cosine ranked rows.
+    q = emb.filter(query_pred & indexable(vec_col)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
     )
     probes = q.select(
@@ -399,7 +436,11 @@ def cosine_topk_lsh(
     fan-in ~ corpus/256 per band.
     """
     query_pred = query_pred if query_pred is not None else (F.col(id_col) < 50)
-    bucketed = emb.select(
+    # non-indexable vectors must not be bucketed at all: a NULL (or
+    # null-propagated) projection falls through when(proj > 0)'s
+    # otherwise-branch to bit '0', silently colliding corrupt vectors
+    # into the all-zeros bucket while the oracle's dims CTE drops them
+    bucketed = emb.filter(indexable(vec_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         hyperplane_bucket(vec_col, dim).alias("bucket"),
@@ -421,17 +462,24 @@ def cosine_topk_lsh(
 
 def _prefix_vectors(
     emb: DataFrame, id_col: str, vec_col: str, n: int
-) -> dict[int, list[float]]:
-    """{id: vector} for the first ``n`` ids -- the one driver collect
-    shared by the PQ encode codebook and the ADC query set. Rows with
-    a NULL vector are skipped: they cannot seed a codebook or serve as
-    a query, and iterating None would crash the build."""
+) -> tuple[dict[int, list[float]], set[int]]:
+    """({id: vector}, corrupt_ids) for the first ``n`` ids -- the one
+    driver collect shared by the PQ encode codebook and the ADC query
+    set. Rows with a non-indexable vector (NULL, or NULL elements --
+    the r9 elemnull probe's TypeError site was float(None) here) are
+    skipped from the dict but their ids are returned as ``corrupt``,
+    so callers can tell a corrupt-but-present seed (drop it, like the
+    oracle's dims exclusion) from an id absent from the corpus (a
+    configuration error that must raise loudly)."""
     rows = (
         emb.filter((F.col(id_col) < n) & F.col(vec_col).isNotNull())
+        .select(id_col, vec_col, indexable(vec_col).alias("_ok"))
         .orderBy(id_col)
         .collect()
     )
-    return {r[id_col]: [float(v) for v in r[vec_col]] for r in rows}
+    good = {r[id_col]: [float(v) for v in r[vec_col]] for r in rows if r["_ok"]}
+    corrupt = {r[id_col] for r in rows if not r["_ok"]}
+    return good, corrupt
 
 
 def _empty_encode(emb: DataFrame, id_col: str) -> DataFrame:
@@ -464,6 +512,7 @@ def pq_encode(
     k: int = 4,
     dim: int = 64,
     cents: list[list[float]] | None = None,
+    cent_ids: list[int] | None = None,
 ) -> DataFrame:
     """Product-quantization encode: (id, sub, code, dist) long form.
 
@@ -481,26 +530,42 @@ def pq_encode(
     is identical.
     """
     dsub = dim // m
-    # a NULL vector has no subvectors to quantize: excluded from the
-    # index (the same contract as assign_ivf_clusters' NULL cluster)
-    emb = emb.filter(F.col(vec_col).isNotNull())
     if cents is None:
-        pv = _prefix_vectors(emb, id_col, vec_col, k)
+        # collect the prefix codebook from the UNFILTERED corpus so a
+        # corrupt seed is classified corrupt (dropped, id preserved),
+        # not missing (loud raise) -- see _prefix_vectors
+        pv, corrupt = _prefix_vectors(emb, id_col, vec_col, k)
+    # a non-indexable vector (NULL, or NULL elements) has no finite
+    # subvectors to quantize: excluded from the index (the same
+    # contract as assign_ivf_clusters' NULL cluster)
+    emb = emb.filter(indexable(vec_col))
+    if cents is None:
+        if not pv and not corrupt and emb.isEmpty():
+            # empty corpus under the prefix-seed convention: nothing to
+            # encode and no codebook to encode against -- the degenerate
+            # slice a backfill hits constantly at scale. Empty result
+            # with the documented schema (id keeps the source id type).
+            # The guard is "no INDEXABLE vector exists at all" -- a
+            # corpus that has indexable vectors but none below id k is
+            # a configuration error and falls through to the loud raise.
+            return _empty_encode(emb, id_col)
+        missing = [i for i in range(k) if i not in pv and i not in corrupt]
+        if missing:
+            # an id ABSENT from the corpus is a real configuration
+            # error (non-0-based id space): refuse loudly rather than
+            # encode against a silently smaller codebook. A seed that
+            # exists but is corrupt (non-indexable) was dropped above
+            # -- the oracle's dims CTE drops it identically, so both
+            # engines encode against the same reduced codebook with
+            # the surviving ORIGINAL ids as codes.
+            raise ValueError(f"need {k} seed vectors, found {len(pv)}")
         cents = [pv[i] for i in sorted(pv)]
-    if not cents and emb.filter(F.col(vec_col).isNotNull()).isEmpty():
-        # empty corpus under the prefix-seed convention: nothing to
-        # encode and no codebook to encode against -- the degenerate
-        # slice a backfill hits constantly at scale. Empty result with
-        # the documented schema (id keeps the source id type). The
-        # guard is "no INDEXABLE (non-NULL) vectors at all" -- a corpus
-        # that has indexable vectors but none below id k is a
-        # configuration error and falls through to the loud raise.
-        return _empty_encode(emb, id_col)
-    if len(cents) != k:
-        # a PARTIAL (or absent-with-data) codebook is a real
-        # configuration error: refuse loudly rather than encode
-        # against a silently smaller codebook.
+        cent_ids = sorted(pv)
+    elif len(cents) != k:
+        # an explicitly passed partial codebook is a caller bug
         raise ValueError(f"need {k} seed vectors, found {len(cents)}")
+    if cent_ids is None:
+        cent_ids = list(range(len(cents)))
 
     # ONE folded matrix PER SUBSPACE (kc x dsub), not one full kc x dim
     # matrix: ConstantFolding evaluates from_json once per REFERENCE,
@@ -535,9 +600,13 @@ def pq_encode(
             *[
                 F.struct(
                     sub_dist(sl, c, j).alias("dist"),
-                    F.lit(c).cast("long").alias("cid"),
+                    # the code is the centroid's ORIGINAL id (= position
+                    # for trained codebooks; = surviving prefix vec_id
+                    # when a corrupt seed was dropped) -- the oracle's
+                    # cdims carries vec_id as cid, so codes must too
+                    F.lit(cent_ids[c]).cast("long").alias("cid"),
                 )
-                for c in range(k)
+                for c in range(len(cents))
             ]
         )
         best = F.array_min(cands)
@@ -561,15 +630,20 @@ def _adc_lut(
     dsub: int,
     query_lo: int,
     query_hi: int,
+    cent_ids: list[int] | None = None,
 ) -> DataFrame:
     """ADC lookup table (query_id, sub, code, d) for queries with
-    query_lo <= id < query_hi.
+    query_lo <= id < query_hi. ``cent_ids`` maps codebook position to
+    the code value pq_encode emitted (original prefix vec_ids when a
+    corrupt seed was dropped; positional otherwise).
 
     Raw doubles are built with the engines' exact fold order (per-term
     squares summed left-to-right), so they match bit-for-bit; the 6-dp
     fence is applied as a SPARK round (SQL half-away-from-zero), never
     Python round() (banker's half-to-even) -- the cross-engine rounding
     convention shared by the encode path and the oracles."""
+    if cent_ids is None:
+        cent_ids = list(range(len(cents)))
     rows = []
     for qid, qv in vecs.items():
         if not (query_lo <= qid < query_hi):
@@ -580,7 +654,7 @@ def _adc_lut(
                     (qv[j * dsub + t] - cents[c][j * dsub + t]) ** 2
                     for t in range(dsub)
                 )
-                rows.append((qid, j, c, d))
+                rows.append((qid, j, cent_ids[c], d))
     return spark.createDataFrame(
         rows, "query_id BIGINT, sub BIGINT, code BIGINT, d DOUBLE"
     ).select("query_id", "sub", "code", F.round("d", 6).alias("d"))
@@ -612,18 +686,27 @@ def pq_adc_topk(
     dsub = dim // m
     # ONE driver collect covers both the codebook prefix and the query
     # set; the codebook is handed to pq_encode so it is not re-collected
-    vecs = _prefix_vectors(emb, id_col, vec_col, max(kc, n_queries))
-    if not vecs and emb.filter(F.col(vec_col).isNotNull()).isEmpty():
+    vecs, corrupt = _prefix_vectors(emb, id_col, vec_col, max(kc, n_queries))
+    if not vecs and not corrupt and emb.filter(indexable(vec_col)).isEmpty():
         # empty corpus: no codebook, no queries -- empty top-k, not a
         # crash (the schema-stable degenerate branch; isEmpty keeps a
         # non-0-based id space falling through to the loud raise)
         return _empty_topk(emb, id_col)
-    missing = [i for i in range(kc) if i not in vecs]
+    missing = [i for i in range(kc) if i not in vecs and i not in corrupt]
     if missing:
         raise ValueError(f"prefix codebook ids missing: {missing}")
-    cents = [vecs[i] for i in range(kc)]
-    codes = pq_encode(emb, id_col, vec_col, m=m, k=kc, dim=dim, cents=cents)
-    lut = _adc_lut(emb.sparkSession, vecs, cents, m, dsub, 0, n_queries)
+    # a corrupt (non-indexable) seed is dropped from the codebook with
+    # its ORIGINAL id kept as the code -- mirroring the oracle, whose
+    # dims CTE never sees the corrupt vector (module docstring)
+    cent_ids = [i for i in range(kc) if i in vecs]
+    cents = [vecs[i] for i in cent_ids]
+    codes = pq_encode(
+        emb, id_col, vec_col, m=m, k=len(cents), dim=dim,
+        cents=cents, cent_ids=cent_ids,
+    )
+    lut = _adc_lut(
+        emb.sparkSession, vecs, cents, m, dsub, 0, n_queries, cent_ids
+    )
     adc = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .filter(F.col("query_id") != F.col("id"))
@@ -722,19 +805,27 @@ def ivf_pq_adc_topk(
         )
     # one bounded driver collect covers the PQ codebook (ids < kc) and
     # the query vectors (ids in [query_lo, query_hi))
-    vecs = _prefix_vectors(emb, id_col, vec_col, max(kc, query_hi))
+    vecs, corrupt = _prefix_vectors(emb, id_col, vec_col, max(kc, query_hi))
     if cents is None:
-        if not vecs and emb.filter(F.col(vec_col).isNotNull()).isEmpty():
+        if not vecs and not corrupt and emb.filter(indexable(vec_col)).isEmpty():
             # empty corpus: degrade to an empty, schema-stable top-k
             # (isEmpty keeps a non-0-based id space raising loudly)
             return _empty_topk(emb, id_col)
-        missing = [i for i in range(kc) if i not in vecs]
+        missing = [i for i in range(kc) if i not in vecs and i not in corrupt]
         if missing:
             raise ValueError(f"prefix codebook ids missing: {missing}")
-        cents = [vecs[i] for i in range(kc)]
-    if len(cents) != kc:
-        raise ValueError(f"need {kc} PQ codebook vectors, found {len(cents)}")
-    codes = pq_encode(emb, id_col, vec_col, m=m, k=kc, dim=dim, cents=cents)
+        # corrupt prefix seeds drop out with original ids kept as codes
+        # (both engines see the same reduced codebook -- module docstring)
+        cent_ids = [i for i in range(kc) if i in vecs]
+        cents = [vecs[i] for i in cent_ids]
+    else:
+        if len(cents) != kc:
+            raise ValueError(f"need {kc} PQ codebook vectors, found {len(cents)}")
+        cent_ids = list(range(kc))
+    codes = pq_encode(
+        emb, id_col, vec_col, m=m, k=len(cents), dim=dim,
+        cents=cents, cent_ids=cent_ids,
+    )
 
     if centroids is None:
         centroids = emb.filter(F.col(id_col) < n_centroids).select(
@@ -752,14 +843,16 @@ def ivf_pq_adc_topk(
     q = emb.filter(
         (F.col(id_col) >= query_lo)
         & (F.col(id_col) < query_hi)
-        & F.col(vec_col).isNotNull()  # NULL queries: no LUT, no probes
+        & indexable(vec_col)  # non-indexable queries: no LUT, no probes
     ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb"))
     probes = q.select(
         "query_id", _nearest_clusters("q_emb", codebook, nprobe).alias("cluster")
     ).withColumn("cluster", F.explode("cluster"))
 
     dsub = dim // m
-    lut = _adc_lut(emb.sparkSession, vecs, cents, m, dsub, query_lo, query_hi)
+    lut = _adc_lut(
+        emb.sparkSession, vecs, cents, m, dsub, query_lo, query_hi, cent_ids
+    )
 
     # candidates = members of the probed lists only (each corpus vector
     # sits in exactly one list, so (query, cand) is already unique)

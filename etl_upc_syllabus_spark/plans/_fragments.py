@@ -131,8 +131,20 @@ def plane_weights_cte(dim: int) -> str:
 
 
 def dims_cte() -> str:
-    """Embedding exploded to (vec_id, i, x) with double elements."""
+    """Embedding exploded to (vec_id, i, x) with double elements.
+
+    Non-INDEXABLE vectors are excluded entirely: NULL vectors drop
+    implicitly (``len(NULL)`` yields no range rows) and vectors with
+    NULL ELEMENTS drop via the list_filter guard -- mirroring
+    operators.similarity.indexable(), the r10 element-level NULL
+    contract. Without the guard a NULL element silently vanishes from
+    SQL SUM dot products while Spark's zip_with/aggregate
+    null-propagates the whole product (divergent rankings, measured by
+    tools/nan_probe.py --mode elemnull). No-op on contract-clean
+    corpora: every gate fixture hash is unchanged.
+    """
     return """
     dims AS (SELECT vec_id, i, embedding[i]::DOUBLE AS x
-             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(i))
+             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) r(i)
+             WHERE len(list_filter(embedding, e -> e IS NULL)) = 0)
     """

@@ -15,7 +15,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from ..operators.asof import asof_join
-from ..operators.similarity import _dot, _norm, hyperplane_bucket
+from ..operators.similarity import _dot, _norm, hyperplane_bucket, indexable
 from ..operators import textanalysis as ta
 from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
@@ -173,7 +173,11 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    bucketed = emb.select(
+    # element-level NULL contract (operators/similarity.py docstring):
+    # non-indexable vectors never bucket -- the oracle's dims CTE drops
+    # them, and a null-propagated projection would otherwise collide
+    # them into the all-zeros bucket
+    bucketed = emb.filter(indexable("embedding")).select(
         F.col("vec_id").alias("id"),
         F.col("embedding").alias("v"),
         hyperplane_bucket("embedding", dim=64).alias("bucket"),
@@ -205,14 +209,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-user pandas DataFrame in, ranked DataFrame out, via Arrow. "
     "Deliberately integer-exact output so the Python path is fully "
     "oracle-checkable. The hot-path equivalent stays JVM-side "
-    "(window_topk_per_group); this query exists to exercise the seam.",
+    "(window_topk_per_group); this query exists to exercise the seam. "
+    "NaN posture (r10, nan_probe events leg): the sort places NaN "
+    "FIRST under DESC, matching both engines' NaN-greater-than-all "
+    "convention, so poisoned values rank identically cross-engine. "
+    "Residual contract: the Arrow seam renders SQL NULL as pandas NaN "
+    "(indistinguishable in a float64 column), so true-NULL values -- "
+    "absent from every fixture -- would rank NaN-first here vs SQL's "
+    "NULLS LAST; feed NULL-bearing poisoned streams through "
+    "curation.quarantine_nonfinite first (pinned in "
+    "tests/test_nonfinite_embeddings.py).",
     tags=("udf", "grouped-map", "pandas"),
 )
 def grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        # explicit NaN policy: SQL row_number(ORDER BY value DESC)
+        # sorts NaN above every finite double in Spark AND DuckDB;
+        # pandas sort_values' na_position default ('last') silently
+        # inverts that, so rank the NaN flag as the leading DESC key
+        pdf = pdf.assign(_nan=pdf["value"].isna()).sort_values(
+            ["_nan", "value", "event_id"], ascending=[False, False, True]
+        )
         pdf["rnk"] = range(1, len(pdf) + 1)
         return pdf[["event_id", "user_id", "rnk"]]
 

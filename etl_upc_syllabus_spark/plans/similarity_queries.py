@@ -253,7 +253,12 @@ def embedding_outlier_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     emb = fan_out(load_table(spark, sf_dir, "embeddings"))
-    dims = emb.select(
+    # element-level NULL contract: non-indexable vectors are outside
+    # the index -- excluded from centroid AND output, like the oracle's
+    # dims CTE (a NULL element would otherwise skew avg/sum differently
+    # per engine: Spark's avg skips the exploded NULL row, SQL ditto,
+    # but the row-count parity breaks once one side keeps the vector)
+    dims = emb.filter(sim.indexable("embedding")).select(
         "vec_id", "label", F.posexplode("embedding").alias("i", "xf")
     ).select("vec_id", "label", "i", F.col("xf").cast("double").alias("x"))
     cent = dims.groupBy("label", "i").agg(F.round(F.avg("x"), 6).alias("cx"))

@@ -84,11 +84,20 @@ def _leaf_data_files(path: str) -> list[str]:
     -- skipping ``_``/``.``-prefixed entries (directories AND files) at
     every depth, and never probing a directory as if it were a file
     (``open(dir)`` raises, which would report a healthy partition dir
-    as corrupt). A single file path returns itself.
+    as corrupt). A single file path returns itself; a path that exists
+    as NEITHER raises FileNotFoundError, so a typo'd table name fails
+    loudly instead of producing a plausible one-'corrupt'-file audit
+    whose error row is just the probe's own ENOENT (ADVICE r9).
     """
     import os as _os
 
     if not _os.path.isdir(path):
+        if not _os.path.isfile(path):
+            raise FileNotFoundError(
+                f"scan_corrupt_files: {path!r} is neither a file nor a "
+                "table directory -- a missing table must be "
+                "distinguishable from a corrupt one"
+            )
         return [path]
     out: list[str] = []
     for root, dirnames, filenames in _os.walk(path):

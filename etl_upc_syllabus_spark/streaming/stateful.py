@@ -11,6 +11,28 @@ Scale posture: state lives in the state store partitioned by group
 key; with N executors each holds |users|/N entries. A production
 deployment adds a timeout (state eviction) -- wired here as
 NoTimeout because the fixture is bounded.
+
+**Poisoned-value posture (r9 probe, documented API since r10).** One
+non-finite ``value`` (NaN/+-Inf -- fp overflow upstream, a broken
+enrichment) kills the stateful query MID-BATCH: the pandas seam's
+``astype("int64")`` raises on non-finite input, the task dies, and in
+production that is an outage, not a wrong number (measured,
+tools/nan_probe.py --mode events). The documented default composition
+for any stream whose source is not contractually finite is the
+ingestion gate::
+
+    totals = running_user_totals(events, gated=True)   # or:
+    clean, poisoned = quarantine_nonfinite(events, cols=["value"])
+    totals = running_user_totals(clean)
+
+``gated=True`` routes the stream through
+:func:`~..operators.curation.quarantine_nonfinite` (scan-speed NaN/Inf
+split; NULL stays clean and still counts as an event of 0 cents) so
+poisoned rows are dropped from the state instead of killing the query.
+The quarantined split is observable by composing the gate explicitly
+(second form) and sinking the ``poisoned`` side. Pinned:
+tests/test_nonfinite_embeddings.py
+test_quarantine_gate_keeps_stateful_stream_alive.
 """
 
 from __future__ import annotations
@@ -43,8 +65,18 @@ def _update_user_totals(
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
 
 
-def running_user_totals(events: DataFrame) -> DataFrame:
-    """Streaming DataFrame of per-user running totals (update mode)."""
+def running_user_totals(events: DataFrame, gated: bool = False) -> DataFrame:
+    """Streaming DataFrame of per-user running totals (update mode).
+
+    ``gated=True`` drops non-finite values through
+    ``quarantine_nonfinite`` first -- the module-docstring composition
+    that keeps one poisoned event from killing the query mid-batch.
+    Default off: the registry fixture is contractually finite and the
+    gate's scan predicate, while cheap, should be a caller's choice."""
+    if gated:
+        from ..operators.curation import quarantine_nonfinite
+
+        events, _ = quarantine_nonfinite(events, cols=["value"])
     return (
         events.select("user_id", "value")
         .groupBy("user_id")
@@ -58,11 +90,17 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_user_totals(
+    spark: SparkSession, sf_dir: str, gated: bool = False
+) -> DataFrame:
     """Run the stateful stream to completion; with the bounded fixture
     (one file -> one micro-batch) each user emits exactly one final row,
-    so the result equals the batch groupBy -- the oracle."""
-    out = run_stream_to_table(running_user_totals(read_events_stream(spark, sf_dir)), "update")
+    so the result equals the batch groupBy -- the oracle. ``gated``:
+    see :func:`running_user_totals` (the poisoned-source composition)."""
+    out = run_stream_to_table(
+        running_user_totals(read_events_stream(spark, sf_dir), gated=gated),
+        "update",
+    )
     # keep the latest emission per user (robust if the source ever
     # splits into multiple micro-batches)
     return (

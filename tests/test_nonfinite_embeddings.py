@@ -8,14 +8,23 @@ Two hostile element classes the r8 sweeps never injected:
   greater than every double and agree on round(NaN)/round(inf), so
   rankings and hashes match. Pinned here on a representative subset.
 - **NULL elements inside a non-NULL vector** (parquet allows them;
-  pandas->Arrow conversion PRODUCES them silently from NaN): measured
-  divergence -- Spark's zip_with/aggregate null-propagates the whole
-  dot product while SQL SUM skips NULLs -- and a driver-side TypeError
-  in the PQ family's codebook collect. This is DOCUMENTED undefined
-  behavior (the engine contract is finite-or-NULL vectors, not
-  element-null); the crash posture is pinned so the r10 fix (extend
-  the NULL-vector contract to element level, post-rotation per the
-  registry freeze) changes this test deliberately, not silently.
+  pandas->Arrow conversion PRODUCES them silently from NaN): was
+  measured divergence in r9 (Spark's zip_with/aggregate
+  null-propagated whole dot products while SQL SUM skipped NULLs,
+  plus a driver-side TypeError in the PQ family's codebook collect).
+  The r10 element-level contract (operators/similarity.py
+  ``indexable``: a vector with any NULL element is non-indexable,
+  excluded on BOTH engine sides; a corrupt prefix SEED drops out of
+  the codebook with its original id preserved as the code) turned
+  the full probe green: ``nan_probe --mode elemnull`` reads 11/11
+  oracle parity. Pinned here on a representative subset plus the
+  corrupt-seed codebook semantics.
+
+The events leg's pandas-rank divergence (grouped_map_rank) is also
+closed in r10: the seam sorts NaN FIRST under DESC, matching both
+engines' NaN-greater-than-all convention (events probe 32/38, all 6
+residuals loud DECIMAL/BIGINT cast refusals + the stateful mid-batch
+death, guarded by quarantine_nonfinite).
 """
 
 from __future__ import annotations
@@ -64,15 +73,118 @@ def test_nan_inf_embeddings_keep_oracle_parity(spark, nan_fixture, name):
     compare(sdf, odf, f"{name}@nan")
 
 
-def test_element_null_vectors_are_documented_ub(spark, elemnull_fixture):
-    """Posture pin, not an endorsement: a vector with NULL ELEMENTS is
-    outside the engine contract today. The PQ family's driver-side
-    codebook collect raises TypeError on it (loud, not silent-wrong).
-    When the element-level NULL contract lands (r10+), this pin flips
-    to a parity assertion on purpose."""
-    spec = all_specs()["embedding_pq_encode"]
-    with pytest.raises(TypeError):
-        spec.fn(spark, elemnull_fixture).collect()
+ELEMNULL_SUBSET = [
+    # the r9 TypeError class (driver-side codebook collect), incl. the
+    # corrupt-SEED case: fixture id 2 sits in every prefix codebook
+    "embedding_pq_encode",
+    "similarity_topk_ivf_pq",
+    # the r9 silent-divergence class (null-propagated dot products)
+    "similarity_topk_bruteforce",
+    "similarity_kmeans_lloyd",
+    "dedup_embedding_cosine",
+]
+
+
+@pytest.mark.parametrize("name", ELEMNULL_SUBSET)
+def test_element_null_vectors_keep_oracle_parity(spark, elemnull_fixture, name):
+    """The r10 element-level NULL contract, pinned (flipped from the r9
+    documented-UB crash pin on purpose): vectors with NULL elements are
+    non-indexable on BOTH engine sides (similarity.indexable /
+    _fragments.dims_cte), so the formerly silent-divergent dot-product
+    family and the formerly TypeError-crashing PQ family now match the
+    oracle value-for-value. Full family: nan_probe --mode elemnull,
+    11/11."""
+    spec = all_specs()[name]
+    sdf = spec.fn(spark, elemnull_fixture)
+    odf = duckdb_run(spec.oracle, elemnull_fixture)
+    compare(sdf, odf, f"{name}@elemnull")
+
+
+def test_corrupt_prefix_seed_drops_with_original_ids(spark):
+    """A prefix-seed vector that EXISTS but is non-indexable drops out
+    of the PQ codebook with the surviving seeds' ORIGINAL ids as codes
+    (the oracle's cdims carries vec_id as cid, so a positional renumber
+    would silently mis-join the ADC LUT); an id ABSENT from the corpus
+    must still raise the loud configuration error."""
+    from etl_upc_syllabus_spark.operators import similarity as sim
+
+    rows = [(i, [float(i * 8 + j) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    poisoned = df.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 2,
+            F.array(*([F.lit(None).cast("double")] + [F.lit(float(j)) for j in range(7)])),
+        ).otherwise(F.col("embedding")),
+    )
+    out = sim.pq_encode(poisoned, m=2, k=4, dim=8)
+    codes = {r["code"] for r in out.collect()}
+    ids = {r["id"] for r in out.select("id").distinct().collect()}
+    assert codes <= {0, 1, 3}, f"corrupt seed 2 must vanish from codes, got {codes}"
+    assert 2 not in ids, "the corrupt vector itself must not be encoded"
+    assert 3 in codes, "surviving seed keeps its ORIGINAL id as the code"
+
+    # an id absent from the corpus is still a loud configuration error
+    gapped = df.filter(F.col("vec_id") != 2)
+    with pytest.raises(ValueError, match="seed vectors"):
+        sim.pq_encode(gapped, m=2, k=4, dim=8).count()
+
+
+def test_indexable_predicate(spark):
+    """indexable() = non-NULL and no NULL element; the empty vector is
+    (vacuously) indexable -- its exclusion elsewhere is by zero dims
+    rows, not by this predicate."""
+    from etl_upc_syllabus_spark.operators.similarity import indexable
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, None),
+        (3, [1.0, None]),
+        (4, []),
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {r["id"]: r["ok"] for r in df.select("id", indexable("v").alias("ok")).collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_grouped_map_rank_nan_sorts_first_like_sql(spark, tmp_path):
+    """The r9 events-probe divergence, closed: pandas sort_values puts
+    NaN last by default where SQL row_number(ORDER BY value DESC) puts
+    NaN first (NaN > every double in Spark AND DuckDB) -- the seam now
+    ranks the NaN flag as the leading DESC key, so a poisoned value
+    takes rank 1 in both engines."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import duckdb
+
+    ts = pd.Timestamp("2024-01-01")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+            "ts": pa.array([ts] * 4, type=pa.timestamp("us")),
+            "user_id": pa.array([7, 7, 7, 7], type=pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "value": pa.array([5.0, float("nan"), 9.0, 1.0], type=pa.float64()),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    spec = all_specs()["grouped_map_rank"]
+    got = {
+        r["event_id"]: r["rnk"] for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""SELECT event_id, row_number() OVER (
+                    PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+                FROM '{tmp_path}/events.parquet'"""
+        ).fetchall()
+    }
+    assert got == want
+    assert got[2] == 1, "NaN must take rank 1 under DESC, as in SQL"
 
 
 def test_quarantine_nonfinite_splits_and_names_culprits(spark):
@@ -149,6 +261,15 @@ def test_quarantine_gate_keeps_stateful_stream_alive(spark, events_nan_fixture):
     with pytest.raises(Exception):
         st.stream_user_totals(spark, events_nan_fixture).collect()
 
+    # the documented one-knob form (r10): gated=True survives and
+    # equals the explicit composition below
+    knob = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in st.stream_user_totals(
+            spark, events_nan_fixture, gated=True
+        ).collect()
+    }
+
     # guard: gate the stream, run to completion
     stream = read_events_stream(spark, events_nan_fixture)
     clean, _ = quarantine_nonfinite(stream, cols=["value"])
@@ -176,6 +297,7 @@ def test_quarantine_gate_keeps_stateful_stream_alive(spark, events_nan_fixture):
         .collect()
     }
     assert got == want and got
+    assert knob == want, "gated=True must equal the explicit composition"
 
 
 def test_quarantine_nonfinite_no_float_cols_is_stream_safe(spark, events_nan_fixture):

@@ -102,3 +102,15 @@ def test_corruption_audit_walks_partition_subdirectories(spark, tmp_path):
     assert rel["period=2024a/part-0.parquet"]["ok"]
     assert not rel["period=2024b/part-0.parquet"]["ok"]
     assert rel["period=2024b/part-0.parquet"]["error"]
+
+
+def test_missing_table_path_raises_not_fake_audit(spark, tmp_path):
+    """A typo'd table path must fail loudly (ADVICE r9): the previous
+    fallback returned [path] for any non-directory, so a MISSING table
+    produced a plausible one-'corrupt'-file audit whose error row was
+    just the probe's own ENOENT -- indistinguishable from genuine
+    corruption."""
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="neither a file nor"):
+        scan_corrupt_files(spark, str(tmp_path / "no_such_table"))

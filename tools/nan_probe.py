@@ -31,13 +31,16 @@ the contract line in the docs is evidence, not hope.
 Three modes (--mode):
 
 - ``nan`` (default): true NaN / +-Infinity elements in embeddings --
-  measured 11/11 cross-engine parity (r9);
-- ``elemnull``: NULL elements inside non-NULL vectors -- measured
-  loud-crash (PQ family) / divergent (dot products) UB, pinned in
-  tests/test_nonfinite_embeddings.py;
-- ``events``: NaN / +-Inf in the scalar ``events.value`` -- 31/38
-  parity, 7 measured postures (BASELINE.md r9 section); the
-  consequence operator is curation.quarantine_nonfinite.
+  measured 11/11 cross-engine parity (r9, re-confirmed r10);
+- ``elemnull``: NULL elements inside non-NULL vectors -- r9 measured
+  loud-crash (PQ family) / divergent (dot products) UB; the r10
+  element-level indexability contract (similarity.indexable +
+  dims_cte's list_filter guard) turned it into 11/11 parity, pinned
+  in tests/test_nonfinite_embeddings.py;
+- ``events``: NaN / +-Inf in the scalar ``events.value`` -- 32/38
+  parity since r10 (grouped_map_rank's pandas seam now ranks NaN
+  first like SQL), all 6 residuals loud (BASELINE.md r9 section);
+  the consequence operator is curation.quarantine_nonfinite.
 
 Usage: python tools/nan_probe.py [--mode nan|elemnull|events]
                                  [--src SF_DIR] [--only NAME,..]
