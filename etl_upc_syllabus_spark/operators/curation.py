@@ -292,3 +292,67 @@ def quarantine_nonfinite(
         F.concat(F.lit("nonfinite:"), F.array_join(reason, ",")),
     )
     return clean, quarantined
+
+
+def quarantine_vector_width(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows whose vector width differs from the corpus contract
+    -> (clean, quarantined-with-reason).
+
+    The r10 ragged-width probe (tools/nan_probe.py --mode ragged)
+    measured what non-uniform vector lengths -- legal in a parquet list
+    column, produced by writer bugs and schema drift -- do to the ANN
+    family: Spark's zip_with NULL-pads the shorter side and
+    null-propagates the dot product (re-entering, through a different
+    door, the silent-divergence class the element-NULL contract
+    closed), the SQL side silently computes PARTIAL dot products over
+    shared indices, and the PQ family's driver-side LUT build dies with
+    a bare IndexError on a truncated codebook seed: 1/11 parity, 6
+    silent, 4 loud. The contract is therefore the same as every other
+    ingestion gate here: split at the scan, publish what was split,
+    keep the hot path uniform-width.
+
+    ``dim``: the contracted width. Default None derives the MODAL
+    width with one narrow aggregate over (width, count) -- distinct
+    widths are few by construction, so the aggregate output is bounded
+    and the argmax is a driver-side pick (ties break to the larger
+    width: truncation is the common corruption, so the longer side is
+    the likelier contract). NULL vectors stay CLEAN -- absent is a
+    legal value, mis-shaped is not (the quarantine_nonfinite
+    convention); element-NULLs are quarantine_nonfinite /
+    similarity.indexable's axis, not this gate's.
+
+    Scale posture: the split itself is a codegen'd ``size() != dim``
+    per row at scan speed, no shuffle; the modal derivation adds one
+    narrow (width, count) aggregate -- pass ``dim`` explicitly to skip
+    it (a production corpus KNOWS its width). Streaming inputs must
+    pass ``dim`` (deriving a mode needs a count): raises otherwise.
+    """
+    w = F.size(F.col(vec_col))
+    if dim is None:
+        if df.isStreaming:
+            raise ValueError(
+                "quarantine_vector_width on a streaming input needs an "
+                "explicit dim= (the modal width cannot be counted on an "
+                "unbounded stream)"
+            )
+        widths = (
+            df.filter(F.col(vec_col).isNotNull())
+            .groupBy(w.alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not widths:
+            # no vectors at all: nothing to quarantine, schema-stable
+            return df, df.filter(F.lit(False)).withColumn(
+                "quarantine_reason", F.lit("width:")
+            )
+        dim = max(widths, key=lambda r: (r["n"], r["w"]))["w"]
+    bad = F.col(vec_col).isNotNull() & (w != F.lit(dim))
+    clean = df.filter(~bad)
+    quarantined = df.filter(bad).withColumn(
+        "quarantine_reason",
+        F.concat(F.lit("width:"), w.cast("string"), F.lit("!="), F.lit(str(dim))),
+    )
+    return clean, quarantined

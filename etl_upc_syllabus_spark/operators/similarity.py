@@ -35,6 +35,18 @@ but is non-indexable is dropped from the codebook (both engines see
 the same smaller codebook, original centroid ids preserved as codes);
 an id absent from the corpus altogether still raises the loud
 configuration error.
+
+**Width contract (r10 ragged probe).** The family additionally
+assumes UNIFORM vector width: parquet list columns are not
+fixed-width, and a ragged corpus (writer bug, schema drift) is
+measured UB here -- Spark's ``zip_with`` NULL-pads the shorter side
+and null-propagates the dot product while the SQL oracle's dims join
+silently computes partial dot products over shared indices, and the
+PQ LUT build dies on a truncated codebook seed (tools/nan_probe.py
+--mode ragged: 1/11 parity, 6 silent, 4 loud). Feed corpora that are
+not contractually fixed-width through
+``curation.quarantine_vector_width`` first; the gate's clean side
+restores oracle parity (pinned in tests/test_nonfinite_embeddings.py).
 """
 
 from __future__ import annotations

@@ -322,3 +322,104 @@ def test_quarantine_nonfinite_no_float_cols_is_stream_safe(spark, events_nan_fix
         "update",
     )
     assert out.count() > 0
+
+
+# --- ragged vector widths (r10 probe: nan_probe --mode ragged) --------------
+
+
+@pytest.fixture(scope="module")
+def ragged_fixture(tmp_path_factory):
+    dest = str(tmp_path_factory.mktemp("raggedfix"))
+    build_nonfinite_fixture("/root/testdata/sf0.001", dest, mode="ragged")
+    return dest
+
+
+def test_quarantine_vector_width_splits_and_derives_mode(spark):
+    """The ragged-width ingestion gate: modal-width derivation (ties to
+    the larger width), explicit dim override, NULL vectors stay clean
+    (absent is legal, mis-shaped is not), uniform 'width:<w>!=<dim>'
+    reason format, and a streaming input without dim= raises."""
+    from etl_upc_syllabus_spark.operators.curation import quarantine_vector_width
+
+    rows = [
+        (1, [1.0, 2.0, 3.0]),
+        (2, [1.0, 2.0, 3.0]),
+        (3, [1.0, 2.0, 3.0]),
+        (4, [1.0, 2.0]),
+        (5, [1.0, 2.0, 3.0, 4.0, 5.0]),
+        (6, None),
+        (7, []),
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    clean, quar = quarantine_vector_width(df)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 2, 3, 6]
+    got = {r["id"]: r["quarantine_reason"] for r in quar.collect()}
+    assert got == {4: "width:2!=3", 5: "width:5!=3", 7: "width:0!=3"}
+
+    # explicit contract width overrides the modal derivation
+    clean2, quar2 = quarantine_vector_width(df, dim=2)
+    assert sorted(r["id"] for r in clean2.collect()) == [4, 6]
+
+    # tie between widths breaks to the LARGER (truncation is the
+    # common corruption, so the longer side is the likelier contract)
+    tie = spark.createDataFrame(
+        [(1, [1.0]), (2, [1.0, 2.0])], "id long, embedding array<double>"
+    )
+    c3, _ = quarantine_vector_width(tie)
+    assert [r["id"] for r in c3.collect()] == [2]
+
+    # all-NULL / empty corpus: schema-stable no-op split
+    c4, q4 = quarantine_vector_width(df.filter(F.col("id") == 6))
+    assert c4.count() == 1 and q4.count() == 0
+    assert "quarantine_reason" in q4.columns
+
+    # streaming without dim= cannot derive a mode: loud, not wrong
+    from etl_upc_syllabus_spark.streaming.events import read_events_stream
+
+    stream = read_events_stream(spark, "/root/testdata/sf0.001").withColumn(
+        "embedding", F.array(F.col("value"))
+    )
+    with pytest.raises(ValueError, match="streaming input needs an explicit dim"):
+        quarantine_vector_width(stream)
+    gc, gq = quarantine_vector_width(stream, dim=1)  # explicit dim: fine
+    assert gc.isStreaming and gq.isStreaming
+
+
+def test_ragged_vectors_gated_restores_parity(spark, ragged_fixture, tmp_path):
+    """The documented composition closes the measured ragged UB (1/11
+    parity, 6 silent, 4 loud -- nan_probe --mode ragged): ANN over the
+    gate's CLEAN side equals the oracle over a corpus with the ragged
+    rows physically absent. Registry plans stay untouched (frozen
+    cohorts); the gate is where the contract is enforced."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from etl_upc_syllabus_spark.operators import similarity as sim
+    from etl_upc_syllabus_spark.operators.curation import quarantine_vector_width
+    from etl_upc_syllabus_spark.sources.tables import TABLES, load_table
+
+    # oracle-side corpus: the ragged fixture with the mutated ids
+    # physically removed (what the gate's clean side SHOULD equal)
+    cleaned = str(tmp_path / "cleaned")
+    os.makedirs(cleaned)
+    for t in TABLES:
+        src = os.path.join(ragged_fixture, f"{t}.parquet")
+        dst = os.path.join(cleaned, f"{t}.parquet")
+        if t == "embeddings":
+            tbl = pq.read_table(src)
+            mask = [v not in (2, 12, 30, 31) for v in tbl.column("vec_id").to_pylist()]
+            pq.write_table(tbl.filter(mask), dst)
+        elif os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copyfile(src, dst)
+
+    emb = load_table(spark, ragged_fixture, "embeddings")
+    clean, quar = quarantine_vector_width(emb)
+    assert sorted(r["vec_id"] for r in quar.select("vec_id").collect()) == [2, 12, 30, 31]
+
+    spec = all_specs()["similarity_topk_bruteforce"]
+    sdf = sim.cosine_topk_bruteforce(clean, k=5)
+    odf = duckdb_run(spec.oracle, cleaned)
+    compare(sdf, odf, "bruteforce@ragged-gated")

@@ -41,8 +41,17 @@ Three modes (--mode):
   parity since r10 (grouped_map_rank's pandas seam now ranks NaN
   first like SQL), all 6 residuals loud (BASELINE.md r9 section);
   the consequence operator is curation.quarantine_nonfinite.
+- ``ragged`` (new r10): vectors of NON-UNIFORM width (truncated /
+  overlong / empty / singleton at the contract-critical ids) --
+  measured 1/11 ok, 6 silently diverged (Spark zip_with NULL-pads the
+  short side and null-propagates; the SQL dims join silently computes
+  PARTIAL dot products over shared indices), 4 loud driver-side
+  IndexErrors (LUT build indexes a truncated codebook seed past its
+  end). Documented UB: the ANN contract is fixed-width input; the
+  consequence operator is curation.quarantine_vector_width (registry
+  plans deliberately untouched -- frozen cohorts).
 
-Usage: python tools/nan_probe.py [--mode nan|elemnull|events]
+Usage: python tools/nan_probe.py [--mode nan|elemnull|events|ragged]
                                  [--src SF_DIR] [--only NAME,..]
 """
 
@@ -80,6 +89,21 @@ EVENT_MUTATIONS = {
     5: float("nan"),
     17: float("inf"),
     29: float("-inf"),
+}
+
+#: ragged-width mutations (--mode ragged): parquet list columns are
+#: not fixed-width -- a writer bug or schema drift can legally land
+#: vectors of DIFFERENT lengths in one corpus. Hostile in a new way:
+#: Spark's zip_with pads the SHORTER side with NULL (re-entering the
+#: null-propagation class the element-NULL contract closed, through a
+#: different door) while the oracle's dims join only matches SHARED
+#: indices (silent partial dot products). Same contract-critical ids
+#: as MUTATIONS: a codebook seed, a query, two corpus candidates.
+RAGGED_MUTATIONS = {
+    2: ("truncated_half", lambda v: v[: len(v) // 2]),
+    12: ("overlong_1p5x", lambda v: v + v[: len(v) // 2]),
+    30: ("empty", lambda v: []),
+    31: ("singleton", lambda v: v[:1]),
 }
 
 
@@ -134,8 +158,9 @@ def build_nonfinite_fixture(
         ids = tbl.column("vec_id").to_pylist()
         vecs = tbl.column("embedding").to_pylist()
         out = []
+        muts = RAGGED_MUTATIONS if mode == "ragged" else MUTATIONS
         for vid, vec in zip(ids, vecs):
-            mut = MUTATIONS.get(vid)
+            mut = muts.get(vid)
             if mut is not None:
                 vec = mut[1]([float(x) for x in vec])
                 if mode == "elemnull":
@@ -180,7 +205,7 @@ def main(argv: list[str]) -> int:
             only = set(args.pop(0).split(","))
         elif a == "--mode":
             mode = args.pop(0)
-            assert mode in ("nan", "elemnull", "events"), mode
+            assert mode in ("nan", "elemnull", "events", "ragged"), mode
         else:
             sys.exit(f"unknown arg {a!r}")
 
