@@ -54,6 +54,63 @@ def norm_text(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+#: Whitespace code points the three regex dialects in play DISAGREE on
+#: (r10 unicode probe, tools/unicode_probe.py): Java ``\s`` is ASCII
+#: incl. VT; RE2 ``\s`` is ASCII incl. FF but NOT VT; Python ``\s`` is
+#: full-Unicode (NBSP, NEL, line/para separators, ...). Every char
+#: here is unified to a plain space BEFORE the shared ``\s+`` collapse
+#: so all three dialects see the same separators. Enumerated as
+#: LITERAL characters (no ranges, no escapes) so the char class means
+#: the same thing in Java regex, RE2, and Python.
+UNICODE_SPACE_CHARS = (
+    "\x0b\x0c\x1c\x1d\x1e\x1f\x85\xa0 "
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "    　"
+)
+
+#: Zero-width / directional format characters that create invisible
+#: token boundaries (ZWSP) or glue (ZWJ, word joiner) inside words,
+#: plus BOM and soft hyphen. Stripped entirely. NOTE: stripping ZWJ
+#: decomposes emoji families into their member emoji -- acceptable for
+#: text analysis (they are not vocabulary either way), documented.
+UNICODE_FORMAT_CHARS = "​‌‍‎‏⁠﻿­"
+
+#: Greek small final sigma: Spark's lower() applies the CONTEXTUAL
+#: case mapping (word-final capital sigma -> U+03C2), DuckDB's the
+#: simple mapping (-> U+03C3) -- the one measured case-mapping
+#: divergence (r10 probe; Turkish I-dot and German eszett agree).
+#: Folded to the medial form after lowering.
+FINAL_SIGMA, MEDIAL_SIGMA = "ς", "σ"
+
+
+def unicode_clean(col: Column | str) -> Column:
+    """Strip format characters and unify exotic whitespace to plain
+    spaces -- the engine-neutral pre-pass for hostile-Unicode text.
+    Identical effect in Java regex, RE2, and Python because the char
+    classes are literal enumerations (see UNICODE_SPACE_CHARS)."""
+    col = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(col, "[" + UNICODE_FORMAT_CHARS + "]", "")
+    return F.regexp_replace(stripped, "[" + UNICODE_SPACE_CHARS + "]", " ")
+
+
+def norm_text_unicode(col: Column | str) -> Column:
+    """Hostile-input variant of :func:`norm_text` (r10 unicode probe):
+    unicode_clean -> norm_text -> final-sigma fold. The 22 measured
+    cross-engine divergences on hostile text all root in (a) the
+    ``\\s`` dialect split and (b) the final-sigma contextual lowercase
+    -- both closed by this composition; NFD-vs-NFC forms and
+    astral-plane code points are measured parity-safe as-is and left
+    untouched (true NFC unification needs ICU, absent from both
+    engines' expression surfaces here). Idempotent, and equal to
+    norm_text on ASCII corpora -- so pre-normalizing a lake column
+    with this op leaves contract-clean pipelines bit-identical.
+    Mirrored by plans/_fragments.unicode_norm_sql; parity pinned in
+    tests/test_unicode_text.py."""
+    return F.regexp_replace(
+        norm_text(unicode_clean(col)), FINAL_SIGMA, MEDIAL_SIGMA
+    )
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of the normalized text."""
     return F.split(norm_text(col), " ")

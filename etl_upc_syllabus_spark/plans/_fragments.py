@@ -8,12 +8,35 @@ renders their DuckDB-side equivalents so both engines stay in sync.
 from __future__ import annotations
 
 from ..operators.similarity import N_PLANES, PLANE_MOD
-from ..operators.textanalysis import LANG_MARKERS, LANG_ORDER, PUNCT_CLASS, STOPWORDS
+from ..operators.textanalysis import (
+    FINAL_SIGMA,
+    LANG_MARKERS,
+    LANG_ORDER,
+    MEDIAL_SIGMA,
+    PUNCT_CLASS,
+    STOPWORDS,
+    UNICODE_FORMAT_CHARS,
+    UNICODE_SPACE_CHARS,
+)
 
 HEX = "0123456789abcdef"
 
 # normalized text (whitespace-collapsed lower trim) -- mirrors norm_text()
 NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def unicode_norm_sql(expr: str = "text") -> str:
+    """DuckDB mirror of operators.textanalysis.norm_text_unicode: strip
+    format chars, unify exotic whitespace (the chars RE2/Java/Python
+    ``\\s`` dialects disagree on -- literal enumerations shared with
+    the Spark side, so both char classes mean the same thing), then
+    the standard NORM collapse, then the final-sigma fold (Spark's
+    lower() is contextual, DuckDB's simple -- the one measured
+    case-mapping divergence)."""
+    stripped = f"regexp_replace({expr}, '[{UNICODE_FORMAT_CHARS}]', '', 'g')"
+    unified = f"regexp_replace({stripped}, '[{UNICODE_SPACE_CHARS}]', ' ', 'g')"
+    normed = f"trim(regexp_replace(lower({unified}), '\\s+', ' ', 'g'))"
+    return f"regexp_replace({normed}, '{FINAL_SIGMA}', '{MEDIAL_SIGMA}', 'g')"
 
 
 def sql_list(words: tuple[str, ...]) -> str:
