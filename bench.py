@@ -138,12 +138,22 @@ def _wobble_outliers(
     query whose best-of-N exceeds its recorded floor (BENCH_FLOORS.json)
     by >25% gets the wobble protocol embedded in the artifact -- N
     INDEPENDENT isolated single-query bench invocations (fresh process,
-    own preflight gate), exactly what tools/wobble.py runs by hand. A
-    best-of-N floor that reproduces the record attributes the suite
-    reading to host noise inside the artifact itself; a floor stuck
-    above the record implicates a commit. Disabled with
-    SPARK_GRAFT_BENCH_WOBBLE=0; never runs in single-query child
-    invocations (SPARK_GRAFT_BENCH_QUERIES set) or off the floors' SF.
+    own preflight gate, 4 warmups for JIT steady state), exactly what
+    tools/wobble.py runs by hand.
+
+    Interpretation (refined r10 after measuring the fresh-JVM JIT
+    bias): a probe best that reproduces the recorded floor attributes
+    the suite reading to host noise inside the artifact itself. A
+    probe best well BELOW the suite reading (vs_suite << 1) on a quiet
+    probe means the suite sample was a transient spike. A probe best
+    ~= the suite reading with quiet preflights means the reading is
+    the query's true current cost -- a slower host era or a commit;
+    cross-check the diff. Probe bests retain a residual upward bias
+    vs suite-mode floors (a lone query cannot reuse 14 other queries'
+    codegen warmth), so 'best > recorded_floor' ALONE does not
+    implicate a commit. Disabled with SPARK_GRAFT_BENCH_WOBBLE=0;
+    never runs in single-query child invocations
+    (SPARK_GRAFT_BENCH_QUERIES set) or off the floors' SF.
     """
     if os.environ.get("SPARK_GRAFT_BENCH_WOBBLE") == "0":
         return {}
@@ -217,12 +227,17 @@ def _wobble_outliers(
             probe_floors.append(payload["queries"][name])
             preflight.append(payload["loadavg_preflight"])
             probe_contended.append(bool(payload.get("contended")))
+        best = min(probe_floors) if probe_floors else None
         result[name] = {
             "recorded_floor": floors[name],
             "ratio": round(ratio, 2),
             "probed": True,
             "floors": probe_floors,
-            "best": min(probe_floors) if probe_floors else None,
+            "best": best,
+            "suite_reading": timings[name],
+            # ~1.0 = the suite reading is real (host era or commit);
+            # << 1.0 = the suite sample was a transient spike
+            "vs_suite": round(best / timings[name], 2) if best else None,
             "preflight": preflight,
             "probe_contended": any(probe_contended),
             **({"budget_exhausted": True} if exhausted else {}),
@@ -243,6 +258,11 @@ def _probe_invocation(repo: str, name: str, sf_dir: str) -> dict | None:
             "SPARK_GRAFT_BENCH_WOBBLE_MAX_WAIT", "60"
         ),
         SPARK_GRAFT_BENCH_COLD="",
+        # fresh-JVM JIT bias correction (see main's n_warm comment):
+        # without extra warmups an isolated probe reads ~2x a
+        # suite-mode floor for sub-second queries, implicating
+        # commits that did nothing
+        SPARK_GRAFT_BENCH_WARMUPS="4",
     )
     try:
         out = subprocess.run(
@@ -346,14 +366,24 @@ def main() -> None:
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     warmups: dict[str, float] = {}
+    # SPARK_GRAFT_BENCH_WARMUPS: untimed warmup executions per query
+    # (default 1). Wobble probe children set 4: a FRESH JVM needs ~4
+    # runs of a sub-second query to reach codegen/JIT steady state
+    # (measured r10: 5.9 -> 1.1 -> 0.8 -> 0.7 -> 0.63 s), so a
+    # 1-warmup isolated probe structurally reads ~2x a suite-mode
+    # floor recorded 15 queries deep into a warm JVM -- attribution
+    # noise, not signal.
+    n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1")))
     for name in names:
-        # untimed warmup at the TARGET SF (JIT + page cache), recorded
-        # separately so cold-start cost stays visible in the artifact
+        # untimed warmup(s) at the TARGET SF (JIT + page cache); the
+        # first is recorded separately so cold-start cost stays
+        # visible in the artifact
         t0 = time.perf_counter()
-        try:
-            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        except Exception:
-            pass
+        for _ in range(n_warm):
+            try:
+                specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
         warmups[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(n_runs):

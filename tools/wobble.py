@@ -52,6 +52,12 @@ def main() -> None:
             # payloads have no "samples" and are not comparable to the
             # recorded warm floors this tool attributes against)
             SPARK_GRAFT_BENCH_COLD="",
+            # fresh-JVM JIT bias correction (bench.py n_warm comment):
+            # 1-warmup isolated probes read ~2x suite-mode floors for
+            # sub-second queries
+            SPARK_GRAFT_BENCH_WARMUPS=os.environ.get(
+                "SPARK_GRAFT_BENCH_WARMUPS", "4"
+            ),
         )
         out = subprocess.run(
             [sys.executable, os.path.join(_REPO, "bench.py")],
@@ -62,9 +68,13 @@ def main() -> None:
             timeout=600,
             check=True,
         )
-        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        # since r10 bench.py emits TWO lines: extended evidence
+        # (carrying "samples") then the compact summary LAST
+        out_lines = out.stdout.strip().splitlines()
+        payload = json.loads(out_lines[-1])
+        extended = json.loads(out_lines[-2])
         floors.append(payload["queries"][query])
-        samples.append(payload["samples"][query])
+        samples.append(extended["samples"][query])
         preflight.append(payload["loadavg_preflight"])
     print(
         json.dumps(
