@@ -611,3 +611,109 @@ def sampled_truth_pairs(
         .select("a", "b")
         .distinct()
     )
+
+
+def embedding_lsh_candidate_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bands: int = 4,
+    planes_per_band: int | None = None,
+    target_bucket: int = 64,
+    n: int | None = None,
+) -> DataFrame:
+    """Corpus-scaled BANDED hyperplane-LSH candidate pairs for
+    embedding near-dup -> (a, b), distinct.
+
+    The single-band 8-plane shape (``dedup_embedding_cosine``) is
+    oracle-exact at the gate SFs but QUADRATIC at fixed planes: its
+    candidate volume measured 8.7k -> 965k -> 97.7M pairs across
+    sf0.1 -> sf1 -> sf10 (~100x per 10x corpus; 255 buckets cannot
+    absorb 200k vectors). The scale-correct construction mirrors the
+    MinHash text path: ``bands`` independent plane sets (disjoint
+    ``plane_offset`` ranges -> independent md5-derived planes), each
+    wide enough that expected bucket occupancy stays ~``target_bucket``
+    -- ``planes_per_band = max(8, ceil(log2(n / target_bucket)))`` --
+    so per-band candidate volume is ~n * target_bucket / 2: LINEAR in
+    the corpus, at any corpus, with recall restored by the band union
+    (a near-dup pair colliding in ANY band is a candidate; for
+    cosine >= 0.95 neighbors the per-plane agreement is ~0.9, so 4
+    bands of 12 planes give ~1 - (1 - 0.9^12)^4 ~ 0.73 pair recall vs
+    0.28 single-band, and planted-cluster recall is pinned ~1.0 in
+    tests because real near-dups collide in several bands).
+
+    ``n`` (corpus size) skips the sizing count; required for
+    streaming inputs (cannot count an unbounded stream). Derivation
+    is ONE narrow count job, driver-side ceil-log2 -- the codebook
+    convention. Vectors failing the indexability contract are
+    excluded (similarity.indexable).
+    """
+    import math as _math
+
+    from .similarity import hyperplane_bucket, indexable
+
+    e = emb.filter(indexable(vec_col)).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    if planes_per_band is None:
+        if n is None:
+            if emb.isStreaming:
+                raise ValueError(
+                    "embedding_lsh_candidate_pairs on a streaming input "
+                    "needs n= or planes_per_band= (sizing needs a count)"
+                )
+            n = e.count()
+        planes_per_band = max(8, _math.ceil(_math.log2(max(n, 1) / target_bucket))
+                              if n > target_bucket else 8)
+    out = None
+    for band in range(bands):
+        bucketed = e.select(
+            "id",
+            hyperplane_bucket(
+                "v", dim, planes_per_band, plane_offset=band * planes_per_band
+            ).alias("bucket"),
+        )
+        a = bucketed.select(F.col("id").alias("a"), "bucket")
+        b = bucketed.select(F.col("id").alias("b"), "bucket")
+        pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
+        out = pairs if out is None else out.union(pairs)
+    return out.distinct()
+
+
+def embedding_cosine_pairs_scaled(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    bands: int = 4,
+    planes_per_band: int | None = None,
+    target_bucket: int = 64,
+    n: int | None = None,
+) -> DataFrame:
+    """Scale path for embedding-cosine near-dup: banded corpus-scaled
+    LSH candidates (:func:`embedding_lsh_candidate_pairs`) verified
+    with exact cosine -> (a, b, cosine, is_dup). Same output contract
+    as the ``dedup_embedding_cosine`` registry query restricted to its
+    candidate set; linear candidate volume instead of quadratic
+    (library operator -- the registry plan is frozen; measured decade
+    table in BASELINE.md r10)."""
+    from .similarity import _dot, _norm, indexable
+
+    cand = embedding_lsh_candidate_pairs(
+        emb, id_col, vec_col, dim, bands, planes_per_band, target_bucket, n
+    )
+    vecs = emb.filter(indexable(vec_col)).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    )
+    pairs = cand.join(
+        vecs.withColumnRenamed("_id", "a").withColumnRenamed("_v", "va"), "a"
+    ).join(vecs.withColumnRenamed("_id", "b").withColumnRenamed("_v", "vb"), "b")
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    return pairs.select(
+        "a",
+        "b",
+        F.round(cos, 6).alias("cosine"),
+        (cos >= threshold).alias("is_dup"),
+    )

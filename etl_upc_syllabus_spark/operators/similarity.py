@@ -165,12 +165,23 @@ def cosine_topk_bruteforce(
     )
 
 
-def hyperplane_bucket(vec_col: Column | str, dim: int, n_planes: int = N_PLANES) -> Column:
+def hyperplane_bucket(
+    vec_col: Column | str, dim: int, n_planes: int = N_PLANES, plane_offset: int = 0
+) -> Column:
     """LSH bucket signature: concatenated sign bits of `n_planes`
-    deterministic hyperplane projections ('10110101'-style string)."""
+    deterministic hyperplane projections ('10110101'-style string).
+
+    ``plane_offset`` selects which planes: indices [offset, offset +
+    n_planes). plane_weight(p, i) is keyed by the absolute plane index
+    p, so disjoint offsets yield INDEPENDENT plane sets -- the banding
+    primitive for dedup.embedding_lsh_candidate_pairs (offset 0 =
+    the historical planes, plan-neutral for existing callers)."""
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     mat = _const_matrix(
-        [[plane_weight(p, i) for i in range(1, dim + 1)] for p in range(n_planes)]
+        [
+            [plane_weight(p, i) for i in range(1, dim + 1)]
+            for p in range(plane_offset, plane_offset + n_planes)
+        ]
     )
     bits = []
     for p in range(n_planes):

@@ -433,3 +433,109 @@ def test_bucket_cap_broadcast_bound_falls_back_with_warning(spark):
         )
         fallback_pairs = sorted((r["a"], r["b"]) for r in fallback.collect())
     assert fallback_pairs == broadcast_pairs
+
+
+# --- banded embedding LSH (r10: the corpus-scaled cosine-dedup path) --------
+
+
+def _planted_corpus(spark, n_base=300, n_dups=40, dim=16):
+    """Random-ish deterministic base vectors + planted near-dups
+    (copy with one tiny perturbed element -> cosine ~0.999). Planted
+    pair (i, n_base + j) for the j-th dup of base i."""
+    import math
+
+    rows = []
+    for i in range(n_base):
+        rows.append((i, [math.sin(i * dim + d) for d in range(dim)]))
+    planted = []
+    for j in range(n_dups):
+        src = j * 7 % n_base
+        v = [math.sin(src * dim + d) for d in range(dim)]
+        v[0] += 1e-3
+        rows.append((n_base + j, v))
+        planted.append((src, n_base + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, set(planted)
+
+
+def test_embedding_lsh_band1_equals_single_band_shape(spark, sf_dir):
+    """bands=1, planes_per_band=8, offset 0 reproduces EXACTLY the
+    historical single-band 8-plane candidate set (the
+    dedup_embedding_cosine registry shape) -- the banding generalizes
+    the frozen path, never silently changes it."""
+    from etl_upc_syllabus_spark.operators.dedup import embedding_lsh_candidate_pairs
+    from etl_upc_syllabus_spark.operators.similarity import hyperplane_bucket, indexable
+    from etl_upc_syllabus_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = sorted(
+        (r["a"], r["b"])
+        for r in embedding_lsh_candidate_pairs(
+            emb, dim=64, bands=1, planes_per_band=8
+        ).collect()
+    )
+    bucketed = emb.filter(indexable("embedding")).select(
+        F.col("vec_id").alias("id"), hyperplane_bucket("embedding", 64).alias("bucket")
+    )
+    a = bucketed.select(F.col("id").alias("a"), "bucket")
+    b = bucketed.select(F.col("id").alias("b"), "bucket")
+    want = sorted(
+        (r["a"], r["b"])
+        for r in a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").collect()
+    )
+    assert got == want and got
+
+
+def test_embedding_lsh_banded_recall_on_planted_dups(spark):
+    """Planted near-dups (cosine ~0.999) must survive the banded
+    corpus-scaled candidate cut and come out flagged by the exact
+    verification -- the property that makes the linear-volume path a
+    valid substitute for the quadratic one."""
+    from etl_upc_syllabus_spark.operators.dedup import embedding_cosine_pairs_scaled
+
+    df, planted = _planted_corpus(spark)
+    out = embedding_cosine_pairs_scaled(df, dim=16, threshold=0.99)
+    dup_pairs = {(r["a"], r["b"]) for r in out.filter("is_dup").collect()}
+    found = planted & dup_pairs
+    recall = len(found) / len(planted)
+    assert recall >= 0.95, f"planted recall {recall:.2f} ({len(found)}/{len(planted)})"
+    # verification is exact: nothing below threshold flagged
+    assert out.filter("is_dup AND cosine < 0.99").count() == 0
+
+
+def test_embedding_lsh_plane_scaling_and_streaming_guard(spark, sf_dir):
+    """planes_per_band derives ceil(log2(n / target_bucket)) floored at
+    8 -- the knob that keeps per-band candidate volume ~n*target/2
+    (linear) at ANY corpus size; a streaming input without n= raises
+    loudly."""
+    from etl_upc_syllabus_spark.operators.dedup import embedding_lsh_candidate_pairs
+    from etl_upc_syllabus_spark.streaming.events import read_events_stream
+
+    from pyspark.sql import functions as F
+
+    df, _ = _planted_corpus(spark, n_base=40, n_dups=0)
+    # n >> target: width grows (2M/1 -> 21 planes). Planes 0..7 are a
+    # PREFIX of planes 0..20 in band 0, so wider buckets can only
+    # split coarser ones: candidates must be a STRICT subset of the
+    # 8-plane set (similar vectors legitimately still collide)
+    wide = {
+        (r["a"], r["b"])
+        for r in embedding_lsh_candidate_pairs(
+            df, dim=16, bands=1, target_bucket=1, n=2_000_000
+        ).collect()
+    }
+    # tiny n: floor of 8 planes (the historical width)
+    small = {
+        (r["a"], r["b"])
+        for r in embedding_lsh_candidate_pairs(df, dim=16, bands=1, n=10).collect()
+    }
+    assert wide < small, f"wide {len(wide)} must strictly refine small {len(small)}"
+
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "embedding", F.array(F.col("value"))
+    ).withColumnRenamed("event_id", "vec_id")
+
+    with pytest.raises(ValueError, match="needs n="):
+        embedding_lsh_candidate_pairs(stream, dim=1)
