@@ -210,7 +210,14 @@ def _wobble_outliers(
                 file=sys.stderr, flush=True,
             )
             payload = _probe_invocation(repo, name, sf_dir)
-            if payload is not None and payload.get("contended"):
+            if (
+                payload is not None
+                and payload.get("contended")
+                # the retry respects the same budget deadline -- an
+                # unconditional retry could overrun it by a full
+                # invocation (review r10 finding #4)
+                and time.monotonic() < deadline
+            ):
                 # an attribution measured under contention attributes
                 # nothing (VERDICT r9 item 5): retry once, then record
                 # the contended reading flagged rather than silently
@@ -237,7 +244,10 @@ def _wobble_outliers(
             "suite_reading": timings[name],
             # ~1.0 = the suite reading is real (host era or commit);
             # << 1.0 = the suite sample was a transient spike
-            "vs_suite": round(best / timings[name], 2) if best else None,
+            # ("is not None": a 0.000-rounded best is data, not absence)
+            "vs_suite": (
+                round(best / timings[name], 2) if best is not None else None
+            ),
             "preflight": preflight,
             "probe_contended": any(probe_contended),
             **({"budget_exhausted": True} if exhausted else {}),
@@ -280,6 +290,7 @@ def build_artifact(
     samples: dict[str, list[float]],
     warmups: dict[str, float],
     loadavg_preflight: list[float],
+    loadavg_post: list[float],
     contended: bool,
     n_runs: int,
     sf: float,
@@ -308,7 +319,7 @@ def build_artifact(
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        "loadavg": [round(x, 2) for x in loadavg_post],
         "loadavg_preflight": loadavg_preflight,
         "contended": contended,
         "runs_per_query": n_runs,
@@ -375,16 +386,19 @@ def main() -> None:
     # noise, not signal.
     n_warm = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUPS", "1")))
     for name in names:
-        # untimed warmup(s) at the TARGET SF (JIT + page cache); the
-        # first is recorded separately so cold-start cost stays
-        # visible in the artifact
-        t0 = time.perf_counter()
-        for _ in range(n_warm):
+        # untimed warmup(s) at the TARGET SF (JIT + page cache); ONLY
+        # the first is recorded, so the artifact's warmup field keeps
+        # meaning "first-run cold-start cost" regardless of n_warm
+        # (a probe child's 4-warmup sum would be apples-to-oranges
+        # against suite artifacts -- review r10 finding #3)
+        for i in range(n_warm):
+            t0 = time.perf_counter()
             try:
                 specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass
-        warmups[name] = round(time.perf_counter() - t0, 3)
+            if i == 0:
+                warmups[name] = round(time.perf_counter() - t0, 3)
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -409,8 +423,8 @@ def main() -> None:
     cold_timings = run_cold(names, sf_dir) if with_cold else {}
     wobble = {} if override else _wobble_outliers(timings, sf, sf_dir)
     extended, summary = build_artifact(
-        timings, samples, warmups, loadavg_preflight, contended,
-        n_runs, sf, cold_timings, wobble,
+        timings, samples, warmups, loadavg_preflight, list(os.getloadavg()),
+        contended, n_runs, sf, cold_timings, wobble,
     )
     print(json.dumps(extended))
     print(json.dumps(summary))

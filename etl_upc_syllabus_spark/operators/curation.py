@@ -338,15 +338,27 @@ def quarantine_vector_width(
                 "unbounded stream)"
             )
         widths = (
-            df.filter(F.col(vec_col).isNotNull())
+            df.filter(F.col(vec_col).isNotNull() & (w > 0))
             .groupBy(w.alias("w"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        # the mode is derived over POSITIVE widths only: the empty
+        # vector is itself a corruption shape (the ragged probe plants
+        # one), and a majority-empty corpus must not elect dim=0 and
+        # quarantine every healthy vector (review r10 finding #2)
         if not widths:
-            # no vectors at all: nothing to quarantine, schema-stable
-            return df, df.filter(F.lit(False)).withColumn(
-                "quarantine_reason", F.lit("width:")
+            # (streaming cannot reach here: the explicit-dim guard
+            # above raised already)
+            if df.filter(F.col(vec_col).isNotNull()).isEmpty():
+                # no vectors at all: nothing to derive, nothing to
+                # quarantine -- schema-stable no-op split
+                return df, df.filter(F.lit(False)).withColumn(
+                    "quarantine_reason", F.lit("width:")
+                )
+            raise ValueError(
+                "quarantine_vector_width: every non-NULL vector is empty; "
+                "no width contract is derivable -- pass dim= explicitly"
             )
         dim = max(widths, key=lambda r: (r["n"], r["w"]))["w"]
     bad = F.col(vec_col).isNotNull() & (w != F.lit(dim))

@@ -666,19 +666,29 @@ def embedding_lsh_candidate_pairs(
             n = e.count()
         planes_per_band = max(8, _math.ceil(_math.log2(max(n, 1) / target_bucket))
                               if n > target_bucket else 8)
-    out = None
-    for band in range(bands):
-        bucketed = e.select(
-            "id",
+    # ONE corpus scan: every band's bucket is computed in the same
+    # projection and unpivoted with posexplode, then a single
+    # self-join on (band, bucket) finds all bands' collisions -- a
+    # per-band loop would rescan the (unpersisted) corpus once per
+    # band at exactly the scale this operator exists for (review r10
+    # finding #6; the minhash text path has the same shape)
+    buckets = F.array(
+        *[
             hyperplane_bucket(
                 "v", dim, planes_per_band, plane_offset=band * planes_per_band
-            ).alias("bucket"),
-        )
-        a = bucketed.select(F.col("id").alias("a"), "bucket")
-        b = bucketed.select(F.col("id").alias("b"), "bucket")
-        pairs = a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b")
-        out = pairs if out is None else out.union(pairs)
-    return out.distinct()
+            )
+            for band in range(bands)
+        ]
+    )
+    bucketed = e.select("id", F.posexplode(buckets).alias("band", "bucket"))
+    a = bucketed.select(F.col("id").alias("a"), "band", "bucket")
+    b = bucketed.select(F.col("id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
 
 
 def embedding_cosine_pairs_scaled(

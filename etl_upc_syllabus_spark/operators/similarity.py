@@ -582,6 +582,16 @@ def pq_encode(
             # engines encode against the same reduced codebook with
             # the surviving ORIGINAL ids as codes.
             raise ValueError(f"need {k} seed vectors, found {len(pv)}")
+        if not pv:
+            # EVERY prefix seed exists but is corrupt: there is no
+            # codebook at all, and an empty cents list downstream would
+            # build a zero-struct (VOID-typed) candidate array. Data
+            # loss this total is a loud error, not an empty encode
+            # (review r10 finding #1).
+            raise ValueError(
+                f"all {k} prefix codebook seed vectors are non-indexable "
+                "(NULL or NULL-element); cannot build a PQ codebook"
+            )
         cents = [pv[i] for i in sorted(pv)]
         cent_ids = sorted(pv)
     elif len(cents) != k:
@@ -722,6 +732,11 @@ def pq_adc_topk(
     # its ORIGINAL id kept as the code -- mirroring the oracle, whose
     # dims CTE never sees the corrupt vector (module docstring)
     cent_ids = [i for i in range(kc) if i in vecs]
+    if not cent_ids:
+        raise ValueError(
+            f"all {kc} prefix codebook seed vectors are non-indexable "
+            "(NULL or NULL-element); cannot build a PQ codebook"
+        )
     cents = [vecs[i] for i in cent_ids]
     codes = pq_encode(
         emb, id_col, vec_col, m=m, k=len(cents), dim=dim,
@@ -840,6 +855,11 @@ def ivf_pq_adc_topk(
         # corrupt prefix seeds drop out with original ids kept as codes
         # (both engines see the same reduced codebook -- module docstring)
         cent_ids = [i for i in range(kc) if i in vecs]
+        if not cent_ids:
+            raise ValueError(
+                f"all {kc} prefix codebook seed vectors are non-indexable "
+                "(NULL or NULL-element); cannot build a PQ codebook"
+            )
         cents = [vecs[i] for i in cent_ids]
     else:
         if len(cents) != kc:

@@ -263,8 +263,8 @@ def test_summary_line_fits_tail_window():
         for n in names
     }
     extended, summary = bench.build_artifact(
-        timings, samples, warmups, [99.99, 99.99, 99.99], True, 3, 0.1,
-        cold, wobble,
+        timings, samples, warmups, [99.99, 99.99, 99.99],
+        [99.99, 99.99, 99.99], True, 3, 0.1, cold, wobble,
     )
     line = json.dumps(summary)
     assert len(line) < 1800, f"summary line is {len(line)} chars"

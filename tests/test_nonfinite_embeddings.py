@@ -423,3 +423,50 @@ def test_ragged_vectors_gated_restores_parity(spark, ragged_fixture, tmp_path):
     sdf = sim.cosine_topk_bruteforce(clean, k=5)
     odf = duckdb_run(spec.oracle, cleaned)
     compare(sdf, odf, "bruteforce@ragged-gated")
+
+
+def test_all_corrupt_prefix_codebook_raises_loudly(spark):
+    """Review r10 finding #1: when EVERY prefix seed exists but is
+    non-indexable, there is no codebook at all -- that much data loss
+    must raise the configuration error, not build a zero-struct
+    candidate array (pq_encode) or silently return an empty top-k
+    (the ADC paths)."""
+    from etl_upc_syllabus_spark.operators import similarity as sim
+
+    rows = [(i, [float(i * 8 + j) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    poisoned = df.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") < 4,
+            F.array(*([F.lit(None).cast("double")] * 8)),
+        ).otherwise(F.col("embedding")),
+    )
+    for op in (
+        lambda: sim.pq_encode(poisoned, m=2, k=4, dim=8),
+        lambda: sim.pq_adc_topk(poisoned, m=2, kc=4, dim=8),
+        lambda: sim.ivf_pq_adc_topk(poisoned, m=2, kc=4, dim=8),
+    ):
+        with pytest.raises(ValueError, match="non-indexable"):
+            op().count()
+
+
+def test_all_empty_width_corpus_raises_loudly(spark):
+    """Review r10 finding #2 companion: a corpus whose every non-NULL
+    vector is EMPTY has no derivable width contract -- loud, not a
+    dim=0 election that would quarantine healthy vectors on a
+    majority-empty corpus."""
+    from etl_upc_syllabus_spark.operators.curation import quarantine_vector_width
+
+    df = spark.createDataFrame(
+        [(1, []), (2, []), (3, None)], "id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="every non-NULL vector is empty"):
+        quarantine_vector_width(df)
+    # majority-empty corpus: mode derives over POSITIVE widths only
+    df2 = spark.createDataFrame(
+        [(1, []), (2, []), (3, [1.0, 2.0])], "id long, embedding array<double>"
+    )
+    clean, quar = quarantine_vector_width(df2)
+    assert [r["id"] for r in clean.collect()] == [3]
+    assert sorted(r["id"] for r in quar.collect()) == [1, 2]
