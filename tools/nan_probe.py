@@ -49,10 +49,18 @@ Three modes (--mode):
   IndexErrors (LUT build indexes a truncated codebook seed past its
   end). Documented UB: the ANN contract is fixed-width input; the
   consequence operator is curation.quarantine_vector_width (registry
-  plans deliberately untouched -- frozen cohorts).
+  plans deliberately untouched -- frozen cohorts). ``--gated``
+  (applies the width gate, dropping the 4 mutated rows) measures the
+  restored posture: 6/11 full parity + 5 LOUD ValueErrors, 0 silent
+  -- the PQ family's prefix-seed convention correctly refuses a
+  corpus whose seed id was removed ("codebook ids missing"); a
+  production deployment passes a trained codebook via cents= and is
+  unaffected by which ids the gate drops.
 
 Usage: python tools/nan_probe.py [--mode nan|elemnull|events|ragged]
                                  [--src SF_DIR] [--only NAME,..]
+                                 [--gated]  (ragged: apply the width
+                                 gate first; measures parity restored)
 """
 
 from __future__ import annotations
@@ -171,6 +179,25 @@ def build_nonfinite_fixture(
         pq.write_table(tbl.set_column(emb_idx, "embedding", new_col), dst)
 
 
+def gate_fixture_widths(spark, fixture_dir: str) -> None:
+    """Physically drop the rows THE GATE quarantines
+    (curation.quarantine_vector_width -- never a Python
+    re-implementation of the rule) from the embeddings fixture, in
+    place. ``--mode ragged --gated`` then measures that the gate's
+    clean side restores full cross-engine parity."""
+    import pyarrow.parquet as pq
+
+    from etl_upc_syllabus_spark.operators.curation import quarantine_vector_width
+
+    path = os.path.join(fixture_dir, "embeddings.parquet")
+    emb = spark.read.parquet(path)
+    _clean, quar = quarantine_vector_width(emb)
+    bad = {r["vec_id"] for r in quar.select("vec_id").collect()}
+    tbl = pq.read_table(path)
+    mask = [v not in bad for v in tbl.column("vec_id").to_pylist()]
+    pq.write_table(tbl.filter(mask), path)
+
+
 def embedding_query_names(specs) -> list[str]:
     return sorted(
         n
@@ -196,6 +223,7 @@ def main(argv: list[str]) -> int:
     src = "/root/testdata/sf0.001"
     only = None
     mode = "nan"
+    gated = False
     args = list(argv)
     while args:
         a = args.pop(0)
@@ -203,6 +231,8 @@ def main(argv: list[str]) -> int:
             src = args.pop(0)
         elif a == "--only":
             only = set(args.pop(0).split(","))
+        elif a == "--gated":
+            gated = True
         elif a == "--mode":
             mode = args.pop(0)
             assert mode in ("nan", "elemnull", "events", "ragged"), mode
@@ -219,6 +249,9 @@ def main(argv: list[str]) -> int:
 
     dest = os.path.join(tempfile.gettempdir(), "etl_upc_nanprobe")
     build_nonfinite_fixture(src, dest, mode=mode)
+    if gated:
+        assert mode == "ragged", "--gated applies the width gate (ragged mode)"
+        gate_fixture_widths(spark, dest)
 
     ok, diverged, errored = [], {}, {}
     for name in names:
@@ -237,7 +270,7 @@ def main(argv: list[str]) -> int:
     print(
         json.dumps(
             {
-                "mode": mode,
+                "mode": f"{mode}-gated" if gated else mode,
                 "total": len(names),
                 "ok": len(ok),
                 "diverged": diverged,
