@@ -368,3 +368,74 @@ def quarantine_vector_width(
         F.concat(F.lit("width:"), w.cast("string"), F.lit("!="), F.lit(str(dim))),
     )
     return clean, quarantined
+
+
+#: Max duplicated keys quarantine_duplicate_keys will broadcast; past
+#: it the "duplication is rare" assumption has failed (a replayed
+#: ingest, a cross-joined merge) and the anti join falls back to a
+#: shuffled join rather than OOM the driver -- the bound-and-fall-back
+#: contract shared with filter_decodable / lsh_candidate_pairs.
+DUP_KEYS_BROADCAST_MAX = 10_000_000
+
+
+def quarantine_duplicate_keys(
+    df: DataFrame, key: str, broadcast_max: int = DUP_KEYS_BROADCAST_MAX
+) -> tuple[DataFrame, DataFrame]:
+    """Split ALL rows of any duplicated key from the clean stream ->
+    (clean, quarantined-with-reason 'dupkey:<n_copies>').
+
+    The r10 duplicate-key probe (tools/dupkey_probe.py) measured what
+    non-unique ids -- legal in parquet, produced by retried writer
+    tasks, at-least-once ingests, and bad merges -- do downstream:
+    20 of 102 affected queries diverge SILENTLY with zero loud
+    failures (the worst posture class). Two mechanisms: driver-side
+    {id: value} collects (the PQ/ADC prefix codebook) keep ONE
+    arbitrary row where the SQL oracle's relational join keeps both
+    (nondeterministic codebooks), and row_number/grouping tiebreaks by
+    id stop being total orders. Since the engine cannot know WHICH
+    copy is true, every copy is quarantined -- resolution (keep
+    newest, keep max seq, manual review) is the caller's policy on
+    the quarantined side, e.g. via scd.py or domain_cap.
+
+    Scale posture: the duplicated-key set comes from one partial-
+    aggregated (map-side combined) count over KEYS ONLY -- payload
+    bytes never shuffle -- then broadcasts into an anti join (clean)
+    and an inner join (quarantined), bounded at ``broadcast_max``
+    with a warned shuffled fallback. The sizing count makes the
+    build EAGER (one Spark job at construction -- the documented
+    lsh bucket_cap posture). Batch-only: a streaming source cannot
+    be counted; use dropDuplicates within watermark
+    (streaming/events.py stream_dedup) for the streaming analog.
+    """
+    if df.isStreaming:
+        raise ValueError(
+            "quarantine_duplicate_keys needs a batch input (sizing "
+            "counts an aggregate); for streams use dropDuplicates "
+            "within a watermark (stream_dedup)"
+        )
+    dups = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n_copies"))
+        .filter(F.col("_n_copies") > 1)
+    )
+    n_dup = dups.limit(broadcast_max + 1).count()
+    if n_dup > broadcast_max:
+        import warnings
+
+        warnings.warn(
+            f"quarantine_duplicate_keys: {n_dup}+ duplicated keys exceed "
+            f"broadcast_max={broadcast_max}; the 'duplication is rare' "
+            "broadcast assumption failed -- falling back to shuffled "
+            "joins (same split, one extra shuffle of the key column).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        dup_side = dups
+    else:
+        dup_side = F.broadcast(dups)
+    clean = df.join(dup_side.select(key), key, "left_anti")
+    quarantined = df.join(dup_side, key).withColumn(
+        "quarantine_reason",
+        F.concat(F.lit("dupkey:"), F.col("_n_copies").cast("string")),
+    ).drop("_n_copies")
+    return clean, quarantined

@@ -129,3 +129,111 @@ def test_profile_columns_metrics(spark):
     assert out["s"]["n_distinct"] == 2
     assert (out["x"]["min_s"], out["x"]["max_s"]) == ("1.50", "2.50")
     assert (out["s"]["min_s"], out["s"]["max_s"]) == ("a", "b")
+
+
+from .conftest import SF_DIR  # noqa: E402
+
+# --- duplicate-key quarantine (r10 probe: tools/dupkey_probe.py) ------------
+
+
+def test_quarantine_duplicate_keys_splits_all_copies(spark):
+    """All rows of a duplicated key are quarantined (the engine cannot
+    know which copy is true) with the copy count in the reason; unique
+    rows stay clean; NULL keys stay clean (the repo's NULL-is-absent
+    convention -- joins never match NULL keys); a streaming input
+    raises toward the watermark-dedup analog."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_upc_syllabus_spark.operators.curation import quarantine_duplicate_keys
+    from etl_upc_syllabus_spark.streaming.events import read_events_stream
+
+    rows = [
+        (1, "a"),
+        (2, "b"),
+        (2, "b-retry"),
+        (3, "c"),
+        (3, "c-retry"),
+        (3, "c-again"),
+        (None, "n1"),
+        (None, "n2"),
+    ]
+    df = spark.createDataFrame(rows, "k long, payload string")
+    clean, quar = quarantine_duplicate_keys(df, "k")
+    assert sorted(r["payload"] for r in clean.collect()) == ["a", "n1", "n2"]
+    got = sorted((r["k"], r["quarantine_reason"]) for r in quar.collect())
+    assert got == [(2, "dupkey:2"), (2, "dupkey:2"),
+                   (3, "dupkey:3"), (3, "dupkey:3"), (3, "dupkey:3")]
+
+    # bounded-broadcast fallback produces the identical split
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        c2, q2 = quarantine_duplicate_keys(df, "k", broadcast_max=1)
+        assert any("broadcast assumption failed" in str(x.message) for x in w)
+    assert sorted(r["payload"] for r in c2.collect()) == ["a", "n1", "n2"]
+    assert q2.count() == 5
+
+    with pytest.raises(ValueError, match="batch input"):
+        quarantine_duplicate_keys(
+            read_events_stream(spark, SF_DIR), "event_id"
+        )
+
+
+def test_dupkey_gate_restores_parity(spark, tmp_path):
+    """The r10 duplicate-key probe measured 20/102 SILENT divergences
+    (zero loud -- the worst posture class): driver-side {id: vec}
+    collects keep one arbitrary copy where the relational oracle keeps
+    both, and id tiebreaks stop being total orders. Pin one
+    representative restoration: brute-force ANN over the gate's clean
+    side matches the oracle over a corpus with the duplicated ids
+    physically absent. Family-wide evidence: dupkey_probe --gated,
+    97/102 + 5 loud prefix-seed config errors, 0 silent."""
+    import os
+    import shutil
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from dupkey_probe import DUPLICATIONS, build_dupkey_fixture
+
+    from etl_upc_syllabus_spark.operators import similarity as sim
+    from etl_upc_syllabus_spark.operators.curation import quarantine_duplicate_keys
+    from etl_upc_syllabus_spark.plans import all_specs
+    from etl_upc_syllabus_spark.sources.tables import TABLES, load_table
+
+    from .oracle_harness import compare, duckdb_run
+
+    fixture = str(tmp_path / "dupfix")
+    build_dupkey_fixture(SF_DIR, fixture)
+
+    cleaned = str(tmp_path / "cleaned")
+    os.makedirs(cleaned)
+    dup_vec_ids = {i for i, _m in DUPLICATIONS["embeddings"][1]}
+    for t in TABLES:
+        src = os.path.join(fixture, f"{t}.parquet")
+        dst = os.path.join(cleaned, f"{t}.parquet")
+        if t == "embeddings":
+            tbl = pq.read_table(src)
+            mask = [v not in dup_vec_ids for v in tbl.column("vec_id").to_pylist()]
+            pq.write_table(tbl.filter(mask), dst)
+        elif os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copyfile(src, dst)
+
+    emb = load_table(spark, fixture, "embeddings")
+    clean, quar = quarantine_duplicate_keys(emb, "vec_id")
+    assert sorted(
+        r["vec_id"] for r in quar.select("vec_id").distinct().collect()
+    ) == sorted(dup_vec_ids)
+
+    spec = all_specs()["similarity_topk_bruteforce"]
+    compare(
+        sim.cosine_topk_bruteforce(clean, k=5),
+        duckdb_run(spec.oracle, cleaned),
+        "bruteforce@dupkey-gated",
+    )
