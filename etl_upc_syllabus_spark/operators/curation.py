@@ -439,3 +439,41 @@ def quarantine_duplicate_keys(
         F.concat(F.lit("dupkey:"), F.col("_n_copies").cast("string")),
     ).drop("_n_copies")
     return clean, quarantined
+
+
+def quarantine_timestamp_range(
+    df: DataFrame,
+    ts_col: str = "ts",
+    lo: str = "1900-01-01",
+    hi: str = "2100-01-01",
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows whose timestamp falls outside the plausible-business
+    range -> (clean, quarantined-with-reason 'ts_out_of_range').
+
+    The r10 extreme-timestamp probe (tools/ts_probe.py) measured what
+    calendar-edge values -- epoch-zero sentinels, year-9999 "forever"
+    rows, fat-fingered ancient years -- do downstream: 3 of 38 events
+    queries diverge silently, and the mechanism matters at any scale:
+
+    - ONE far-future event advances a streaming WATERMARK to its
+      timestamp, silently dropping every legitimate sibling as "late"
+      (the windowed-count probes lost rows vs the batch oracle);
+    - arithmetic that crosses year 10000 renders differently per
+      engine (Spark '+10000-01-01' ISO five-digit year vs DuckDB
+      '10000-01-01'), flipping string sorts and hashes.
+
+    The gate is a codegen'd range filter at scan speed (NULL stays
+    CLEAN -- absent is legal, implausible is not), streaming-safe
+    (pure filters, no aggregation), and belongs BEFORE the watermark
+    on any stream whose producer clock is not trusted. Bounds are
+    half-open [lo, hi): the defaults bracket plausible business time;
+    pass domain bounds explicitly where they are known.
+    """
+    t = F.col(ts_col)
+    bad = t.isNotNull() & ((t < F.lit(lo).cast("timestamp")) | (t >= F.lit(hi).cast("timestamp")))
+    clean = df.filter(~bad)
+    quarantined = df.filter(bad).withColumn(
+        "quarantine_reason",
+        F.concat(F.lit("ts_out_of_range:"), t.cast("string")),
+    )
+    return clean, quarantined

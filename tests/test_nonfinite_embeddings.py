@@ -470,3 +470,103 @@ def test_all_empty_width_corpus_raises_loudly(spark):
     clean, quar = quarantine_vector_width(df2)
     assert [r["id"] for r in clean.collect()] == [3]
     assert sorted(r["id"] for r in quar.collect()) == [1, 2]
+
+
+# --- extreme timestamps (r10 probe: tools/ts_probe.py) ----------------------
+
+
+def test_quarantine_timestamp_range_splits_and_is_stream_safe(spark, tmp_path):
+    """The calendar-edge gate: out-of-range timestamps split with the
+    uniform reason, NULL stays clean, bounds are half-open, and the
+    gate is a pure filter so it starts on a stream (it belongs BEFORE
+    the watermark)."""
+    import datetime as dt
+
+    from etl_upc_syllabus_spark.operators.curation import quarantine_timestamp_range
+    from etl_upc_syllabus_spark.streaming.events import read_events_stream
+
+    rows = [
+        (1, dt.datetime(2024, 5, 1)),
+        (2, dt.datetime(1899, 12, 31, 23, 59, 59)),
+        (3, dt.datetime(9999, 12, 31)),
+        (4, dt.datetime(1900, 1, 1)),       # lo is inclusive
+        (5, dt.datetime(2100, 1, 1)),       # hi is exclusive
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    clean, quar = quarantine_timestamp_range(df)
+    assert sorted(r["id"] for r in clean.collect()) == [1, 4, 6]
+    got = {r["id"]: r["quarantine_reason"] for r in quar.collect()}
+    assert set(got) == {2, 3, 5}
+    assert all(v.startswith("ts_out_of_range:") for v in got.values())
+
+    stream = read_events_stream(spark, "/root/testdata/sf0.001")
+    sc, sq = quarantine_timestamp_range(stream)
+    assert sc.isStreaming and sq.isStreaming
+
+
+def test_year_10000_formatting_split_is_real(spark):
+    """Root fact (ts_probe, stream_sessionization divergence):
+    arithmetic that crosses year 10000 renders with an ISO explicit
+    '+' five-digit year in Spark but without it in DuckDB -- flipping
+    string sorts and hashes. If this pin fails, the engines changed
+    and the probe posture should be re-measured."""
+    import duckdb
+
+    sp = spark.sql(
+        "SELECT cast(timestamp'9999-12-31 23:59:59' + interval 5 minutes AS string) AS t"
+    ).collect()[0]["t"]
+    du = duckdb.sql(
+        "SELECT cast(timestamp '9999-12-31 23:59:59' + interval 5 minutes AS varchar)"
+    ).fetchone()[0]
+    assert sp.startswith("+10000-"), sp
+    assert du.startswith("10000-"), du
+
+
+def test_pre_epoch_event_is_unconditionally_late_on_fresh_streams(spark, tmp_path):
+    """Root fact (ts_probe gated residual): a fresh Structured
+    Streaming query starts with watermark = epoch ZERO, so any event
+    whose window ends at or before 1970-01-01 00:00:00 is dropped as
+    late in its very first micro-batch -- while the batch oracle
+    counts it. One fat-fingered pre-epoch timestamp silently loses a
+    window; trusted-pre-epoch history must be processed in BATCH, or
+    the stream gated with quarantine_timestamp_range and the
+    quarantined side reconciled separately."""
+    import datetime as dt
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = {
+        "event_id": [1, 2, 3],
+        "ts": [dt.datetime(1969, 12, 31, 23, 59, 59), base,
+               base + dt.timedelta(minutes=1)],
+        "user_id": [7, 7, 7],
+        "event_type": ["a", "a", "a"],
+        "value": [1.0, 1.0, 1.0],
+        "props": ["{}", "{}", "{}"],
+    }
+    tbl = pa.table({
+        "event_id": pa.array(rows["event_id"], pa.int64()),
+        "ts": pa.array(rows["ts"], pa.timestamp("us")),
+        "user_id": pa.array(rows["user_id"], pa.int64()),
+        "event_type": pa.array(rows["event_type"]),
+        "value": pa.array(rows["value"], pa.float64()),
+        "props": pa.array(rows["props"]),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    spec = all_specs()["stream_window_counts"]
+    stream_windows = spec.fn(spark, str(tmp_path)).count()
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    batch_windows = len(con.execute(spec.oracle).fetchall())
+    assert batch_windows == stream_windows + 1, (
+        f"expected the pre-epoch window to be dropped by the fresh "
+        f"stream (batch {batch_windows} vs stream {stream_windows})"
+    )
