@@ -570,3 +570,67 @@ def test_pre_epoch_event_is_unconditionally_late_on_fresh_streams(spark, tmp_pat
         f"expected the pre-epoch window to be dropped by the fresh "
         f"stream (batch {batch_windows} vs stream {stream_windows})"
     )
+
+
+# --- malformed JSON (r10 probe: tools/json_probe.py) ------------------------
+
+
+def test_malformed_json_row_degrades_and_gate_quarantines(spark, tmp_path):
+    """Root facts (json_probe): on malformed props payloads the two
+    engines take OPPOSITE philosophies -- Spark's from_json/variant
+    path degrades PER ROW (NULL) so every query completes and the
+    repo's own gate (try_cast_quarantine) routes the bad rows to
+    'quarantine', while DuckDB's strict json_extract refuses the WHOLE
+    query at the first malformed byte. Not a correctness defect here:
+    the engine-side behavior is the desired 100 TB posture (one bad
+    payload must not kill a scan) and is pinned; the oracle refusal is
+    pinned as the cross-engine fact."""
+    import sys
+
+    import duckdb
+    import pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from json_probe import JSON_MUTATIONS, build_json_fixture
+
+    fixture = str(tmp_path / "jsonfix")
+    build_json_fixture("/root/testdata/sf0.001", fixture)
+
+    spec = all_specs()["try_cast_quarantine"]
+    out = spec.fn(spark, fixture)
+    routes = {r["props"]: (r["route"], r["k_val"]) for r in out.collect()}
+    # the measured per-class table (json_probe, r10): 8 classes
+    # quarantine; two parse to a VALUE -- duplicate keys are RFC-legal
+    # and BOTH engines take the FIRST key (k=1, verified below), and
+    # trailing garbage is Spark-lenient (leading valid JSON wins)
+    # where DuckDB refuses loudly -- never silent-wrong on either side
+    expected = {
+        "truncated": ("quarantine", None),
+        "garbage": ("quarantine", None),
+        "wrong_type": ("quarantine", None),
+        "nested": ("quarantine", None),
+        "empty_string": ("quarantine", None),
+        "bare_null": ("quarantine", None),
+        "duplicate_keys": ("ok", 1),
+        "trailing_garbage": ("ok", 1),
+        "overflow_number": ("quarantine", None),
+        "lone_surrogate_escape": ("quarantine", None),
+    }
+    for _id, (label, payload) in JSON_MUTATIONS.items():
+        if payload in routes:
+            assert routes[payload] == expected[label], (label, routes[payload])
+
+    # dup-keys parity fact: DuckDB also takes the FIRST key
+    assert duckdb.sql(
+        """SELECT json_extract('{"k":1,"k":2}', '$.k')"""
+    ).fetchone()[0] == "1"
+
+    # the other two JSON readers complete row-degraded (no crash)
+    assert all_specs()["json_struct_extract"].fn(spark, fixture).count() == 1000
+
+    # cross-engine fact: strict json_extract refuses the whole corpus
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{fixture}/events.parquet'")
+    with pytest.raises(duckdb.InvalidInputException):
+        con.execute(spec.oracle).fetchall()
