@@ -401,11 +401,15 @@ def quarantine_duplicate_keys(
     aggregated (map-side combined) count over KEYS ONLY -- payload
     bytes never shuffle -- then broadcasts into an anti join (clean)
     and an inner join (quarantined), bounded at ``broadcast_max``
-    with a warned shuffled fallback. The sizing count makes the
-    build EAGER (one Spark job at construction -- the documented
-    lsh bucket_cap posture). Batch-only: a streaming source cannot
-    be counted; use dropDuplicates within watermark
-    (streaming/events.py stream_dedup) for the streaming analog.
+    with a warned shuffled fallback. The dup-key aggregate is
+    localCheckpoint-materialized FIRST (the filter_decodable posture,
+    ADVICE r10) so the sizing count and both joins read one
+    materialized pass instead of re-scanning and re-aggregating the
+    key column three times. The checkpoint makes the build EAGER (one
+    Spark job at construction -- the documented lsh bucket_cap
+    posture). Batch-only: a streaming source cannot be counted; use
+    dropDuplicates within watermark (streaming/events.py stream_dedup)
+    for the streaming analog.
     """
     if df.isStreaming:
         raise ValueError(
@@ -413,10 +417,14 @@ def quarantine_duplicate_keys(
             "counts an aggregate); for streams use dropDuplicates "
             "within a watermark (stream_dedup)"
         )
+    # keys-only and duplication-rare by assumption, so the checkpoint
+    # footprint is bounded; past broadcast_max the fallback below still
+    # reads the SAME checkpoint (never a corpus re-aggregation)
     dups = (
         df.groupBy(key)
         .agg(F.count(F.lit(1)).alias("_n_copies"))
         .filter(F.col("_n_copies") > 1)
+        .localCheckpoint()
     )
     n_dup = dups.limit(broadcast_max + 1).count()
     if n_dup > broadcast_max:

@@ -30,11 +30,29 @@ vectors null-propagated whole Spark dot products while SQL SUM skipped
 the NULL term -- silently divergent rankings -- and crashed the PQ
 family's driver-side codebook collect with a bare TypeError. The
 DuckDB oracles share the contract via the dims CTE's element-NULL
-exclusion (plans/_fragments.dims_cte). A PREFIX-SEED id that exists
-but is non-indexable is dropped from the codebook (both engines see
-the same smaller codebook, original centroid ids preserved as codes);
-an id absent from the corpus altogether still raises the loud
-configuration error.
+exclusion (plans/_fragments.dims_cte). For PREFIX SEEDS (the PQ/ADC
+codebook collect) the two corruption shapes deliberately differ:
+
+- an ELEMENT-NULL seed (exists, has NULL elements) is dropped from
+  the codebook -- both engines see the same smaller codebook,
+  original centroid ids preserved as codes;
+- a WHOLE-NULL seed raises the same loud configuration error as an
+  id absent from the corpus. This asymmetry is intentional, not an
+  oversight (ADVICE r10 pinned it): the prefix collect filters
+  ``isNotNull`` first, which is load-bearing for the all-NULL
+  degenerate corpus (it must route to the clean empty-encode branch,
+  whose guard is "no indexable vector exists", not to a spurious
+  all-corrupt raise); a whole-NULL row in the seed prefix is the
+  classic ungated-corpus signature (join miss, dead id) and is
+  indistinguishable from a non-0-based id space without a second
+  corpus probe. The DuckDB oracle's dims CTE would silently build a
+  smaller codebook here -- the divergence is LOUD on the Spark side,
+  never a silent wrong answer, which is the acceptable class.
+  Pinned by tests/test_nonfinite_embeddings.py
+  (test_whole_null_prefix_seed_raises_loudly). ``kmeans_lloyd`` is
+  NOT under this rule: it seeds from the already-indexable-filtered
+  corpus, so any non-indexable seed (whole- or element-NULL) drops
+  silently on both sides -- its looser, documented contract.
 
 **Width contract (r10 ragged probe).** The family additionally
 assumes UNIFORM vector width: parquet list columns are not
@@ -488,12 +506,20 @@ def _prefix_vectors(
 ) -> tuple[dict[int, list[float]], set[int]]:
     """({id: vector}, corrupt_ids) for the first ``n`` ids -- the one
     driver collect shared by the PQ encode codebook and the ADC query
-    set. Rows with a non-indexable vector (NULL, or NULL elements --
-    the r9 elemnull probe's TypeError site was float(None) here) are
-    skipped from the dict but their ids are returned as ``corrupt``,
-    so callers can tell a corrupt-but-present seed (drop it, like the
-    oracle's dims exclusion) from an id absent from the corpus (a
-    configuration error that must raise loudly)."""
+    set. Rows with an ELEMENT-NULL vector (the r9 elemnull probe's
+    TypeError site was float(None) here) are skipped from the dict but
+    their ids are returned as ``corrupt``, so callers can tell a
+    corrupt-but-present seed (drop it, like the oracle's dims
+    exclusion) from an id absent from the corpus (a configuration
+    error that must raise loudly). A WHOLE-NULL vector is filtered out
+    BEFORE the collect (``isNotNull``), so its id lands in neither set
+    and callers treat it exactly like an absent id: the loud raise.
+    That prefilter is deliberate and load-bearing -- see the module
+    docstring's prefix-seed contract (ADVICE r10) -- do not "fix" it
+    by classifying whole-NULL into ``corrupt`` without reworking the
+    all-NULL degenerate branches in pq_encode/ivf_pq_adc_topk/
+    ivf_pq_rerank_topk, whose empty-corpus guards rely on an all-NULL
+    corpus producing (empty dict, empty corrupt set)."""
     rows = (
         emb.filter((F.col(id_col) < n) & F.col(vec_col).isNotNull())
         .select(id_col, vec_col, indexable(vec_col).alias("_ok"))
@@ -554,9 +580,11 @@ def pq_encode(
     """
     dsub = dim // m
     if cents is None:
-        # collect the prefix codebook from the UNFILTERED corpus so a
-        # corrupt seed is classified corrupt (dropped, id preserved),
-        # not missing (loud raise) -- see _prefix_vectors
+        # collect the prefix codebook from the not-yet-indexable-
+        # filtered corpus so an ELEMENT-NULL seed is classified corrupt
+        # (dropped, id preserved), not missing (loud raise); a
+        # WHOLE-NULL seed intentionally stays on the loud-raise path --
+        # see _prefix_vectors / module docstring (ADVICE r10)
         pv, corrupt = _prefix_vectors(emb, id_col, vec_col, k)
     # a non-indexable vector (NULL, or NULL elements) has no finite
     # subvectors to quantize: excluded from the index (the same
@@ -574,13 +602,16 @@ def pq_encode(
             return _empty_encode(emb, id_col)
         missing = [i for i in range(k) if i not in pv and i not in corrupt]
         if missing:
-            # an id ABSENT from the corpus is a real configuration
-            # error (non-0-based id space): refuse loudly rather than
-            # encode against a silently smaller codebook. A seed that
-            # exists but is corrupt (non-indexable) was dropped above
-            # -- the oracle's dims CTE drops it identically, so both
-            # engines encode against the same reduced codebook with
-            # the surviving ORIGINAL ids as codes.
+            # an id ABSENT from the corpus -- or present with a
+            # WHOLE-NULL vector, which the prefix collect deliberately
+            # conflates with absent (module docstring) -- is a real
+            # configuration error (non-0-based id space / ungated
+            # corpus): refuse loudly rather than encode against a
+            # silently smaller codebook. A seed that exists but is
+            # ELEMENT-NULL was dropped above -- the oracle's dims CTE
+            # drops it identically, so both engines encode against the
+            # same reduced codebook with surviving ORIGINAL ids as
+            # codes.
             raise ValueError(f"need {k} seed vectors, found {len(pv)}")
         if not pv:
             # EVERY prefix seed exists but is corrupt: there is no

@@ -130,6 +130,40 @@ def test_corrupt_prefix_seed_drops_with_original_ids(spark):
         sim.pq_encode(gapped, m=2, k=4, dim=8).count()
 
 
+def test_whole_null_prefix_seed_raises_loudly(spark):
+    """The prefix-seed asymmetry, pinned as the chosen contract
+    (ADVICE r10): a WHOLE-NULL seed vector raises the same loud
+    configuration error as an absent id (the ungated-corpus signature;
+    the DuckDB oracle would silently build a smaller codebook -- the
+    divergence is loud, never silent), while an ELEMENT-NULL seed
+    drops (test_corrupt_prefix_seed_drops_with_original_ids above).
+    The all-NULL corpus must KEEP routing to the clean empty-encode
+    branch -- the isNotNull prefilter in _prefix_vectors is what makes
+    that guard ("no indexable vector exists, nothing collected") hold,
+    which is why the asymmetry is load-bearing, not an oversight."""
+    from etl_upc_syllabus_spark.operators import similarity as sim
+
+    rows = [(i, [float(i * 8 + j) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    whole_null = df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 2, F.lit(None).cast("array<double>")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    # pq_encode, ADC, and IVFADC+rerank all share _prefix_vectors: the
+    # whole-NULL seed must be loud on each entry point
+    with pytest.raises(ValueError, match="seed vectors"):
+        sim.pq_encode(whole_null, m=2, k=4, dim=8).count()
+    with pytest.raises(ValueError, match="codebook ids missing"):
+        sim.pq_adc_topk(whole_null, m=2, kc=4, dim=8, n_queries=4, k=3).count()
+
+    # ...and the all-NULL corpus still takes the clean empty branch
+    all_null = df.withColumn("embedding", F.lit(None).cast("array<double>"))
+    assert sim.pq_encode(all_null, m=2, k=4, dim=8).count() == 0
+    assert sim.pq_adc_topk(all_null, m=2, kc=4, dim=8, n_queries=4, k=3).count() == 0
+
+
 def test_indexable_predicate(spark):
     """indexable() = non-NULL and no NULL element; the empty vector is
     (vacuously) indexable -- its exclusion elsewhere is by zero dims

@@ -68,11 +68,27 @@ def main() -> None:
             timeout=600,
             check=True,
         )
-        # since r10 bench.py emits TWO lines: extended evidence
-        # (carrying "samples") then the compact summary LAST
-        out_lines = out.stdout.strip().splitlines()
-        payload = json.loads(out_lines[-1])
-        extended = json.loads(out_lines[-2])
+        # since r10 bench.py emits TWO JSON lines: extended evidence
+        # (carrying "samples") then the compact summary last. Select
+        # them by CONTENT (the "metric" field), not position -- a stray
+        # stdout line (late JVM/GC output, a future third record) must
+        # not shift a positional index onto the wrong line (ADVICE r10)
+        payload = extended = None
+        for line in out.stdout.strip().splitlines():
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            metric = rec.get("metric") if isinstance(rec, dict) else None
+            if metric == "headline_suite_total":
+                payload = rec
+            elif metric == "headline_suite_extended":
+                extended = rec
+        if payload is None or extended is None:
+            sys.exit(
+                "bench.py output carried no headline_suite_total / "
+                "headline_suite_extended JSON line:\n" + out.stdout
+            )
         floors.append(payload["queries"][query])
         samples.append(extended["samples"][query])
         preflight.append(payload["loadavg_preflight"])
