@@ -273,6 +273,17 @@ def quarantine_nonfinite(
         return df, df.filter(F.lit(False)).withColumn(
             "quarantine_reason", F.lit("nonfinite:")
         )
+    any_bad, reason = _nonfinite_flags(cols)
+    clean = df.filter(~any_bad)
+    quarantined = df.filter(any_bad).withColumn("quarantine_reason", reason)
+    return clean, quarantined
+
+
+def _nonfinite_flags(cols: list[str]) -> tuple[Column, Column]:
+    """(any_bad, reason) column pair for the non-finite axis -- the
+    single source of the gate's expressions, shared by
+    quarantine_nonfinite and quarantine_hostile. ``cols`` must be
+    non-empty (the callers own the empty-axis no-op branch)."""
     inf = float("inf")
 
     def bad(c: str) -> Column:
@@ -285,13 +296,45 @@ def quarantine_nonfinite(
         any_bad = b if any_bad is None else (any_bad | b)
     # per-column culprit names, nulls compacted away (array_compact) --
     # a plain F.array() literal would be VOID-typed (the r8 gotcha)
-    reason = F.array_compact(F.array(*[F.when(bad(c), F.lit(c)) for c in cols]))
-    clean = df.filter(~any_bad)
-    quarantined = df.filter(any_bad).withColumn(
-        "quarantine_reason",
-        F.concat(F.lit("nonfinite:"), F.array_join(reason, ",")),
+    culprits = F.array_compact(F.array(*[F.when(bad(c), F.lit(c)) for c in cols]))
+    reason = F.concat(F.lit("nonfinite:"), F.array_join(culprits, ","))
+    return any_bad, reason
+
+
+def _modal_width(df: DataFrame, vec_col: str) -> int | None:
+    """The corpus's MODAL vector width (one narrow (width, count)
+    aggregate; ties break to the LARGER width -- truncation is the
+    common corruption, so the longer side is the likelier contract),
+    or None when no non-NULL vector exists at all (the caller's no-op
+    split). The mode is derived over POSITIVE widths only: the empty
+    vector is itself a corruption shape (the ragged probe plants one),
+    and a majority-empty corpus must not elect dim=0 and quarantine
+    every healthy vector (review r10 finding #2); an all-empty corpus
+    raises instead. Streaming inputs raise -- a mode cannot be counted
+    on an unbounded stream; callers there pass dim= explicitly.
+    Shared by quarantine_vector_width and quarantine_hostile so the
+    fused gate derives the identical contract."""
+    if df.isStreaming:
+        raise ValueError(
+            "quarantine_vector_width on a streaming input needs an "
+            "explicit dim= (the modal width cannot be counted on an "
+            "unbounded stream)"
+        )
+    w = F.size(F.col(vec_col))
+    widths = (
+        df.filter(F.col(vec_col).isNotNull() & (w > 0))
+        .groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    return clean, quarantined
+    if not widths:
+        if df.filter(F.col(vec_col).isNotNull()).isEmpty():
+            return None
+        raise ValueError(
+            "quarantine_vector_width: every non-NULL vector is empty; "
+            "no width contract is derivable -- pass dim= explicitly"
+        )
+    return max(widths, key=lambda r: (r["n"], r["w"]))["w"]
 
 
 def quarantine_vector_width(
@@ -329,45 +372,29 @@ def quarantine_vector_width(
     it (a production corpus KNOWS its width). Streaming inputs must
     pass ``dim`` (deriving a mode needs a count): raises otherwise.
     """
-    w = F.size(F.col(vec_col))
     if dim is None:
-        if df.isStreaming:
-            raise ValueError(
-                "quarantine_vector_width on a streaming input needs an "
-                "explicit dim= (the modal width cannot be counted on an "
-                "unbounded stream)"
+        dim = _modal_width(df, vec_col)
+        if dim is None:
+            # no vectors at all: nothing to derive, nothing to
+            # quarantine -- schema-stable no-op split
+            return df, df.filter(F.lit(False)).withColumn(
+                "quarantine_reason", F.lit("width:")
             )
-        widths = (
-            df.filter(F.col(vec_col).isNotNull() & (w > 0))
-            .groupBy(w.alias("w"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        # the mode is derived over POSITIVE widths only: the empty
-        # vector is itself a corruption shape (the ragged probe plants
-        # one), and a majority-empty corpus must not elect dim=0 and
-        # quarantine every healthy vector (review r10 finding #2)
-        if not widths:
-            # (streaming cannot reach here: the explicit-dim guard
-            # above raised already)
-            if df.filter(F.col(vec_col).isNotNull()).isEmpty():
-                # no vectors at all: nothing to derive, nothing to
-                # quarantine -- schema-stable no-op split
-                return df, df.filter(F.lit(False)).withColumn(
-                    "quarantine_reason", F.lit("width:")
-                )
-            raise ValueError(
-                "quarantine_vector_width: every non-NULL vector is empty; "
-                "no width contract is derivable -- pass dim= explicitly"
-            )
-        dim = max(widths, key=lambda r: (r["n"], r["w"]))["w"]
-    bad = F.col(vec_col).isNotNull() & (w != F.lit(dim))
+    bad, reason = _width_flags(vec_col, dim)
     clean = df.filter(~bad)
-    quarantined = df.filter(bad).withColumn(
-        "quarantine_reason",
-        F.concat(F.lit("width:"), w.cast("string"), F.lit("!="), F.lit(str(dim))),
-    )
+    quarantined = df.filter(bad).withColumn("quarantine_reason", reason)
     return clean, quarantined
+
+
+def _width_flags(vec_col: str, dim: int) -> tuple[Column, Column]:
+    """(bad, reason) column pair for the vector-width axis (shared by
+    quarantine_vector_width and quarantine_hostile)."""
+    w = F.size(F.col(vec_col))
+    bad = F.col(vec_col).isNotNull() & (w != F.lit(dim))
+    reason = F.concat(
+        F.lit("width:"), w.cast("string"), F.lit("!="), F.lit(str(dim))
+    )
+    return bad, reason
 
 
 #: Max duplicated keys quarantine_duplicate_keys will broadcast; past
@@ -477,11 +504,103 @@ def quarantine_timestamp_range(
     half-open [lo, hi): the defaults bracket plausible business time;
     pass domain bounds explicitly where they are known.
     """
-    t = F.col(ts_col)
-    bad = t.isNotNull() & ((t < F.lit(lo).cast("timestamp")) | (t >= F.lit(hi).cast("timestamp")))
+    bad, reason = _ts_flags(ts_col, lo, hi)
     clean = df.filter(~bad)
-    quarantined = df.filter(bad).withColumn(
-        "quarantine_reason",
-        F.concat(F.lit("ts_out_of_range:"), t.cast("string")),
+    quarantined = df.filter(bad).withColumn("quarantine_reason", reason)
+    return clean, quarantined
+
+
+def _ts_flags(ts_col: str, lo: str, hi: str) -> tuple[Column, Column]:
+    """(bad, reason) column pair for the timestamp-range axis (shared
+    by quarantine_timestamp_range and quarantine_hostile)."""
+    t = F.col(ts_col)
+    bad = t.isNotNull() & (
+        (t < F.lit(lo).cast("timestamp")) | (t >= F.lit(hi).cast("timestamp"))
     )
+    reason = F.concat(F.lit("ts_out_of_range:"), t.cast("string"))
+    return bad, reason
+
+
+def quarantine_hostile(
+    df: DataFrame,
+    *,
+    cols: list[str] | None = None,
+    vec_col: str | None = None,
+    dim: int | None = None,
+    ts_col: str | None = None,
+    ts_lo: str = "1900-01-01",
+    ts_hi: str = "2100-01-01",
+) -> tuple[DataFrame, DataFrame]:
+    """The three pure-filter ingestion gates -- non-finite scalars,
+    ragged vector widths, implausible timestamps -- fused into ONE
+    corpus pass -> (clean, quarantined-with-reason).
+
+    Why it exists (VERDICT r10 finding #3): each single-axis gate is
+    individually scan-speed, but a 100 TB ingest composing
+    ``quarantine_nonfinite`` -> ``quarantine_vector_width`` ->
+    ``quarantine_timestamp_range`` pays one full corpus scan per
+    QUARANTINED side it materializes (the clean sides collapse into
+    one scan under Catalyst's filter-combining; the three quarantine
+    reports do not -- they are three scans, plus a fourth for the
+    clean output). This gate evaluates all three predicates in one
+    codegen'd projection: the clean side is one scan, the combined
+    quarantine report is one scan, total two -- the minimum for a
+    split whose both sides are consumed (pinned by
+    tests/test_curation.py::test_quarantine_hostile_single_scan).
+
+    Semantics are EXACTLY the sequential composition, pinned by an
+    equivalence test on the hostile fixtures from all three probes:
+    a row's ``quarantine_reason`` comes from the FIRST failing gate in
+    composition order (nonfinite, then width, then ts -- the reason
+    prefixes stay 'nonfinite:' / 'width:' / 'ts_out_of_range:', so a
+    consumer of the single gates parses this report unchanged), and
+    when ``dim`` is derived it is the modal width of the
+    NONFINITE-CLEAN rows, exactly what the second gate in the chain
+    would have seen. NULL stays clean on every axis (absent is legal;
+    poisoned/mis-shaped/implausible is not).
+
+    Axis selection: ``cols`` (None = every top-level float/double
+    column; pass ``[]`` to disable the non-finite axis), ``vec_col``
+    (None disables the width axis), ``ts_col`` (None disables the
+    range axis). With every axis inactive the split is a schema-stable
+    no-op. Streaming-safe like its parts: all pure filters, goes
+    BEFORE the watermark; a streaming input with a width axis needs
+    explicit ``dim=`` (modal derivation counts), same rule as the
+    single gate. ``quarantine_duplicate_keys`` stays a separate pass
+    by nature -- it needs a corpus aggregate, not a row predicate.
+    """
+    from pyspark.sql import types as T
+
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+        ]
+    axes: list[tuple[Column, Column]] = []
+    if cols:
+        axes.append(_nonfinite_flags(cols))
+    if vec_col is not None:
+        if dim is None:
+            # derive the modal width over what the sequential chain's
+            # width gate would see: the nonfinite-CLEAN rows
+            scope = df.filter(~axes[0][0]) if axes else df
+            dim = _modal_width(scope, vec_col)
+        if dim is not None:
+            axes.append(_width_flags(vec_col, dim))
+        # dim None (no non-NULL vector exists): the width axis is a
+        # no-op exactly as the single gate's no-op split
+    if ts_col is not None:
+        axes.append(_ts_flags(ts_col, ts_lo, ts_hi))
+    if not axes:
+        return df, df.filter(F.lit(False)).withColumn(
+            "quarantine_reason", F.lit("")
+        )
+    any_bad = None
+    for b, _ in axes:
+        any_bad = b if any_bad is None else (any_bad | b)
+    # first-failing-gate-wins: coalesce in composition order
+    reason = F.coalesce(*[F.when(b, r) for b, r in axes])
+    clean = df.filter(~any_bad)
+    quarantined = df.filter(any_bad).withColumn("quarantine_reason", reason)
     return clean, quarantined

@@ -237,3 +237,137 @@ def test_dupkey_gate_restores_parity(spark, tmp_path):
         duckdb_run(spec.oracle, cleaned),
         "bruteforce@dupkey-gated",
     )
+
+
+# ---------------------------------------------------------------------------
+# quarantine_hostile: the fused single-scan composition (VERDICT r10 #3)
+
+
+def _collected(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def _sequential_hostile(df, *, cols=None, vec_col=None, dim=None, ts_col=None,
+                        ts_lo="1900-01-01", ts_hi="2100-01-01"):
+    """The three single-axis gates chained in the documented order,
+    quarantined sides unioned -- the baseline quarantine_hostile must
+    reproduce exactly."""
+    quars = []
+    cur, q = cu.quarantine_nonfinite(df, cols)
+    quars.append(q)
+    if vec_col is not None:
+        cur, q = cu.quarantine_vector_width(cur, vec_col, dim)
+        quars.append(q)
+    if ts_col is not None:
+        cur, q = cu.quarantine_timestamp_range(cur, ts_col, ts_lo, ts_hi)
+        quars.append(q)
+    quar = quars[0]
+    for q in quars[1:]:
+        quar = quar.unionByName(q)
+    return cur, quar
+
+
+def test_quarantine_hostile_equals_sequential_on_probe_fixtures(
+    spark, tmp_path_factory
+):
+    """Fused == sequential, pinned on the hostile fixtures from all
+    three r9/r10 probes (never a synthetic approximation): the
+    events-NaN corpus (non-finite axis), the extreme-timestamp corpus
+    (range axis), and the ragged-embedding corpus (width axis). Each
+    fixture must actually quarantine rows, or the pin proves nothing."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools"))
+    from nan_probe import build_nonfinite_fixture
+    from ts_probe import build_ts_fixture
+
+    from etl_upc_syllabus_spark.sources.tables import load_table
+
+    nan_dir = str(tmp_path_factory.mktemp("hostile_nanev"))
+    build_nonfinite_fixture(SF_DIR, nan_dir, mode="events")
+    ts_dir = str(tmp_path_factory.mktemp("hostile_ts"))
+    build_ts_fixture(SF_DIR, ts_dir)
+    rag_dir = str(tmp_path_factory.mktemp("hostile_ragged"))
+    build_nonfinite_fixture(SF_DIR, rag_dir, mode="ragged")
+
+    for sf_dir, table, kw in [
+        (nan_dir, "events", dict(ts_col="ts")),
+        (ts_dir, "events", dict(ts_col="ts")),
+        (rag_dir, "embeddings", dict(vec_col="embedding")),
+    ]:
+        df = load_table(spark, sf_dir, table)
+        fc, fq = cu.quarantine_hostile(df, **kw)
+        sc_, sq = _sequential_hostile(df, **kw)
+        assert fq.count() > 0, f"{sf_dir}/{table}: fixture quarantined nothing"
+        assert _collected(fc) == _collected(sc_), f"{table}@{sf_dir}: clean side"
+        assert _collected(fq) == _collected(sq), f"{table}@{sf_dir}: quarantine side"
+
+
+def test_quarantine_hostile_first_gate_wins(spark):
+    """A row hostile on several axes carries the reason of the FIRST
+    failing gate in composition order (nonfinite -> width -> ts), the
+    modal width derives over the NONFINITE-CLEAN rows exactly as the
+    sequential chain's second gate would see them, NULL stays clean on
+    every axis, and the whole thing still equals the sequential
+    composition row-for-row."""
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, 1.0, [1.0, 2.0], "2020-01-01"),
+        (2, nan, [1.0], "9999-01-01"),          # all three axes -> nonfinite
+        (3, 2.0, [1.0, 2.0, 3.0], "1800-01-01"),  # width + ts -> width
+        (4, 3.0, [1.0, 2.0], "2150-06-01"),     # ts only
+        (5, None, None, None),                  # NULL everywhere: clean
+        (6, inf, [5.0, 6.0], "2021-05-05"),     # nonfinite only
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, x double, v array<double>, d string"
+    ).withColumn("ts", F.to_timestamp("d")).drop("d")
+    clean, quar = cu.quarantine_hostile(df, vec_col="v", ts_col="ts")
+    assert sorted(r["id"] for r in clean.collect()) == [1, 5]
+    reasons = {r["id"]: r["quarantine_reason"] for r in quar.collect()}
+    assert reasons[2] == "nonfinite:x"
+    assert reasons[3] == "width:3!=2"
+    assert reasons[4] == "ts_out_of_range:2150-06-01 00:00:00"
+    assert reasons[6] == "nonfinite:x"
+
+    sc_, sq = _sequential_hostile(df, vec_col="v", ts_col="ts")
+    assert _collected(clean) == _collected(sc_)
+    assert _collected(quar) == _collected(sq)
+
+    # every axis inactive: schema-stable no-op split
+    plain = df.select("id", "v", "ts")
+    nc, nq = cu.quarantine_hostile(plain, cols=[])
+    assert nc.count() == 6 and nq.count() == 0
+    assert "quarantine_reason" in nq.columns
+
+
+def test_quarantine_hostile_single_scan(spark, tmp_path):
+    """The point of the fusion: BOTH returned sides are one corpus scan
+    each (the sequential chain's unioned quarantine report is three).
+    Counted on the executed plan of a real parquet read."""
+    from etl_upc_syllabus_spark.explain import plan_of
+
+    nan = float("nan")
+    rows = [
+        (1, 1.0, [1.0, 2.0], "2020-01-01"),
+        (2, nan, [1.0], "9999-01-01"),
+        (3, 2.0, [1.0, 2.0, 3.0], "1800-01-01"),
+    ]
+    src = str(tmp_path / "hostile.parquet")
+    spark.createDataFrame(
+        rows, "id long, x double, v array<double>, d string"
+    ).withColumn("ts", F.to_timestamp("d")).drop("d").write.parquet(src)
+    df = spark.read.parquet(src)
+
+    fc, fq = cu.quarantine_hostile(df, vec_col="v", dim=2, ts_col="ts")
+    for side, label in [(fc, "clean"), (fq, "quarantine")]:
+        tree, _ = plan_of(side)
+        n = tree.count("Scan parquet")
+        assert n == 1, f"fused {label} side reads the corpus {n}x, want 1"
+
+    _, sq = _sequential_hostile(df, vec_col="v", dim=2, ts_col="ts")
+    tree, _ = plan_of(sq)
+    assert tree.count("Scan parquet") == 3, "sequential union should be 3 scans"
