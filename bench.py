@@ -135,11 +135,21 @@ def _wobble_outliers(
     timings: dict[str, float], sf: float, sf_dir: str
 ) -> dict[str, object]:
     """Self-documenting drift attribution (VERDICT r8 item 7): any
-    query whose best-of-N exceeds its recorded floor (BENCH_FLOORS.json)
-    by >25% gets the wobble protocol embedded in the artifact -- N
-    INDEPENDENT isolated single-query bench invocations (fresh process,
-    own preflight gate, 4 warmups for JIT steady state), exactly what
-    tools/wobble.py runs by hand.
+    query whose best-of-N exceeds its TRIGGER floor by >25% gets the
+    wobble protocol embedded in the artifact -- N INDEPENDENT isolated
+    single-query bench invocations (fresh process, own preflight gate,
+    4 warmups for JIT steady state), exactly what tools/wobble.py runs
+    by hand.
+
+    The trigger floor is the RECENT-ERA floor (BENCH_FLOORS.json
+    ``recent_floors``: per-query min over the last 3 round artifacts,
+    regenerated by tools/floors.py) when present, else the all-time
+    ledger floor (``floors``) -- VERDICT r10 item 6: on a host
+    drifting busier, all-time quiet-era records fire the probe on
+    pure era drift (r10 fired 3/15 with zero plan changes). Artifact
+    rows keep ``recorded_floor`` = the all-time ledger for continuity
+    and add ``recent_floor`` whenever it differs; ``ratio`` is vs the
+    trigger floor (the number the >1.25x rule actually used).
 
     Interpretation (refined r10 after measuring the fresh-JVM JIT
     bias): a probe best that reproduces the recorded floor attributes
@@ -170,11 +180,27 @@ def _wobble_outliers(
     if rec.get("sf") != sf:
         return {}
     floors = rec.get("floors", {})
+    recent = rec.get("recent_floors", {})
+    # trigger floor: recent era when recorded, else the all-time ledger
+    trigger = {
+        name: recent.get(name, floors.get(name))
+        for name in set(floors) | set(recent)
+    }
+
+    def _row(name: str, ratio: float) -> dict[str, object]:
+        row: dict[str, object] = {
+            "recorded_floor": floors.get(name, trigger[name]),
+            "ratio": round(ratio, 2),
+        }
+        if name in recent and recent[name] != row["recorded_floor"]:
+            row["recent_floor"] = recent[name]
+        return row
+
     outliers = sorted(
         (
-            (name, t / floors[name])
+            (name, t / trigger[name])
             for name, t in timings.items()
-            if name in floors and floors[name] > 0 and t > WOBBLE_OUTLIER_RATIO * floors[name]
+            if trigger.get(name) and t > WOBBLE_OUTLIER_RATIO * trigger[name]
         ),
         key=lambda kv: -kv[1],
     )
@@ -182,8 +208,7 @@ def _wobble_outliers(
         return {}
     result: dict[str, object] = {}
     for name, ratio in outliers[WOBBLE_MAX_QUERIES:]:
-        result[name] = {"recorded_floor": floors[name], "ratio": round(ratio, 2),
-                        "probed": False}
+        result[name] = {**_row(name, ratio), "probed": False}
     # total wall-clock budget across ALL probe invocations: up to 3
     # outliers x 3 (+1 contended retry) invocations, each with its own
     # preflight wait and 600 s timeout, could otherwise stall the run
@@ -193,8 +218,7 @@ def _wobble_outliers(
     deadline = time.monotonic() + budget
     for name, ratio in outliers[:WOBBLE_MAX_QUERIES]:
         if time.monotonic() >= deadline:
-            result[name] = {"recorded_floor": floors[name],
-                            "ratio": round(ratio, 2),
+            result[name] = {**_row(name, ratio),
                             "probed": False, "budget_exhausted": True}
             continue
         probe_floors: list[float] = []
@@ -236,8 +260,7 @@ def _wobble_outliers(
             probe_contended.append(bool(payload.get("contended")))
         best = min(probe_floors) if probe_floors else None
         result[name] = {
-            "recorded_floor": floors[name],
-            "ratio": round(ratio, 2),
+            **_row(name, ratio),
             "probed": True,
             "floors": probe_floors,
             "best": best,

@@ -227,6 +227,39 @@ def test_wobble_outlier_selection(tmp_path, monkeypatch):
     assert out["q_a"] == {"recorded_floor": 1.0, "ratio": 2.0, "probed": False}
 
 
+def test_wobble_trigger_keys_to_recent_era_floor(tmp_path, monkeypatch):
+    """VERDICT r10 item 6: the >1.25x trigger compares against the
+    RECENT-ERA floor (min over the last 3 round artifacts) so a busier
+    host era does not fire probes on pure drift against all-time
+    quiet-era records; the all-time ledger floor stays in the row as
+    recorded_floor, with recent_floor added when it differs. A query
+    with no recent reading falls back to the ledger."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    floors = {
+        "sf": 0.1,
+        "floors": {"q_a": 1.0, "q_b": 1.0},
+        "recent_floors": {"q_a": 1.6},
+    }
+    floors_file = str(tmp_path / "floors.json")
+    json.dump(floors, open(floors_file, "w"))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FLOORS", floors_file)
+    monkeypatch.setattr(bench, "WOBBLE_MAX_QUERIES", 0)
+
+    # 1.9x the all-time floor but only 1.19x the recent era: no probe
+    assert bench._wobble_outliers({"q_a": 1.9}, 0.1, "x") == {}
+    # past 1.25x the recent era: fires, ratio is vs the trigger floor,
+    # both floors are in the row
+    out = bench._wobble_outliers({"q_a": 2.1}, 0.1, "x")
+    assert out == {"q_a": {"recorded_floor": 1.0, "recent_floor": 1.6,
+                           "ratio": round(2.1 / 1.6, 2), "probed": False}}
+    # no recent reading: the ledger floor is the trigger, row unchanged
+    out = bench._wobble_outliers({"q_b": 1.3}, 0.1, "x")
+    assert out == {"q_b": {"recorded_floor": 1.0, "ratio": 1.3, "probed": False}}
+
+
 # --- artifact emission (r10: the driver tail-captures ~2000 chars) ----------
 
 
