@@ -32,7 +32,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .textanalysis import let_bind, norm_text, tokens
+from .textanalysis import let_bind, norm_text, norm_text_unicode, tokens
+
+
+def _tnorm(text_col: str, normalized: bool) -> Column:
+    """Canonical text for hashing/shingling: norm_text, or the
+    hostile-Unicode variant under the ``normalized=`` knob every text
+    entry point here carries (VERDICT r10 item 4; default False keeps
+    all existing plans byte-identical)."""
+    return norm_text_unicode(text_col) if normalized else norm_text(text_col)
 
 # MinHash permutation family: h_j(x) = (a_j * x + b_j) mod p over a
 # 31-bit Mersenne prime. One md5 per shingle gives x; the K permutations
@@ -68,7 +76,9 @@ def _hex8_bigint(col_name: str) -> Column:
     return F.conv(F.substring(col_name, 1, 8), 16, 10).cast("long")
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = False
+) -> DataFrame:
     """Group identical normalized texts: (text_hash, keeper_id, n_copies).
 
     The keeper is the minimum id (deterministic). Reference analog: the
@@ -76,19 +86,23 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     pipeline op.
     """
     return (
-        df.select(F.col(id_col), F.md5(norm_text(text_col)).alias("text_hash"))
+        df.select(F.col(id_col), F.md5(_tnorm(text_col, normalized)).alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
     )
 
 
-def survivors(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def survivors(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = False
+) -> DataFrame:
     """The deduplicated corpus: first row (min id) per normalized text."""
-    w = W.partitionBy(F.md5(norm_text(text_col))).orderBy(F.col(id_col))
+    w = W.partitionBy(F.md5(_tnorm(text_col, normalized))).orderBy(F.col(id_col))
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, normalized: bool = False
+) -> DataFrame:
     """Distinct k-token shingles per document as an ARRAY: (id, ss).
 
     Entirely narrow -- no explode, no shuffle: a doc's shingles are
@@ -109,7 +123,7 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     # slice below references tk exactly once per ROW, so even after
     # projection collapse the tokenizer runs ~k times per document:
     # the same 50k docs now shingle in ~2 s cold.
-    tk = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+    tk = df.select(F.col(id_col).alias("id"), tokens(text_col, normalized).alias("tk"))
     toks = F.col("tk")
     m = F.size(toks) - (k - 1)  # number of shingles
     parts = [F.slice(toks, j + 1, m) for j in range(k)]
@@ -124,12 +138,14 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataF
     )
 
 
-def token_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+def token_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, normalized: bool = False
+) -> DataFrame:
     """Distinct k-token shingles per document: (id, shingle), exploded.
 
     Long-form view of :func:`shingle_sets` for consumers that want to
     partition by shingle (e.g. building an inverted shingle index)."""
-    return shingle_sets(df, id_col, text_col, k).select(
+    return shingle_sets(df, id_col, text_col, k, normalized).select(
         "id", F.explode("ss").alias("shingle")
     )
 
@@ -375,7 +391,12 @@ def jaccard_verify(pairs: DataFrame, sets: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_allpairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 2, threshold: float = 0.0
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 2,
+    threshold: float = 0.0,
+    normalized: bool = False,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via array_intersect (a < b).
 
@@ -385,7 +406,9 @@ def ngram_jaccard_allpairs(
     # shingle build shares shingle_sets' zip-slice shape (one tokenize
     # pass per slice, never per element -- see shingle_sets for the
     # CollapseProject trap the naive element_at form falls into)
-    base = shingle_sets(df, id_col, text_col, k).select("id", F.col("ss").alias("sh"))
+    base = shingle_sets(df, id_col, text_col, k, normalized).select(
+        "id", F.col("ss").alias("sh")
+    )
     a = base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a"))
     b = base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -397,7 +420,9 @@ def ngram_jaccard_allpairs(
     )
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, normalized: bool = False
+) -> DataFrame:
     """SimHash over distinct tokens: (id, simhash) with simhash as a
     `bits`-length '0'/'1' string (portable; band it for bucketing).
 
@@ -414,7 +439,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str, bits: int = 32
     corpus twice for the same answer.
     """
     xs = F.transform(
-        F.array_distinct(tokens(text_col)),
+        F.array_distinct(tokens(text_col, normalized)),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
     )
     # NULL-text / zero-token docs have no signature: the explode-based
@@ -444,6 +469,7 @@ def incremental_dedup(
     k: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
+    normalized: bool = False,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus (cross-batch dedup).
 
@@ -467,16 +493,18 @@ def incremental_dedup(
     signatures), exactly like the full-corpus LSH pipeline.
     """
     b_hash = batch.select(
-        F.col(id_col).alias("id"), F.md5(norm_text(text_col)).alias("h")
+        F.col(id_col).alias("id"), F.md5(_tnorm(text_col, normalized)).alias("h")
     )
-    c_hash = corpus.select(F.md5(norm_text(text_col)).alias("h")).distinct()
+    c_hash = corpus.select(F.md5(_tnorm(text_col, normalized)).alias("h")).distinct()
     exact_ids = b_hash.join(c_hash, "h", "left_semi").select("id").distinct()
 
     b_sig = minhash_signatures(
-        shingle_sets(batch, id_col, text_col, k=k), num_hashes, band_size
+        shingle_sets(batch, id_col, text_col, k=k, normalized=normalized),
+        num_hashes, band_size,
     )
     c_sig = minhash_signatures(
-        shingle_sets(corpus, id_col, text_col, k=k), num_hashes, band_size
+        shingle_sets(corpus, id_col, text_col, k=k, normalized=normalized),
+        num_hashes, band_size,
     ).select("band", "band_hash")
     near_ids = (
         b_sig.join(c_sig, ["band", "band_hash"], "left_semi").select("id").distinct()

@@ -111,14 +111,28 @@ def norm_text_unicode(col: Column | str) -> Column:
     )
 
 
-def tokens(col: Column | str) -> Column:
-    """Whitespace tokens of the normalized text."""
-    return F.split(norm_text(col), " ")
+def _norm(col: Column | str, normalized: bool) -> Column:
+    """:func:`norm_text`, or its hostile-Unicode variant when
+    ``normalized`` -- the single dispatch point behind the
+    ``normalized=`` knob every text entry point here (and the text
+    side of operators/dedup.py) carries (VERDICT r10 item 4, the
+    promotion ``running_user_totals(gated=)`` got in r10). Default
+    False keeps every existing plan byte-identical; True is
+    value-equal to hand-composing ``norm_text_unicode`` onto the
+    column first (norm_text_unicode is idempotent and
+    norm_text-stable; pinned in tests/test_unicode_text.py)."""
+    return norm_text_unicode(col) if normalized else norm_text(col)
 
 
-def token_count(col: Column | str) -> Column:
+def tokens(col: Column | str, normalized: bool = False) -> Column:
+    """Whitespace tokens of the normalized text (``normalized=True``:
+    unicode-safe via :func:`norm_text_unicode`)."""
+    return F.split(_norm(col, normalized), " ")
+
+
+def token_count(col: Column | str, normalized: bool = False) -> Column:
     """Token count; 0 for empty/whitespace-only text."""
-    n = norm_text(col)
+    n = _norm(col, normalized)
     return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " "))).cast("long")
 
 
@@ -131,38 +145,44 @@ def token_count(col: Column | str) -> Column:
 BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
 
 
-def bpe_token_count(col: Column | str) -> Column:
+def bpe_token_count(col: Column | str, normalized: bool = False) -> Column:
     """BPE-ish pre-token count of the normalized text (0 when empty)."""
-    return F.regexp_count(norm_text(col), F.lit(BPE_PATTERN)).cast("long")
+    return F.regexp_count(_norm(col, normalized), F.lit(BPE_PATTERN)).cast("long")
 
 
 def _in_list(t: Column, words: tuple[str, ...]) -> Column:
     return t.isin(*words)
 
 
-def marker_hits(col: Column | str, words: tuple[str, ...]) -> Column:
+def marker_hits(
+    col: Column | str, words: tuple[str, ...], normalized: bool = False
+) -> Column:
     """How many tokens are in the given marker/stopword list."""
-    return F.size(F.filter(tokens(col), lambda t: _in_list(t, words))).cast("long")
+    return F.size(
+        F.filter(tokens(col, normalized), lambda t: _in_list(t, words))
+    ).cast("long")
 
 
-def punct_count(col: Column | str) -> Column:
-    n = norm_text(col)
+def punct_count(col: Column | str, normalized: bool = False) -> Column:
+    n = _norm(col, normalized)
     return (F.length(n) - F.length(F.regexp_replace(n, PUNCT_CLASS, ""))).cast("long")
 
 
-def quality_metrics(col: Column | str) -> dict[str, Column]:
+def quality_metrics(
+    col: Column | str, normalized: bool = False
+) -> dict[str, Column]:
     """Quality-scoring feature set (length / punctuation / stopword ratios).
 
     The classic pre-training quality heuristics (Gopher/C4-style rules):
     all exact-integer counts divided as doubles, so cross-engine stable.
     """
-    n = norm_text(col)
+    n = _norm(col, normalized)
     n_chars = F.length(n).cast("long")
-    n_toks = token_count(col)
+    n_toks = token_count(col, normalized)
     # single-space-joined => total token chars = n_chars - (n_toks - 1)
     avg_token_len = (n_chars - (n_toks - 1)).cast("double") / n_toks
-    punct_ratio = punct_count(col).cast("double") / n_chars
-    stop_ratio = marker_hits(col, STOPWORDS).cast("double") / n_toks
+    punct_ratio = punct_count(col, normalized).cast("double") / n_chars
+    stop_ratio = marker_hits(col, STOPWORDS, normalized).cast("double") / n_toks
     # no rounding: operands are identical doubles in every engine and the
     # expression is evaluated left-associatively in both, so the raw double
     # is bit-identical -- while round() would diverge on half-boundaries
@@ -182,10 +202,13 @@ def quality_metrics(col: Column | str) -> dict[str, Column]:
     }
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_id(col: Column | str, normalized: bool = False) -> Column:
     """N-gram/stopword-heuristic language ID: argmax of marker hits with a
     deterministic tie-break (LANG_ORDER). Pure column expressions."""
-    hits = {lang: marker_hits(col, words) for lang, words in LANG_MARKERS.items()}
+    hits = {
+        lang: marker_hits(col, words, normalized)
+        for lang, words in LANG_MARKERS.items()
+    }
     expr = F.lit(LANG_ORDER[-1])
     # build the CASE chain in reverse so earlier languages win ties
     for lang in reversed(LANG_ORDER[:-1]):
@@ -198,7 +221,9 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
-def char_shingles(col: Column | str, k: int = 8, stride: int = 4) -> Column:
+def char_shingles(
+    col: Column | str, k: int = 8, stride: int = 4, normalized: bool = False
+) -> Column:
     """Character k-gram shingles at the given stride over normalized text.
 
     Semantics: one shingle per char position 1, 1+stride, ... while a
@@ -228,7 +253,7 @@ def char_shingles(col: Column | str, k: int = 8, stride: int = 4) -> Column:
     q = k // g  # chunks per shingle
     step = stride // g  # chunk-index step between shingle starts
     return let_bind(
-        norm_text(col),
+        _norm(col, normalized),
         lambda s: F.when(F.length(s) < k, F.array(s)).otherwise(
             let_bind(
                 F.regexp_extract_all(s, F.lit(f"(?s).{{{g}}}"), 0),
@@ -243,10 +268,12 @@ def char_shingles(col: Column | str, k: int = 8, stride: int = 4) -> Column:
     )
 
 
-def fingerprint(col: Column | str, k: int = 8, stride: int = 4) -> Column:
+def fingerprint(
+    col: Column | str, k: int = 8, stride: int = 4, normalized: bool = False
+) -> Column:
     """Winnowing-style document fingerprint: min md5 over strided character
     k-gram shingles (rolling-hash family; deterministic, portable)."""
-    shingles = char_shingles(col, k, stride)
+    shingles = char_shingles(col, k, stride, normalized)
     return F.array_min(F.transform(shingles, F.md5))
 
 
@@ -261,7 +288,9 @@ CLS_MOD = 2003  # prime; weight lattice size
 _CLS_MIX = 2654435761  # Knuth multiplicative-hash constant
 
 
-def hashed_linear_score(col: Column | str, dim: int = CLS_DIM) -> Column:
+def hashed_linear_score(
+    col: Column | str, dim: int = CLS_DIM, normalized: bool = False
+) -> Column:
     """Mean implicit-weight activation of the token bag (pre-sigmoid).
 
     bucket(t) = hex8(md5(t)) % dim; w(b) = ((b*MIX) % MOD - 1001) / 1024.
@@ -273,7 +302,7 @@ def hashed_linear_score(col: Column | str, dim: int = CLS_DIM) -> Column:
     strategy agree bit-for-bit, with no rounding fence needed before
     the sigmoid. Returns 0.0 for empty text (empty bag, no activation).
     """
-    tk = tokens(col)
+    tk = tokens(col, normalized)
     ws = F.transform(
         tk,
         lambda t: (
@@ -284,7 +313,7 @@ def hashed_linear_score(col: Column | str, dim: int = CLS_DIM) -> Column:
         )
         / F.lit(1024.0),
     )
-    n = token_count(col)
+    n = token_count(col, normalized)
     return F.when(n == 0, F.lit(0.0)).otherwise(
         F.aggregate(ws, F.lit(0.0), lambda acc, w: acc + w) / n.cast("double")
     )

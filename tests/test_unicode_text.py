@@ -146,3 +146,56 @@ def test_normalized_hostile_text_keeps_oracle_parity(
     sdf = spec.fn(spark, normalized_unicode_fixture)
     odf = duckdb_run(spec.oracle, normalized_unicode_fixture)
     compare(sdf, odf, f"{name}@unicode-normalized")
+
+
+def test_normalized_knob_equals_explicit_composition(spark):
+    """The ``normalized=`` knob (VERDICT r10 item 4, mirroring r10's
+    ``gated=``): every text/dedup entry point run with
+    ``normalized=True`` equals the hand-composition of
+    norm_text_unicode onto the column first, value-for-value on the
+    full hostile mutant set; and with the knob OFF (the default) the
+    expression tree carries none of the normalizer's machinery, so
+    every frozen registry plan is untouched by the knob's existence."""
+    from etl_upc_syllabus_spark.operators import dedup as dd
+    from etl_upc_syllabus_spark.operators import textanalysis as ta
+
+    rows = [(i, t) for i, (_label, t) in sorted(UNICODE_MUTATIONS.items())]
+    raw = spark.createDataFrame(rows, "id long, text string")
+    pre = raw.withColumn("text", norm_text_unicode("text"))
+
+    col_fns = [
+        ("tokens", lambda c, **kw: ta.tokens(c, **kw)),
+        ("token_count", lambda c, **kw: ta.token_count(c, **kw)),
+        ("bpe_token_count", lambda c, **kw: ta.bpe_token_count(c, **kw)),
+        ("lang_id", lambda c, **kw: ta.lang_id(c, **kw)),
+        ("fingerprint", lambda c, **kw: ta.fingerprint(c, **kw)),
+        ("hashed_linear_score", lambda c, **kw: ta.hashed_linear_score(c, **kw)),
+        ("quality_score",
+         lambda c, **kw: ta.quality_metrics(c, **kw)["quality_score"]),
+    ]
+    for name, fn in col_fns:
+        knob = raw.select("id", fn("text", normalized=True).alias("v")).collect()
+        comp = pre.select("id", fn("text").alias("v")).collect()
+        got = {r["id"]: r["v"] for r in knob}
+        want = {r["id"]: r["v"] for r in comp}
+        assert got == want, f"{name}: knob != explicit composition"
+
+    df_fns = [
+        ("exact_dedup", lambda df, **kw: dd.exact_dedup(df, "id", "text", **kw)),
+        ("shingle_sets", lambda df, **kw: dd.shingle_sets(df, "id", "text", k=2, **kw)),
+        ("simhash_signatures",
+         lambda df, **kw: dd.simhash_signatures(df, "id", "text", **kw)),
+    ]
+    for name, fn in df_fns:
+        knob = sorted(map(str, fn(raw, normalized=True).collect()))
+        comp = sorted(map(str, fn(pre).collect()))
+        assert knob == comp, f"{name}: knob != explicit composition"
+
+    # knob OFF: no normalizer machinery in the plan (freeze safety) --
+    # the sigma fold and format-char strip appear only under the knob
+    plain = raw.select(ta.tokens("text"))
+    knobbed = raw.select(ta.tokens("text", normalized=True))
+    plain_plan = plain._jdf.queryExecution().analyzed().toString()
+    knob_plan = knobbed._jdf.queryExecution().analyzed().toString()
+    assert "ς" not in plain_plan
+    assert "ς" in knob_plan
