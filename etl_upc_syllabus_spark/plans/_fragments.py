@@ -153,6 +153,22 @@ def plane_weights_cte(dim: int) -> str:
     """
 
 
+def banded_plane_weights_cte(dim: int, bands: int) -> str:
+    """Weights for ``bands`` independent plane sets of corpus-derived
+    width -- the banded-LSH mirror of plane_weights_cte. Expects a
+    1-row ``ppb(k)`` CTE in scope carrying planes-per-band, exactly as
+    operators.dedup.embedding_lsh_candidate_pairs derives it
+    (max(8, ceil(log2(n / target_bucket)))); absolute plane index p in
+    [0, bands*k) keys plane_weight(p, i) so band b mirrors Spark's
+    ``plane_offset = b * k`` slices (band 0 == the frozen planes)."""
+    hv = hex8_value("md5(p::VARCHAR || '_' || i::VARCHAR)")
+    half = (PLANE_MOD - 1) // 2
+    return f"""
+    w AS (SELECT p, i, ({hv} % {PLANE_MOD} - {half}) / 1000.0 AS wt
+          FROM ppb, UNNEST(range(0, {bands} * k)) rp(p), UNNEST(range(1, {dim} + 1)) ri(i))
+    """
+
+
 def dims_cte() -> str:
     """Embedding exploded to (vec_id, i, x) with double elements.
 

@@ -19,7 +19,7 @@ from ..operators.similarity import _dot, _norm, hyperplane_bucket, indexable
 from ..operators import textanalysis as ta
 from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
-from .registry import query
+from .registry import query, staged_query
 
 
 @query(
@@ -194,6 +194,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
             (cos >= 0.95).alias("is_dup"),
         )
+    )
+
+
+@staged_query(
+    "dedup_embedding_cosine_scaled",
+    f"""
+    WITH {fr.dims_cte()},
+    nv AS (SELECT count(*) AS n FROM embeddings
+           WHERE embedding IS NOT NULL
+             AND len(list_filter(embedding, e -> e IS NULL)) = 0),
+    ppb AS (SELECT CASE WHEN n > 64
+                        THEN GREATEST(8, CAST(CEIL(LOG2(n / 64.0)) AS BIGINT))
+                        ELSE 8 END AS k
+            FROM nv),
+    {fr.banded_plane_weights_cte(64, 4)},
+    proj AS (SELECT vec_id, p, sum(x * wt) AS dot
+             FROM dims JOIN w USING (i) GROUP BY vec_id, p),
+    sig AS (SELECT vec_id, p // k AS band,
+                   string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+            FROM proj, ppb GROUP BY vec_id, p // k),
+    cand AS (SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+             FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.vec_id < b.vec_id),
+    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY vec_id),
+    dots AS (SELECT cand.a, cand.b, sum(da.x * db.x) AS dot
+             FROM cand JOIN dims da ON da.vec_id = cand.a
+                       JOIN dims db ON db.vec_id = cand.b AND db.i = da.i
+             GROUP BY 1, 2)
+    SELECT d.a, d.b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine,
+           d.dot / (na.nrm * nb.nrm) >= 0.95   AS is_dup
+    FROM dots d JOIN norms na ON na.vec_id = d.a
+                JOIN norms nb ON nb.vec_id = d.b
+    """,
+    doc="STAGED r12 twin of dedup_embedding_cosine (VERDICT r10 item 3; "
+    "the swap is pre-announced for r12, after the frozen plan's r11 "
+    "re-check lands). Same output contract (a, b, cosine, is_dup), but "
+    "candidates come from the banded corpus-scaled LSH "
+    "(operators/dedup.py embedding_cosine_pairs_scaled: 4 bands, "
+    "planes_per_band = max(8, ceil(log2(n/64))), single corpus scan via "
+    "posexplode) instead of the fixed single-band 8-plane bucket join "
+    "whose candidate volume measured ~101x per corpus decade "
+    "(BASELINE.md r10). The oracle mirrors the derivation in SQL: the "
+    "ppb CTE computes planes-per-band from the indexable-vector count "
+    "exactly as the Spark sizing job does, and band b's planes are the "
+    "absolute indices [b*k, (b+1)*k) -- band 0 IS the frozen plane set, "
+    "so at gate SFs (k=8) the result is a superset of the frozen "
+    "query's pairs, and bands=1 reproduces it exactly "
+    "(tests/test_dedup.py).",
+    tags=("dedup", "embedding", "lsh", "staged"),
+)
+def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_cosine_pairs_scaled
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs_scaled(
+        emb, dim=64, threshold=0.95, bands=4, target_bucket=64
     )
 
 

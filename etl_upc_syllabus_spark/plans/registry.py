@@ -41,6 +41,18 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+#: Specs STAGED for a sanctioned future registry swap -- full
+#: QuerySpecs (Spark fn + oracle) that are NOT part of the driver
+#: contract: queries()/oracle_sql() never include them (the registry
+#: is frozen at 199 per VERDICT r6 item 1). They exist so a
+#: pre-announced swap (e.g. dedup_embedding_cosine -> its banded
+#: scale-path twin, sanctioned for r12 by VERDICT r10 item 3) can
+#: land with its oracle mirror, replica evidence, and tests already
+#: in place -- the flip is then a one-line move from here into the
+#: registry. Checked by ``tools/verify_local.py --staged`` and by
+#: pytest, never by the driver.
+_STAGED: dict[str, QuerySpec] = {}
+
 
 def register(spec: QuerySpec) -> QuerySpec:
     if spec.name in _REGISTRY:
@@ -57,6 +69,28 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
         return fn
 
     return deco
+
+
+def staged_query(
+    name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()
+):
+    """Decorator registering into the STAGED side registry (see
+    ``_STAGED``): evidence surface for a sanctioned future swap, never
+    part of the driver contract."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _STAGED or name in _REGISTRY:
+            raise ValueError(f"duplicate staged query name {name!r}")
+        _STAGED[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc, tags=tags)
+        return fn
+
+    return deco
+
+
+def staged_specs() -> dict[str, QuerySpec]:
+    """The staged (non-driver) specs; same shape as :func:`all_specs`."""
+    _load_all()
+    return dict(_STAGED)
 
 
 def _load_all() -> None:

@@ -539,3 +539,29 @@ def test_embedding_lsh_plane_scaling_and_streaming_guard(spark, sf_dir):
 
     with pytest.raises(ValueError, match="needs n="):
         embedding_lsh_candidate_pairs(stream, dim=1)
+
+
+def test_staged_cosine_twin_matches_oracle_and_stays_out_of_registry(spark, sf_dir):
+    """The r12 swap twin (VERDICT r10 item 3, staged in r11):
+    dedup_embedding_cosine_scaled lives in the STAGED side registry
+    with its banded SQL oracle -- green vs the oracle at the test SF
+    (the sf0.01 leg runs via `verify_local --staged`), a SUPERSET of
+    the frozen query's pairs at gate SF (derived planes_per_band is 8
+    there, so band 0 IS the frozen plane set), and absent from the
+    driver contract (registry frozen at 199)."""
+    from etl_upc_syllabus_spark.plans import all_specs
+    from etl_upc_syllabus_spark.plans.registry import staged_specs
+
+    from .oracle_harness import compare, duckdb_run
+
+    specs = all_specs()
+    assert "dedup_embedding_cosine_scaled" not in specs
+    assert len(specs) == 199
+    spec = staged_specs()["dedup_embedding_cosine_scaled"]
+    sdf = spec.fn(spark, sf_dir)
+    compare(sdf, duckdb_run(spec.oracle, sf_dir), "dedup_embedding_cosine_scaled")
+
+    frozen = specs["dedup_embedding_cosine"].fn(spark, sf_dir)
+    f_pairs = {(r["a"], r["b"]) for r in frozen.select("a", "b").collect()}
+    t_pairs = {(r["a"], r["b"]) for r in sdf.select("a", "b").collect()}
+    assert f_pairs <= t_pairs, "band 0 must reproduce every frozen pair"
