@@ -44,6 +44,54 @@ def parse_documents(raw_docs: DataFrame) -> DataFrame:
     return raw_docs.mapInPandas(run, schema=PARSED_COURSE_SCHEMA)
 
 
+def normalize_raw_docs(raw: DataFrame, form: str = "NFKC") -> DataFrame:
+    """Optional Unicode-normalization pre-pass over every text surface
+    of the raw document frame (pages + both tables) -- the syllabus
+    pipeline's answer to the r11 hostile-document probe
+    (tools/syllabus_probe.py).
+
+    The probe measured 4 SILENT classes on the unguarded pipeline: an
+    NBSP or NFD combining form inside the 'I. INFORMACIÓN GENERAL'
+    section marker makes the exact-substring slice miss, so every
+    general-info field silently parses to its default (error stays
+    NULL -- the record LOOKS parsed); a fullwidth colon after a label
+    defeats the ``[:\\-]`` match the same way; an NFD 'Sí' silently
+    drops the recoverable flag. NFKC closes all of them (compose
+    combining forms, fold fullwidth punctuation and NBSP) and is a
+    no-op on clean Spanish text (already-NFC accents are untouched) --
+    pinned by tests/test_syllabus_hostile.py. Compose with
+    ``textanalysis.unicode_clean`` mapped over the same columns for
+    the format-char classes (ZWSP inside a grammar marker).
+
+    Deliberately a SEPARATE opt-in stage, not a parse_document change:
+    the parse kernels are the reference-parity surface (their
+    behavior, including these measured misses on exotic input, mirrors
+    the reference's exact-substring matching), and normalization is an
+    ingestion policy. Arrow ``mapInPandas`` like the parse stage
+    itself -- narrow, one pass, documents parallelize.
+    """
+    import unicodedata
+
+    def _norm(s):
+        return unicodedata.normalize(form, s) if isinstance(s, str) else s
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["pages"] = pdf["pages"].map(
+                lambda ps: None if ps is None else [_norm(p) for p in ps]
+            )
+            for col in ("units_table", "assessments_table"):
+                pdf[col] = pdf[col].map(
+                    lambda tbl: None
+                    if tbl is None
+                    else [[_norm(c) for c in row] for row in tbl]
+                )
+            yield pdf
+
+    return raw.mapInPandas(run, schema=raw.schema)
+
+
 def split_quarantine(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(good, quarantined): the Spark analog of the reference's
     log-and-drop (etl_pipeline.py:28-30), keeping the rejects."""
