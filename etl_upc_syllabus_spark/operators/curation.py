@@ -253,14 +253,8 @@ def quarantine_nonfinite(
     the quarantined side is written next to the output as the skip
     report, exactly like scan_corrupt_files' audit.
     """
-    from pyspark.sql import types as T
-
     if cols is None:
-        cols = [
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
-        ]
+        cols = _float_cols(df)
     if not cols:
         # filter(False), not limit(0): the operator is stream-facing
         # (the stateful-stream gate composition) and Limit is not
@@ -277,6 +271,20 @@ def quarantine_nonfinite(
     clean = df.filter(~any_bad)
     quarantined = df.filter(any_bad).withColumn("quarantine_reason", reason)
     return clean, quarantined
+
+
+def _float_cols(df: DataFrame) -> list[str]:
+    """The non-finite axis's default column set: every top-level
+    float/double column. One definition shared by quarantine_nonfinite
+    and quarantine_hostile so the fused and single gates cannot
+    diverge on which columns they quarantine (review r11)."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType))
+    ]
 
 
 def _nonfinite_flags(cols: list[str]) -> tuple[Column, Column]:
@@ -315,8 +323,11 @@ def _modal_width(df: DataFrame, vec_col: str) -> int | None:
     Shared by quarantine_vector_width and quarantine_hostile so the
     fused gate derives the identical contract."""
     if df.isStreaming:
+        # message names both callers: the helper serves the single
+        # gate AND quarantine_hostile (review r11)
         raise ValueError(
-            "quarantine_vector_width on a streaming input needs an "
+            "the vector-width gate (quarantine_vector_width / "
+            "quarantine_hostile) on a streaming input needs an "
             "explicit dim= (the modal width cannot be counted on an "
             "unbounded stream)"
         )
@@ -331,7 +342,8 @@ def _modal_width(df: DataFrame, vec_col: str) -> int | None:
         if df.filter(F.col(vec_col).isNotNull()).isEmpty():
             return None
         raise ValueError(
-            "quarantine_vector_width: every non-NULL vector is empty; "
+            "the vector-width gate (quarantine_vector_width / "
+            "quarantine_hostile): every non-NULL vector is empty; "
             "no width contract is derivable -- pass dim= explicitly"
         )
     return max(widths, key=lambda r: (r["n"], r["w"]))["w"]
@@ -569,14 +581,8 @@ def quarantine_hostile(
     single gate. ``quarantine_duplicate_keys`` stays a separate pass
     by nature -- it needs a corpus aggregate, not a row predicate.
     """
-    from pyspark.sql import types as T
-
     if cols is None:
-        cols = [
-            f.name
-            for f in df.schema.fields
-            if isinstance(f.dataType, (T.DoubleType, T.FloatType))
-        ]
+        cols = _float_cols(df)
     axes: list[tuple[Column, Column]] = []
     if cols:
         axes.append(_nonfinite_flags(cols))

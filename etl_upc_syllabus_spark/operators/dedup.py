@@ -32,15 +32,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from .textanalysis import let_bind, norm_text, norm_text_unicode, tokens
+from .textanalysis import let_bind, tokens
 
-
-def _tnorm(text_col: str, normalized: bool) -> Column:
-    """Canonical text for hashing/shingling: norm_text, or the
-    hostile-Unicode variant under the ``normalized=`` knob every text
-    entry point here carries (VERDICT r10 item 4; default False keeps
-    all existing plans byte-identical)."""
-    return norm_text_unicode(text_col) if normalized else norm_text(text_col)
+# canonical text for hashing/shingling under the ``normalized=`` knob
+# every text entry point here carries (VERDICT r10 item 4; default
+# False keeps all existing plans byte-identical). The dispatch point
+# is SHARED with textanalysis so the two modules' normalization policy
+# cannot drift (review r11).
+from .textanalysis import _norm as _tnorm  # noqa: E402
 
 # MinHash permutation family: h_j(x) = (a_j * x + b_j) mod p over a
 # 31-bit Mersenne prime. One md5 per shingle gives x; the K permutations

@@ -82,10 +82,14 @@ def normalize_raw_docs(raw: DataFrame, form: str = "NFKC") -> DataFrame:
                 lambda ps: None if ps is None else [_norm(p) for p in ps]
             )
             for col in ("units_table", "assessments_table"):
+                # rows are schema-nullable (containsNull) -- a NULL row
+                # passes through untouched so the parse stage's own
+                # null handling / quarantine still sees it (review r11)
                 pdf[col] = pdf[col].map(
                     lambda tbl: None
                     if tbl is None
-                    else [[_norm(c) for c in row] for row in tbl]
+                    else [None if row is None else [_norm(c) for c in row]
+                          for row in tbl]
                 )
             yield pdf
 

@@ -143,14 +143,23 @@ def minhash_ctes(num_hashes: int = 16, band_size: int = 4) -> str:
 # ---- similarity fragments -------------------------------------------------
 
 
-def plane_weights_cte(dim: int) -> str:
-    """Deterministic hyperplane weights mirroring plane_weight(p, i)."""
+def _plane_weights_cte(dim: int, plane_source: str) -> str:
+    """The ONE SQL mirror of operators.similarity.plane_weight(p, i):
+    weight = (hex8(md5(p_i)) % PLANE_MOD - half) / 1000. Both plane-set
+    shapes below share it so a formula change cannot diverge the frozen
+    and staged oracles (review r11); ``plane_source`` supplies the
+    plane-index relation ``rp(p)``."""
     hv = hex8_value("md5(p::VARCHAR || '_' || i::VARCHAR)")
     half = (PLANE_MOD - 1) // 2
     return f"""
     w AS (SELECT p, i, ({hv} % {PLANE_MOD} - {half}) / 1000.0 AS wt
-          FROM UNNEST(range(0, {N_PLANES})) rp(p), UNNEST(range(1, {dim} + 1)) ri(i))
+          FROM {plane_source}, UNNEST(range(1, {dim} + 1)) ri(i))
     """
+
+
+def plane_weights_cte(dim: int) -> str:
+    """Deterministic hyperplane weights mirroring plane_weight(p, i)."""
+    return _plane_weights_cte(dim, f"UNNEST(range(0, {N_PLANES})) rp(p)")
 
 
 def banded_plane_weights_cte(dim: int, bands: int) -> str:
@@ -161,12 +170,7 @@ def banded_plane_weights_cte(dim: int, bands: int) -> str:
     (max(8, ceil(log2(n / target_bucket)))); absolute plane index p in
     [0, bands*k) keys plane_weight(p, i) so band b mirrors Spark's
     ``plane_offset = b * k`` slices (band 0 == the frozen planes)."""
-    hv = hex8_value("md5(p::VARCHAR || '_' || i::VARCHAR)")
-    half = (PLANE_MOD - 1) // 2
-    return f"""
-    w AS (SELECT p, i, ({hv} % {PLANE_MOD} - {half}) / 1000.0 AS wt
-          FROM ppb, UNNEST(range(0, {bands} * k)) rp(p), UNNEST(range(1, {dim} + 1)) ri(i))
-    """
+    return _plane_weights_cte(dim, f"ppb, UNNEST(range(0, {bands} * k)) rp(p)")
 
 
 def dims_cte() -> str:

@@ -57,6 +57,14 @@ _STAGED: dict[str, QuerySpec] = {}
 def register(spec: QuerySpec) -> QuerySpec:
     if spec.name in _REGISTRY:
         raise ValueError(f"duplicate query name {spec.name!r}")
+    if spec.name in _STAGED:
+        # a sanctioned swap must MOVE the spec out of _STAGED, not
+        # leave two diverging copies of one name live in both
+        # registries (review r11) -- the flip is delete-and-register
+        raise ValueError(
+            f"query name {spec.name!r} is still staged; move it out of "
+            "the staged registry when promoting it"
+        )
     _REGISTRY[spec.name] = spec
     return spec
 

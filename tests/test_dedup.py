@@ -565,3 +565,23 @@ def test_staged_cosine_twin_matches_oracle_and_stays_out_of_registry(spark, sf_d
     f_pairs = {(r["a"], r["b"]) for r in frozen.select("a", "b").collect()}
     t_pairs = {(r["a"], r["b"]) for r in sdf.select("a", "b").collect()}
     assert f_pairs <= t_pairs, "band 0 must reproduce every frozen pair"
+
+
+def test_promoting_a_staged_name_requires_moving_it():
+    """register() refuses a name still in the staged registry (review
+    r11): the sanctioned r12 flip must MOVE the spec, never leave two
+    diverging copies of one name live in both registries."""
+    import pytest
+
+    from etl_upc_syllabus_spark.plans.registry import (
+        QuerySpec,
+        register,
+        staged_specs,
+    )
+
+    assert "dedup_embedding_cosine_scaled" in staged_specs()
+    with pytest.raises(ValueError, match="still staged"):
+        register(QuerySpec(
+            name="dedup_embedding_cosine_scaled",
+            fn=lambda spark, sf: None, oracle=None,
+        ))

@@ -116,3 +116,15 @@ def test_week_cells_missing_is_contract_degrade(spark):
     units = good.collect()[0]["units"]
     assert units[0]["syllabus"] == ["t1", "t2"]
     assert units[0]["exams"] == [] and units[0]["bibliography"] == []
+
+
+def test_normalize_raw_docs_passes_null_rows_through(spark):
+    """Schema-legal NULL rows/pages must survive the NFKC pre-pass
+    untouched (review r11: the Arrow worker must not die on
+    containsNull shapes -- the parse stage owns null handling)."""
+    d = clean_doc()
+    rows = [(d[0], None, [None, ["SEMANA", None]], d[3])]
+    raw = spark.createDataFrame(rows, RAW_DOC_SCHEMA)
+    out = normalize_raw_docs(raw).collect()[0]
+    assert out["pages"] is None
+    assert list(out["units_table"]) == [None, ["SEMANA", None]]

@@ -51,8 +51,10 @@ RECENT_WINDOW = 3
 
 def _round_artifacts() -> list[tuple[str, str]]:
     """[(round_tag, path)] for every per-round sf0.1 artifact, both
-    archived (bench_history/) and current (repo root), round order."""
-    out: dict[str, str] = {}
+    archived (bench_history/) and current (repo root), in ROUND order
+    (sorted on the integer, not the zero-padded tag -- 'r100' must not
+    land between 'r10' and 'r11'; review r11)."""
+    out: dict[int, str] = {}
     for d in (os.path.join(_REPO, "bench_history"), _REPO):
         if not os.path.isdir(d):
             continue
@@ -61,8 +63,8 @@ def _round_artifacts() -> list[tuple[str, str]]:
             if m:
                 # root wins over history for the same round (it is the
                 # freshest copy; contents are identical in practice)
-                out[f"r{int(m.group(1)):02d}"] = os.path.join(d, fn)
-    return sorted(out.items())
+                out[int(m.group(1))] = os.path.join(d, fn)
+    return [(f"r{n:02d}", out[n]) for n in sorted(out)]
 
 
 def _scrape_tail(tail: str, known: set[str]) -> dict[str, float]:
@@ -87,15 +89,22 @@ def _scrape_tail(tail: str, known: set[str]) -> dict[str, float]:
     return vals
 
 
-def _readings(path: str, known: set[str]) -> tuple[dict[str, float], list[float] | None]:
-    """(per-query floor readings, preflight loadavg) for one artifact."""
+def _readings(path: str, known: set[str] | None) -> tuple[dict[str, float], list[float] | None]:
+    """(per-query floor readings, preflight loadavg) for one artifact.
+    ``known`` gates only the TAIL-SCRAPE path (it cannot tell a query
+    key from a meta field without a name list); a parsed artifact's
+    ``queries`` dict is authoritative and is taken whole, so a query
+    added to the bench suite acquires a floor on the next regeneration
+    without this tool needing a code change (review r11)."""
     with open(path, encoding="utf-8") as fh:
         rec = json.load(fh)
     parsed = rec.get("parsed")
     if parsed and parsed.get("sf") == 0.1:
-        q = {k: float(v) for k, v in parsed.get("queries", {}).items() if k in known}
+        q = {k: float(v) for k, v in parsed.get("queries", {}).items()}
         return q, parsed.get("loadavg_preflight")
     if parsed:  # wrong SF: not comparable to the sf0.1 floors
+        return {}, None
+    if known is None:
         return {}, None
     tail = rec.get("tail", "")
     vals = _scrape_tail(tail, known)
@@ -105,10 +114,19 @@ def _readings(path: str, known: set[str]) -> tuple[dict[str, float], list[float]
 
 
 def build(committed: dict) -> dict:
+    artifacts = _round_artifacts()
+    # pass 1: parsed artifacts, unrestricted -- their union with the
+    # committed ledger defines the known query-name set
+    parsed_readings = {tag: _readings(path, None) for tag, path in artifacts}
     known = set(committed.get("floors", {}))
+    for vals, _load in parsed_readings.values():
+        known |= set(vals)
+    # pass 2: tail-scrape the parsed:null artifacts against known
     rounds: list[tuple[str, dict[str, float], list[float] | None]] = []
-    for tag, path in _round_artifacts():
-        vals, load = _readings(path, known)
+    for tag, path in artifacts:
+        vals, load = parsed_readings[tag]
+        if not vals:
+            vals, load = _readings(path, known)
         if vals:
             rounds.append((tag, vals, load))
 

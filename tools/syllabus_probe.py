@@ -19,15 +19,19 @@ document lake serves, and classifies each:
   pins (tests/test_syllabus_hostile.py) so the posture is visible.
 
 ``--gated`` applies THE shipped operators (never a Python
-re-implementation): the unicode pre-pass
-(textanalysis.unicode_clean mapped over pages and table cells --
-a no-op on clean Spanish text: accents are untouched, only format
-chars strip and exotic whitespace unifies) and, for the
+re-implementation): pipeline.assemble.normalize_raw_docs (NFKC --
+composes NFD combining forms, folds fullwidth punctuation and NBSP;
+a no-op on clean Spanish text, which is already NFC), then
+textanalysis.unicode_clean mapped over pages and table cells (format
+chars strip, exotic whitespace unifies), and, for the
 duplicate-filename class, curation.quarantine_duplicate_keys on the
-parsed (id, nrc) key; then re-measures. Residual silent classes after
-gating (NFD combining forms, fullwidth colon -- both need NFC/ICU,
-absent from the engine surface; same residual as the unicode probe)
-are documented, not hidden.
+parsed (id, nrc) key; then re-measures. Measured gated posture: ZERO
+silent classes (every class parity, documented contract, quarantine,
+or all-copies-quarantined -- tests/test_syllabus_hostile.py pins it).
+The NFD / fullwidth classes that stay residual for the SQL-mirrored
+text family (unicode_probe.py: no NFC on either engine's expression
+surface) ARE closable here because this pipeline's parse stage is
+already an Arrow/Python seam, where stdlib unicodedata is available.
 
 Usage: python tools/syllabus_probe.py [--gated]
 Prints one posture row per class, then a JSON summary line.
@@ -176,7 +180,7 @@ def gate_unicode(raw):
     )
 
 
-def record_of(good_df, keep_weeks=True):
+def record_of(good_df):
     rows = good_df.collect()
     out = []
     for r in rows:
