@@ -560,6 +560,17 @@ def quarantine_hostile(
     split whose both sides are consumed (pinned by
     tests/test_curation.py::test_quarantine_hostile_single_scan).
 
+    Measured nuance (tools/fusion_bench.py, r11): the per-axis
+    sequential scans are not equal-cost. A standalone PUSHABLE
+    predicate (the ts range) reaches the parquet reader and row-group
+    statistics prune its quarantine scan to ~free on a clean corpus,
+    while the fused OR (carrying isnan / size(), never pushable)
+    pushes nothing. So the wall-clock win is one full scan per
+    NON-pushable axis beyond the first, plus job-count overhead --
+    fuse whenever >=2 non-pushable axes are active (any float or
+    vector column), and order standalone pushable gates first when
+    composing sequentially instead.
+
     Semantics are EXACTLY the sequential composition, pinned by an
     equivalence test on the hostile fixtures from all three probes:
     a row's ``quarantine_reason`` comes from the FIRST failing gate in
