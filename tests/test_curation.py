@@ -371,3 +371,25 @@ def test_quarantine_hostile_single_scan(spark, tmp_path):
     _, sq = _sequential_hostile(df, vec_col="v", dim=2, ts_col="ts")
     tree, _ = plan_of(sq)
     assert tree.count("Scan parquet") == 3, "sequential union should be 3 scans"
+
+
+def test_quarantine_hostile_is_streaming_startable(spark):
+    """The fused gate's stream-safety claim, pinned: pure filters only,
+    so both sides of the split stay streaming DataFrames (usable BEFORE
+    a watermark); the width axis demands explicit dim= on streams (the
+    modal count is impossible), same rule as the single gate."""
+    import pytest
+
+    from etl_upc_syllabus_spark.streaming.events import read_events_stream
+
+    stream = read_events_stream(spark, SF_DIR)
+    clean, quar = cu.quarantine_hostile(stream, ts_col="ts")
+    assert clean.isStreaming and quar.isStreaming
+
+    with_vec = stream.withColumn(
+        "v", F.array(F.col("value"), F.col("value"))
+    )
+    c2, q2 = cu.quarantine_hostile(with_vec, vec_col="v", dim=2, ts_col="ts")
+    assert c2.isStreaming and q2.isStreaming
+    with pytest.raises(ValueError, match="streaming input needs an explicit dim"):
+        cu.quarantine_hostile(with_vec, vec_col="v")
