@@ -20,6 +20,7 @@ Scale rules baked in:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -147,3 +148,66 @@ def scan_corrupt_files(spark: SparkSession, path: str, fmt: str = "parquet") -> 
             yield _pd.DataFrame({"file": pdf["file"], "ok": oks, "error": errs})
 
     return files.mapInPandas(probe, "file string, ok boolean, error string")
+
+
+def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed schema census over a lake table's parquet footers:
+    one row per column name with the set of physical Arrow types it
+    carries across files and how many files carry it at all ->
+    (column, types, n_types, n_files_present, n_files_total, drift).
+
+    ``drift`` classifies what a reader is about to walk into:
+
+    - ``type_conflict``: the same column name lands with DIFFERENT
+      types across files -- the class where the r11 schema-drift probe
+      (tools/schema_drift_probe.py) measured the nastiest postures
+      (Spark's plain read can silently decode through a footer-order
+      accident or fail at task level mid-job; DuckDB union_by_name
+      silently widens);
+    - ``partial``: the column is absent from some files (additive
+      drift, either half of a rename, or a dropped column) -- reads
+      NULL-fill, so aggregates silently change denominator;
+    - ``stable``: same type everywhere, every file.
+
+    The census is footers-only (a few KB per file, via pyarrow on the
+    executors -- the scan_corrupt_files shape), so it is the cheap
+    pre-flight a 100 TB ingest runs BEFORE choosing its reader
+    posture: mergeSchema for additive drift, an explicit per-batch
+    cast-and-union for type conflicts, never first-footer luck.
+    """
+    import pandas as _pd
+
+    names = _leaf_data_files(path)
+    files = spark.createDataFrame([(n,) for n in names], "file string")
+
+    def probe(batches):
+        for pdf in batches:
+            out_f, out_c, out_t = [], [], []
+            for f in pdf["file"]:
+                import pyarrow.parquet as _pq
+
+                sch = _pq.ParquetFile(f).schema.to_arrow_schema()
+                for field in sch:
+                    out_f.append(f)
+                    out_c.append(field.name)
+                    out_t.append(str(field.type))
+            yield _pd.DataFrame({"file": out_f, "column": out_c, "ctype": out_t})
+
+    cols = files.mapInPandas(probe, "file string, column string, ctype string")
+    n_total = len(names)
+    agg = cols.groupBy("column").agg(
+        F.array_join(F.array_sort(F.collect_set("ctype")), ",").alias("types"),
+        F.count_distinct("ctype").alias("n_types"),
+        F.count_distinct("file").alias("n_files_present"),
+    )
+    return agg.select(
+        "column",
+        "types",
+        "n_types",
+        "n_files_present",
+        F.lit(n_total).cast("long").alias("n_files_total"),
+        F.when(F.col("n_types") > 1, "type_conflict")
+        .when(F.col("n_files_present") < n_total, "partial")
+        .otherwise("stable")
+        .alias("drift"),
+    )

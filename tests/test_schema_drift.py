@@ -1,0 +1,87 @@
+"""Type-conflict schema-drift posture (r11 probe,
+tools/schema_drift_probe.py).
+
+The registry covers ADDITIVE drift (source_schema_evolution); the
+probe measured the conflict classes a long-lived ingest produces.
+Postures pinned here, most dangerous first:
+
+- a RENAME (value -> amount) under a plain read is SILENT data loss:
+  the resolved footer NULL-fills the renamed half, aggregates change
+  value with no error;
+- a type conflict's plain-read posture flips with FILE LISTING ORDER
+  (wide footer first: reads by upcast; narrow first: task-level
+  PARQUET_COLUMN_DATA_TYPE_MISMATCH mid-job) -- and column PRUNING
+  hides the conflict entirely until a query touches the column;
+- Spark's mergeSchema REFUSES the int32/int64 merge the plain reader
+  upcasts through (loud, plan time);
+- the shipped footer census (sources.formats.scan_schema_drift)
+  detects every class for a few KB per file -- the pre-flight that
+  makes reader posture a decision instead of listing-order luck.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from schema_drift_probe import build_class  # noqa: E402
+
+from etl_upc_syllabus_spark.sources.formats import scan_schema_drift
+
+
+def test_census_detects_every_drift_class(spark, tmp_path):
+    expected = {
+        "narrowed_int": {"event_id": "type_conflict", "value": "stable"},
+        "num_to_string": {"event_id": "stable", "value": "type_conflict"},
+        "renamed": {"event_id": "stable", "value": "partial", "amount": "partial"},
+    }
+    for cls, want in expected.items():
+        d, _truth = build_class(str(tmp_path), cls)
+        got = {r["column"]: r["drift"] for r in scan_schema_drift(spark, d).collect()}
+        assert got == want, f"{cls}: {got}"
+
+
+def test_census_stable_on_uniform_table(spark):
+    out = scan_schema_drift(spark, "/root/testdata/sf0.001/embeddings.parquet")
+    assert {r["drift"] for r in out.collect()} == {"stable"}
+
+
+def test_rename_is_silent_under_plain_read(spark, tmp_path):
+    """Pinned AS MEASURED: the plain reader resolves one footer and
+    NULL-fills the renamed column's other half -- the sum silently
+    drops the drifted batch's contribution, no error anywhere."""
+    d, truth = build_class(str(tmp_path), "renamed")
+    df = spark.read.parquet(d)
+    assert "amount" not in df.columns
+    row = df.agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")).collect()[0]
+    assert row["n"] == truth["n"]
+    assert row["sv"] == truth["sum_value"] - 200.0  # the renamed half, silently gone
+
+
+def test_type_conflict_posture_flips_with_listing_order(spark, tmp_path):
+    """Wide footer first: the int32 batch reads by upcast (values
+    correct). Narrow footer first: the SAME data dies at task level
+    once the conflicted column is actually decoded -- and column
+    pruning hides the conflict while it is not."""
+    d_fwd, truth = build_class(str(tmp_path), "narrowed_int")
+    row = (
+        spark.read.parquet(d_fwd)
+        .agg(F.sum(F.col("event_id").cast("long")).alias("si"))
+        .collect()[0]
+    )
+    assert row["si"] == truth["sum_id"]
+
+    d_rev, _ = build_class(str(tmp_path), "narrowed_int_rev")
+    rev = spark.read.parquet(d_rev)
+    # pruning hides it: a query not touching event_id runs clean
+    assert rev.agg(F.count(F.lit(1))).collect()[0][0] == 200
+    # ...until the column is read
+    with pytest.raises(Exception, match="DATA_TYPE_MISMATCH|FAILED_READ_FILE"):
+        rev.agg(F.sum(F.col("event_id").cast("long"))).collect()
