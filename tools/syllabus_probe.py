@@ -34,7 +34,13 @@ surface) ARE closable here because this pipeline's parse stage is
 already an Arrow/Python seam, where stdlib unicodedata is available.
 
 Usage: python tools/syllabus_probe.py [--gated]
+       python tools/syllabus_probe.py --bench N   # pre-pass throughput
 Prints one posture row per class, then a JSON summary line.
+
+``--bench N`` measures the NFKC pre-pass's scale cost: N synthetic
+raw documents through parse_documents alone vs normalize_raw_docs ->
+parse_documents, min-of-3 each, at N and 4N (the decade-style
+linearity check for the new Arrow stage).
 """
 
 from __future__ import annotations
@@ -189,7 +195,47 @@ def record_of(good_df):
     return sorted(out)
 
 
+def bench(n: int) -> int:
+    import time
+
+    from etl_upc_syllabus_spark.pipeline.assemble import (
+        normalize_raw_docs,
+        parse_documents,
+    )
+    from etl_upc_syllabus_spark.pipeline.schema import RAW_DOC_SCHEMA
+    from etl_upc_syllabus_spark.session import get_spark
+
+    spark = get_spark("syllabus-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    for size in (n, 4 * n):
+        docs = [
+            tuple(clean_doc(filename=f"UG-202520_{i:08d}-{i % 10000:04d}.pdf"))
+            for i in range(size)
+        ]
+        raw = spark.createDataFrame(docs, RAW_DOC_SCHEMA).repartition(32)
+        raw = raw.localCheckpoint()  # exclude fixture build from timing
+        res = {}
+        for label, pipe in [
+            ("parse_only", lambda: parse_documents(raw)),
+            ("nfkc_then_parse", lambda: parse_documents(normalize_raw_docs(raw))),
+        ]:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                pipe().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            res[label] = round(best, 3)
+        res["overhead_pct"] = round(
+            100 * (res["nfkc_then_parse"] / res["parse_only"] - 1), 1
+        )
+        print(json.dumps({"n_docs": size, **res}), flush=True)
+    spark.stop()
+    return 0
+
+
 def main(argv):
+    if "--bench" in argv:
+        return bench(int(argv[argv.index("--bench") + 1]))
     gated = "--gated" in argv
     from pyspark.sql import functions as F
 
