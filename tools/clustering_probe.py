@@ -27,7 +27,13 @@ partitions), and it is the layout lever a 100 TB time-series lake
 pulls first: the query is identical, only the write-time layout
 differs.
 
-Usage: python tools/clustering_probe.py [sf_dir]  (default scale_data/sf10)
+``--smallfiles`` measures layout.py's OTHER operator, ``compact``:
+sf1 events written as 2000 tiny files (the classic streaming-ingest
+fragmentation) vs the compacted rewrite -- full-scan aggregate
+wall-clock, file counts, and the one-time compaction cost that
+amortizes over every later read.
+
+Usage: python tools/clustering_probe.py [--wide|--smallfiles] [sf_dir]
 Prints one JSON line.
 """
 
@@ -80,6 +86,62 @@ def rowgroups_overlapping(path: str, lo, hi) -> tuple[int, int]:
     return hit, total, bytes_hit, bytes_total
 
 
+def smallfiles(argv) -> int:
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_upc_syllabus_spark.session import get_spark
+    from etl_upc_syllabus_spark.sources.layout import compact
+    from etl_upc_syllabus_spark.sources.tables import load_table
+
+    sf_dir = argv[0] if argv else os.path.join(ROOT, "scale_data", "sf1")
+    spark = get_spark("smallfiles-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = load_table(spark, sf_dir, "events")
+
+    def scan(path):
+        best = float("inf")
+        res = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            res = (
+                spark.read.parquet(path)
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("value"), 2).alias("sv"))
+                .collect()[0]
+            )
+            best = min(best, time.perf_counter() - t0)
+        return best, res
+
+    out = {"sf_dir": os.path.basename(sf_dir), "runs": N_RUNS}
+    with tempfile.TemporaryDirectory() as tmp:
+        frag = os.path.join(tmp, "fragmented")
+        comp = os.path.join(tmp, "compacted")
+        ev.repartition(2000).write.parquet(frag)
+        t0 = time.perf_counter()
+        compact(spark, frag, comp, target_files=16)
+        compact_cost = round(time.perf_counter() - t0, 3)
+        t_f, r_f = scan(frag)
+        t_c, r_c = scan(comp)
+        assert (r_f["n"], r_f["sv"]) == (r_c["n"], r_c["sv"])
+        out.update({
+            "files_fragmented": len(glob.glob(frag + "/*.parquet")),
+            "files_compacted": len(glob.glob(comp + "/*.parquet")),
+            "scan_fragmented_s": round(t_f, 3),
+            "scan_compacted_s": round(t_c, 3),
+            "speedup": round(t_f / t_c, 2),
+            "compact_cost_s": compact_cost,
+            "reads_to_amortize": (
+                max(1, round(compact_cost / max(t_f - t_c, 1e-9)))
+                if t_f > t_c else None
+            ),
+        })
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
 def main(argv):
     import datetime as dt
 
@@ -89,6 +151,8 @@ def main(argv):
     from etl_upc_syllabus_spark.sources.layout import write_range_clustered
     from etl_upc_syllabus_spark.sources.tables import load_table
 
+    if "--smallfiles" in argv:
+        return smallfiles([a for a in argv if a != "--smallfiles"])
     wide = "--wide" in argv
     argv = [a for a in argv if a != "--wide"]
     sf_dir = argv[0] if argv else os.path.join(ROOT, "scale_data", "sf10")
