@@ -95,9 +95,10 @@ def _leaf_data_files(path: str) -> list[str]:
     if not _os.path.isdir(path):
         if not _os.path.isfile(path):
             raise FileNotFoundError(
-                f"scan_corrupt_files: {path!r} is neither a file nor a "
+                f"lake-table audit: {path!r} is neither a file nor a "
                 "table directory -- a missing table must be "
-                "distinguishable from a corrupt one"
+                "distinguishable from a corrupt one (raised for "
+                "scan_corrupt_files / scan_schema_drift)"
             )
         return [path]
     out: list[str] = []
@@ -173,7 +174,12 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
     executors -- the scan_corrupt_files shape), so it is the cheap
     pre-flight a 100 TB ingest runs BEFORE choosing its reader
     posture: mergeSchema for additive drift, an explicit per-batch
-    cast-and-union for type conflicts, never first-footer luck.
+    cast-and-union for type conflicts, never first-footer luck. A file
+    whose footer cannot be read is REPORTED, not fatal (the pre-flight
+    must not be the first thing a bad file kills -- review r11): it
+    lands as the reserved ``<unreadable>`` row with drift
+    ``unreadable`` and the error strings in ``types``; route such
+    files through scan_corrupt_files / read_resilient.
     """
     import pandas as _pd
 
@@ -186,7 +192,13 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
             for f in pdf["file"]:
                 import pyarrow.parquet as _pq
 
-                sch = _pq.ParquetFile(f).schema.to_arrow_schema()
+                try:
+                    sch = _pq.ParquetFile(f).schema.to_arrow_schema()
+                except Exception as e:  # noqa: BLE001 -- the census IS the catch
+                    out_f.append(f)
+                    out_c.append("<unreadable>")
+                    out_t.append(f"{type(e).__name__}: {str(e)[:120]}")
+                    continue
                 for field in sch:
                     out_f.append(f)
                     out_c.append(field.name)
@@ -206,7 +218,8 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
         "n_types",
         "n_files_present",
         F.lit(n_total).cast("long").alias("n_files_total"),
-        F.when(F.col("n_types") > 1, "type_conflict")
+        F.when(F.col("column") == "<unreadable>", "unreadable")
+        .when(F.col("n_types") > 1, "type_conflict")
         .when(F.col("n_files_present") < n_total, "partial")
         .otherwise("stable")
         .alias("drift"),

@@ -48,9 +48,22 @@ def test_census_detects_every_drift_class(spark, tmp_path):
         assert got == want, f"{cls}: {got}"
 
 
-def test_census_stable_on_uniform_table(spark):
-    out = scan_schema_drift(spark, "/root/testdata/sf0.001/embeddings.parquet")
+def test_census_stable_on_uniform_table(spark, sf_dir):
+    out = scan_schema_drift(spark, os.path.join(sf_dir, "embeddings.parquet"))
     assert {r["drift"] for r in out.collect()} == {"stable"}
+
+
+def test_census_reports_unreadable_files_instead_of_dying(spark, tmp_path):
+    """One bad footer must not kill the pre-flight (review r11): the
+    unreadable file lands as the reserved '<unreadable>' row with the
+    error in `types`, and the readable files' census is intact."""
+    d, _ = build_class(str(tmp_path), "narrowed_int")
+    with open(os.path.join(d, "part-002.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet footer")
+    rows = {r["column"]: r for r in scan_schema_drift(spark, d).collect()}
+    assert rows["<unreadable>"]["drift"] == "unreadable"
+    assert rows["<unreadable>"]["n_files_present"] == 1
+    assert rows["event_id"]["drift"] == "type_conflict"
 
 
 def test_rename_is_silent_under_plain_read(spark, tmp_path):

@@ -52,9 +52,11 @@ N_RUNS = 5
 WINDOW = ("2024-01-10 00:00:00", "2024-01-11 00:00:00")
 
 
-def rowgroups_overlapping(path: str, lo, hi) -> tuple[int, int]:
-    """(overlapping, total) row groups whose ts [min, max] intersects
-    [lo, hi), read straight from the parquet footers."""
+def rowgroups_overlapping(path: str, lo, hi) -> tuple[int, int, int, int]:
+    """(overlapping, total, bytes_overlapping, bytes_total) over the
+    row groups whose ts [min, max] intersects [lo, hi), read straight
+    from the parquet footers. Zero-row-group files (an empty write
+    partition is legal) contribute nothing (review r11)."""
     import glob
 
     import pyarrow.parquet as pq
@@ -63,11 +65,11 @@ def rowgroups_overlapping(path: str, lo, hi) -> tuple[int, int]:
     total = hit = 0
     bytes_total = bytes_hit = 0
     for f in files:
-        md = pq.ParquetFile(f).metadata
-        ts_idx = next(
-            i for i in range(md.num_columns)
-            if md.row_group(0).column(i).path_in_schema == "ts"
-        )
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        if md.num_row_groups == 0:
+            continue
+        ts_idx = pf.schema_arrow.names.index("ts")
         for g in range(md.num_row_groups):
             rg = md.row_group(g)
             st = rg.column(ts_idx).statistics
@@ -160,15 +162,13 @@ def main(argv):
     spark.sparkContext.setLogLevel("ERROR")
     ev = load_table(spark, sf_dir, "events")
     if wide:
-        # ~1 KB opaque payload per row: the shape where touching 2/32
-        # row groups vs 32/32 costs real decode work even page-cached
-        ev = ev.withColumn(
-            "payload",
-            F.concat_ws("", *[
-                F.md5(F.concat(F.col("event_id").cast("string"), F.lit(i)))
-                for i in range(32)
-            ]),
-        )
+        # ~1 KB opaque payload per row (shared builder so fusion_bench
+        # and this probe measure the identical shape): touching 5/96
+        # row groups vs 96/96 then costs real decode work even
+        # page-cached
+        from _bench_common import wide_payload_col
+
+        ev = ev.withColumn("payload", wide_payload_col())
 
     lo = dt.datetime.fromisoformat(WINDOW[0])
     hi = dt.datetime.fromisoformat(WINDOW[1])

@@ -122,17 +122,12 @@ def main(argv):
     if wide:
         import tempfile
 
-        from pyspark.sql import functions as F
+        from _bench_common import wide_payload_col
 
         src = load_table(spark, sf_dirs[0], "events")
         with tempfile.TemporaryDirectory() as tmp:
             path = os.path.join(tmp, "events_wide.parquet")
-            # ~1 KB opaque payload per row: 32 md5 hexes of the id
-            payload = F.concat_ws(
-                "", *[F.md5(F.concat(F.col("event_id").cast("string"), F.lit(i)))
-                      for i in range(32)]
-            )
-            src.withColumn("payload", payload).repartition(32).write.parquet(path)
+            src.withColumn("payload", wide_payload_col()).repartition(32).write.parquet(path)
             df = spark.read.parquet(path)
             kw = dict(ts_col="ts")
             t_seq, _ = measure(lambda: sequential(df, **kw), "write")

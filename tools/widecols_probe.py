@@ -3,9 +3,11 @@
 The 100 TB guidance "widen the WholeStageCodegen spans" INVERTS on
 very wide plans, and this probe pins the measurement: a 300-column
 full aggregate (the profiling-operator shape on a wide fact table)
-runs 2.2-2.8x SLOWER with codegen FORCED (spark.sql.codegen.maxFields
+runs 2.2-2.9x SLOWER with codegen FORCED (spark.sql.codegen.maxFields
 raised to 1000 -> 4 codegen spans engage) than with Spark's default
-cap (100 -> the plan falls back to the volcano operators). The
+cap (100 -> the plan falls back to the volcano operators); the
+BASELINE.md r11 row records the committed run (5.46 s vs 1.86-2.11 s,
+2.9x). The
 generated method for 300 accumulating columns blows past the JIT's
 method limits (hugeMethodLimit), so the JVM runs the giant generated
 bytecode INTERPRETED -- worse than Spark's hand-written iterators.
