@@ -146,7 +146,13 @@ def generate(src: str, out: str, factor: int, skew: float = 0.0) -> None:
     # of cluster size and (b) silently disables AQE skew-join splitting
     # -- createSkewPartitionSpecs splits at MAP-OUTPUT boundaries, so a
     # hot partition fed by one map task is unsplittable
-    pq.write_table(allev, os.path.join(out, "events.parquet"), row_group_size=65536)
+    # page CRCs (r11 bitrot axis): future regenerations of the events
+    # fixture carry write-side checksums so verified reads can catch
+    # mid-file corruption. The DuckDB COPY-written tables above stay
+    # CRC-less (COPY exposes no checksum knob) -- a documented limit;
+    # the committed scale_data/ predates this flag either way.
+    pq.write_table(allev, os.path.join(out, "events.parquet"),
+                   row_group_size=65536, write_page_checksum=True)
     print(f"events: x{factor} (ts physical type preserved: {ev.schema.field('ts').type})")
 
 
