@@ -668,3 +668,18 @@ def test_malformed_json_row_degrades_and_gate_quarantines(spark, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{fixture}/events.parquet'")
     with pytest.raises(duckdb.InvalidInputException):
         con.execute(spec.oracle).fetchall()
+
+
+def test_staged_cosine_twin_holds_the_hostile_contracts(spark, elemnull_fixture, nan_fixture):
+    """The r12 swap twin must enter the registry already holding the
+    element-NULL and NaN/Inf contracts the frozen query is pinned on:
+    oracle parity on both hostile fixtures (the twin's fn filters
+    similarity.indexable; its oracle shares the dims CTE guard and
+    counts indexable vectors for the ppb derivation)."""
+    from etl_upc_syllabus_spark.plans.registry import staged_specs
+
+    spec = staged_specs()["dedup_embedding_cosine_scaled"]
+    for label, fixture in (("elemnull", elemnull_fixture), ("nan", nan_fixture)):
+        sdf = spec.fn(spark, fixture)
+        odf = duckdb_run(spec.oracle, fixture)
+        compare(sdf, odf, f"staged_twin@{label}")
