@@ -653,7 +653,9 @@ def embedding_lsh_candidate_pairs(
     """Corpus-scaled BANDED hyperplane-LSH candidate pairs for
     embedding near-dup -> (a, b), distinct.
 
-    The single-band 8-plane shape (``dedup_embedding_cosine``) is
+    The single-band 8-plane shape (``dedup_embedding_cosine`` before
+    its sanctioned r12 swap onto this path; ``bands=1,
+    planes_per_band=8`` reproduces it) is
     oracle-exact at the gate SFs but QUADRATIC at fixed planes: its
     candidate volume measured 8.7k -> 965k -> 97.7M pairs across
     sf0.1 -> sf1 -> sf10 (~100x per 10x corpus; 255 buckets cannot
@@ -731,11 +733,12 @@ def embedding_cosine_pairs_scaled(
 ) -> DataFrame:
     """Scale path for embedding-cosine near-dup: banded corpus-scaled
     LSH candidates (:func:`embedding_lsh_candidate_pairs`) verified
-    with exact cosine -> (a, b, cosine, is_dup). Same output contract
-    as the ``dedup_embedding_cosine`` registry query restricted to its
-    candidate set; linear candidate volume instead of quadratic
-    (library operator -- the registry plan is frozen; measured decade
-    table in BASELINE.md r10)."""
+    with exact cosine -> (a, b, cosine, is_dup). Linear candidate
+    volume instead of quadratic (measured decade table in BASELINE.md
+    r10). Since the sanctioned r12 swap this IS the
+    ``dedup_embedding_cosine`` registry plan (bands=4,
+    target_bucket=64); the pre-swap fixed single-band 8-plane shape is
+    its restriction ``bands=1, planes_per_band=8``."""
     from .similarity import _dot, _norm, indexable
 
     cand = embedding_lsh_candidate_pairs(

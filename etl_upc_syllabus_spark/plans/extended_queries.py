@@ -15,11 +15,10 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from ..operators.asof import asof_join
-from ..operators.similarity import _dot, _norm, hyperplane_bucket, indexable
 from ..operators import textanalysis as ta
 from ..sources.tables import fan_out, load_table
 from . import _fragments as fr
-from .registry import query, staged_query
+from .registry import query
 
 
 @query(
@@ -145,61 +144,6 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     f"""
-    WITH {fr.plane_weights_cte(64)},
-    {fr.dims_cte()},
-    proj AS (SELECT vec_id, p, sum(x * wt) AS dot
-             FROM dims JOIN w USING (i) GROUP BY vec_id, p),
-    sig AS (SELECT vec_id,
-                   string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-            FROM proj GROUP BY vec_id),
-    cand AS (SELECT a.vec_id AS a, b.vec_id AS b
-             FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-    norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM dims GROUP BY vec_id),
-    dots AS (SELECT cand.a, cand.b, sum(da.x * db.x) AS dot
-             FROM cand JOIN dims da ON da.vec_id = cand.a
-                       JOIN dims db ON db.vec_id = cand.b AND db.i = da.i
-             GROUP BY 1, 2)
-    SELECT d.a, d.b,
-           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine,
-           d.dot / (na.nrm * nb.nrm) >= 0.95   AS is_dup
-    FROM dots d JOIN norms na ON na.vec_id = d.a
-                JOIN norms nb ON nb.vec_id = d.b
-    """,
-    doc="Embedding-cosine near-dup (the semantic-dedup pass of an LLM data "
-    "pipeline): LSH-bucketed candidate pairs (equi-join on the 8-plane "
-    "signature -- never O(n^2)) with exact cosine verification and a "
-    "0.95 duplicate threshold.",
-    tags=("dedup", "embedding", "lsh"),
-)
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # element-level NULL contract (operators/similarity.py docstring):
-    # non-indexable vectors never bucket -- the oracle's dims CTE drops
-    # them, and a null-propagated projection would otherwise collide
-    # them into the all-zeros bucket
-    bucketed = emb.filter(indexable("embedding")).select(
-        F.col("vec_id").alias("id"),
-        F.col("embedding").alias("v"),
-        hyperplane_bucket("embedding", dim=64).alias("bucket"),
-    )
-    a = bucketed.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
-    b = bucketed.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
-    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
-    return (
-        a.join(b, "bucket")
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a",
-            "b",
-            F.round(cos, 6).alias("cosine"),
-            (cos >= 0.95).alias("is_dup"),
-        )
-    )
-
-
-@staged_query(
-    "dedup_embedding_cosine_scaled",
-    f"""
     WITH {fr.dims_cte()},
     nv AS (SELECT count(*) AS n FROM embeddings
            WHERE embedding IS NOT NULL
@@ -228,24 +172,28 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots d JOIN norms na ON na.vec_id = d.a
                 JOIN norms nb ON nb.vec_id = d.b
     """,
-    doc="STAGED r12 twin of dedup_embedding_cosine (VERDICT r10 item 3; "
-    "the swap is pre-announced for r12, after the frozen plan's r11 "
-    "re-check lands). Same output contract (a, b, cosine, is_dup), but "
-    "candidates come from the banded corpus-scaled LSH "
-    "(operators/dedup.py embedding_cosine_pairs_scaled: 4 bands, "
-    "planes_per_band = max(8, ceil(log2(n/64))), single corpus scan via "
-    "posexplode) instead of the fixed single-band 8-plane bucket join "
-    "whose candidate volume measured ~101x per corpus decade "
-    "(BASELINE.md r10). The oracle mirrors the derivation in SQL: the "
-    "ppb CTE computes planes-per-band from the indexable-vector count "
-    "exactly as the Spark sizing job does, and band b's planes are the "
-    "absolute indices [b*k, (b+1)*k) -- band 0 IS the frozen plane set, "
-    "so at gate SFs (k=8) the result is a superset of the frozen "
-    "query's pairs, and bands=1 reproduces it exactly "
-    "(tests/test_dedup.py).",
-    tags=("dedup", "embedding", "lsh", "staged"),
+    doc="Embedding-cosine near-dup (the semantic-dedup pass of an LLM data "
+    "pipeline): banded corpus-scaled LSH candidates with exact cosine "
+    "verification and a 0.95 duplicate threshold. Swapped onto the "
+    "scale path in r12 (sanctioned by VERDICT r10 item 3, staged+"
+    "rehearsed r11, precondition met by the r11 re-check of the frozen "
+    "shape): candidates come from operators/dedup.py "
+    "embedding_cosine_pairs_scaled (4 bands, planes_per_band = "
+    "max(8, ceil(log2(n/64))), single corpus scan via posexplode) "
+    "instead of the former fixed single-band 8-plane bucket join whose "
+    "candidate volume measured ~101x per corpus decade vs 19.5x banded "
+    "(BASELINE.md r10/r12). The oracle mirrors the derivation in SQL: "
+    "the ppb CTE computes planes-per-band from the indexable-vector "
+    "count exactly as the Spark sizing job does, and band b's planes "
+    "are the absolute indices [b*k, (b+1)*k) -- band 0 IS the former "
+    "frozen plane set, so at gate SFs (k=8) the result is a superset "
+    "of the pre-swap query's pairs, and bands=1/planes_per_band=8 "
+    "reproduces it exactly (tests/test_dedup.py); sf1 recall is "
+    "strictly better (100% of the frozen pairs + 543 it missed, "
+    "BASELINE.md).",
+    tags=("dedup", "embedding", "lsh"),
 )
-def dedup_embedding_cosine_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_cosine_pairs_scaled
 
     emb = load_table(spark, sf_dir, "embeddings")

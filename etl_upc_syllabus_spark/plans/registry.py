@@ -45,12 +45,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #: QuerySpecs (Spark fn + oracle) that are NOT part of the driver
 #: contract: queries()/oracle_sql() never include them (the registry
 #: is frozen at 199 per VERDICT r6 item 1). They exist so a
-#: pre-announced swap (e.g. dedup_embedding_cosine -> its banded
-#: scale-path twin, sanctioned for r12 by VERDICT r10 item 3) can
-#: land with its oracle mirror, replica evidence, and tests already
-#: in place -- the flip is then a one-line move from here into the
-#: registry. Checked by ``tools/verify_local.py --staged`` and by
-#: pytest, never by the driver.
+#: pre-announced swap can land with its oracle mirror, replica
+#: evidence, and tests already in place -- the flip is then a
+#: one-line move from here into the registry (executed once so far:
+#: dedup_embedding_cosine -> its banded scale-path twin, sanctioned
+#: r10, staged r11, flipped r12; see _PLAN_SWAPPED). Checked by
+#: ``tools/verify_local.py --staged`` and by pytest, never by the
+#: driver.
 _STAGED: dict[str, QuerySpec] = {}
 
 
@@ -204,6 +205,21 @@ _STALE_GREEN_BROKEN = frozenset(
 )
 
 
+# Sanctioned plan+oracle swaps: name -> round the swap shipped in.
+# A swapped query's green history belongs to the PRE-swap plan shape,
+# so until the driver records a verdict from the swap round or later,
+# the name is forced to tier 0 (ahead of every cohort) -- the swap
+# round's bounded ~50-entry window then verifies the new fn against
+# the new oracle together. Once a >=swap-round record exists (green or
+# broken), the normal ordering takes back over.
+_PLAN_SWAPPED: dict[str, int] = {
+    # r12: banded corpus-scaled LSH replaced the fixed 8-plane
+    # single-band shape (VERDICT r10 item 3 sanction; staged +
+    # rehearsed r11; executed r12 -- see extended_queries.py docstring)
+    "dedup_embedding_cosine": 12,
+}
+
+
 def _verification_rounds(root: str | None = None) -> dict[str, int]:
     """name -> effective verification round for re-check ordering.
 
@@ -251,6 +267,10 @@ def _verification_rounds(root: str | None = None) -> dict[str, int]:
     for k in _STALE_GREEN_BROKEN:
         # trust any round-4+ driver record over the static r3 verdict
         if k not in latest or latest[k][0] <= 3:
+            rounds[k] = 0
+    for k, swap_round in _PLAN_SWAPPED.items():
+        # pre-swap green verdicts vouch for the OLD plan shape only
+        if k not in latest or latest[k][0] < swap_round:
             rounds[k] = 0
     return rounds
 

@@ -541,47 +541,63 @@ def test_embedding_lsh_plane_scaling_and_streaming_guard(spark, sf_dir):
         embedding_lsh_candidate_pairs(stream, dim=1)
 
 
-def test_staged_cosine_twin_matches_oracle_and_stays_out_of_registry(spark, sf_dir):
-    """The r12 swap twin (VERDICT r10 item 3, staged in r11):
-    dedup_embedding_cosine_scaled lives in the STAGED side registry
-    with its banded SQL oracle -- green vs the oracle at the test SF
-    (the sf0.01 leg runs via `verify_local --staged`), a SUPERSET of
-    the frozen query's pairs at gate SF (derived planes_per_band is 8
-    there, so band 0 IS the frozen plane set), and absent from the
-    driver contract (registry frozen at 199)."""
+def test_swapped_cosine_registry_plan_oracle_and_band0_superset(spark, sf_dir):
+    """r12 swap receipt (VERDICT r10 item 3 sanction, staged+rehearsed
+    r11, executed r12): the LIVE dedup_embedding_cosine registry plan
+    is the banded scale path -- green vs its banded SQL oracle at the
+    test SF, a SUPERSET of the pre-swap fixed single-band 8-plane pair
+    set (derived planes_per_band floors at 8 at gate SFs, so band 0 IS
+    the former frozen plane set; bands=1/planes_per_band=8 reproduces
+    it), the registry stays frozen at 199, and nothing is left
+    staged."""
+    from etl_upc_syllabus_spark.operators.dedup import embedding_cosine_pairs_scaled
     from etl_upc_syllabus_spark.plans import all_specs
     from etl_upc_syllabus_spark.plans.registry import staged_specs
+    from etl_upc_syllabus_spark.sources.tables import load_table
 
     from .oracle_harness import compare, duckdb_run
 
     specs = all_specs()
+    assert staged_specs() == {}, "the r12 flip must leave nothing staged"
     assert "dedup_embedding_cosine_scaled" not in specs
     assert len(specs) == 199
-    spec = staged_specs()["dedup_embedding_cosine_scaled"]
+    spec = specs["dedup_embedding_cosine"]
     sdf = spec.fn(spark, sf_dir)
-    compare(sdf, duckdb_run(spec.oracle, sf_dir), "dedup_embedding_cosine_scaled")
+    compare(sdf, duckdb_run(spec.oracle, sf_dir), "dedup_embedding_cosine")
 
-    frozen = specs["dedup_embedding_cosine"].fn(spark, sf_dir)
-    f_pairs = {(r["a"], r["b"]) for r in frozen.select("a", "b").collect()}
+    pre_swap = embedding_cosine_pairs_scaled(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=64,
+        threshold=0.95,
+        bands=1,
+        planes_per_band=8,
+    )
+    f_pairs = {(r["a"], r["b"]) for r in pre_swap.select("a", "b").collect()}
     t_pairs = {(r["a"], r["b"]) for r in sdf.select("a", "b").collect()}
-    assert f_pairs <= t_pairs, "band 0 must reproduce every frozen pair"
+    assert f_pairs <= t_pairs, "band 0 must reproduce every pre-swap pair"
 
 
 def test_promoting_a_staged_name_requires_moving_it():
     """register() refuses a name still in the staged registry (review
-    r11): the sanctioned r12 flip must MOVE the spec, never leave two
-    diverging copies of one name live in both registries."""
+    r11): a sanctioned flip must MOVE the spec, never leave two
+    diverging copies of one name live in both registries. The r12 swap
+    emptied _STAGED, so the guard is pinned with a synthetic staged
+    entry (inserted and removed here -- never via staged_query, which
+    would leak it into other tests' staged_specs views)."""
     import pytest
 
     from etl_upc_syllabus_spark.plans.registry import (
+        _STAGED,
         QuerySpec,
         register,
         staged_specs,
     )
 
-    assert "dedup_embedding_cosine_scaled" in staged_specs()
-    with pytest.raises(ValueError, match="still staged"):
-        register(QuerySpec(
-            name="dedup_embedding_cosine_scaled",
-            fn=lambda spark, sf: None, oracle=None,
-        ))
+    assert staged_specs() == {}
+    name = "_test_staged_promotion_guard"
+    _STAGED[name] = QuerySpec(name=name, fn=lambda spark, sf: None, oracle=None)
+    try:
+        with pytest.raises(ValueError, match="still staged"):
+            register(QuerySpec(name=name, fn=lambda spark, sf: None, oracle=None))
+    finally:
+        del _STAGED[name]

@@ -670,15 +670,16 @@ def test_malformed_json_row_degrades_and_gate_quarantines(spark, tmp_path):
         con.execute(spec.oracle).fetchall()
 
 
-def test_staged_cosine_twin_holds_the_hostile_contracts(spark, elemnull_fixture, nan_fixture):
-    """The r12 swap twin must enter the registry already holding the
-    element-NULL and NaN/Inf contracts the frozen query is pinned on:
-    oracle parity on both hostile fixtures (the twin's fn filters
-    similarity.indexable; its oracle shares the dims CTE guard and
-    counts indexable vectors for the ppb derivation)."""
-    from etl_upc_syllabus_spark.plans.registry import staged_specs
+def test_swapped_cosine_holds_the_hostile_contracts(spark, elemnull_fixture, nan_fixture):
+    """The banded dedup_embedding_cosine (live in the registry since
+    the r12 swap) holds the element-NULL and NaN/Inf contracts the
+    pre-swap shape was pinned on: oracle parity on both hostile
+    fixtures (the fn filters similarity.indexable; its oracle shares
+    the dims CTE guard and counts indexable vectors for the ppb
+    derivation)."""
+    from etl_upc_syllabus_spark.plans import all_specs
 
-    spec = staged_specs()["dedup_embedding_cosine_scaled"]
+    spec = all_specs()["dedup_embedding_cosine"]
     for label, fixture in (("elemnull", elemnull_fixture), ("nan", nan_fixture)):
         sdf = spec.fn(spark, fixture)
         odf = duckdb_run(spec.oracle, fixture)
