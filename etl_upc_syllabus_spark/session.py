@@ -36,21 +36,21 @@ def get_spark(app_name: str = "etl_upc_syllabus_spark", cpus: int | None = None)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # bitrot defense, opt-in (SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS=1):
-        # verify parquet page CRCs at read. The r11 bitrot probe
-        # (tools/bitrot_probe.py) measured 9/12 random mid-file
-        # corruptions reading SILENTLY WRONG without verification
-        # (footer audit green, values off by 10^20), and LOUD CRC
-        # failures with it on checksummed files (Spark's own writer
-        # emits page CRCs by default; the pyarrow-written driver
-        # fixtures do not, where verification is a no-op). Default OFF
-        # this round only for freeze discipline -- flipping the default
-        # is an r12 candidate; it changes no plan and no value on
-        # healthy data.
+        # bitrot defense, DEFAULT ON (opt out with
+        # SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS=0): verify parquet page
+        # CRCs at read. The r11 bitrot probe (tools/bitrot_probe.py)
+        # measured 9/12 random mid-file corruptions reading SILENTLY
+        # WRONG without verification (footer audit green, values off
+        # by 10^20), LOUD CRC failures with it on checksummed files
+        # (Spark's own writer emits page CRCs by default; the
+        # pyarrow-written driver fixtures do not, where verification
+        # is a no-op), and verification cost within host noise. The
+        # conf is plan-inert and value-inert on healthy data
+        # (measured r11), so the measured posture wins: on.
         .config(
             "spark.hadoop.parquet.page.verify-checksum.enabled",
-            "true" if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS") == "1"
-            else "false",
+            "false" if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS") == "0"
+            else "true",
         )
         .getOrCreate()
     )

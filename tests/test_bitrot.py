@@ -7,9 +7,9 @@ page checksums (values off by 10^20 with zero errors). The defense is
 write-side page CRCs (Spark's own writer emits them by default;
 pyarrow needs write_page_checksum=True -- the driver fixtures lack
 them) plus read-side verification
-(``parquet.page.verify-checksum.enabled`` per read, or
-``SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS=1`` session-wide, default off
-this round for freeze discipline).
+(``parquet.page.verify-checksum.enabled`` per read; session-wide it
+is DEFAULT ON since r12 -- opt out with
+``SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS=0``).
 """
 
 from __future__ import annotations
@@ -88,10 +88,10 @@ def test_unverified_read_of_bitrot_is_silent(spark, checksummed, tmp_path):
 
 
 def test_session_knob_wires_the_hadoop_conf(spark):
-    """The opt-in env knob maps to the hadoop conf key (default off
-    this round; the r12 candidate is flipping the default)."""
+    """Verification defaults ON (r12 flip, measured plan- and
+    value-inert on healthy data); the env knob is opt-OUT."""
     assert (
         spark.conf.get("spark.hadoop.parquet.page.verify-checksum.enabled")
-        == ("true" if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS") == "1"
-            else "false")
+        == ("false" if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS") == "0"
+            else "true")
     )

@@ -14,8 +14,8 @@ read then does, across the defense matrix:
 - **page checksums written, verification off**: still silent --
   checksums protect nothing unless the reader verifies.
 - **page checksums written, verification on**
-  (``parquet.page.verify-checksum.enabled``, exposed as
-  ``SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS=1`` in session.py): LOUD CRC
+  (``parquet.page.verify-checksum.enabled``, the session.py default
+  since r12 -- opt out with SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS=0): LOUD CRC
   failure on BOTH Spark readers (vectorized and row-wise) and in
   pyarrow (``page_checksum_verification=True``).
 
@@ -57,8 +57,9 @@ def main(argv):
 
     def digest(path, verify=False):
         # verification is passed PER READ as a datasource option (it
-        # merges into the relation's hadoop conf); session-wide opt-in
-        # is SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS=1 (session.py)
+        # merges into the relation's hadoop conf) so the probe measures
+        # both postures regardless of the session default (ON since
+        # r12; opt out with SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS=0)
         reader = spark.read.option(
             "parquet.page.verify-checksum.enabled", str(verify).lower()
         )
