@@ -179,7 +179,11 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
     must not be the first thing a bad file kills -- review r11): it
     lands as the reserved ``<unreadable>`` row with drift
     ``unreadable`` and the error strings in ``types``; route such
-    files through scan_corrupt_files / read_resilient.
+    files through scan_corrupt_files / read_resilient. With bad files
+    present, ``n_files_total`` counts the READABLE footers (an
+    unreadable footer says nothing about column membership), so a
+    column present in every readable file stays ``stable`` and the
+    ``<unreadable>`` row is the sole signal for the bad files.
     """
     import pandas as _pd
 
@@ -212,15 +216,32 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
         F.count_distinct("ctype").alias("n_types"),
         F.count_distinct("file").alias("n_files_present"),
     )
+    # the 'partial' denominator counts READABLE footers only (ADVICE
+    # r11): an unreadable file says nothing about which columns it
+    # carries, so counting it in n_files_total would mislabel every
+    # fully-present column 'partial' exactly in the corrupted-lake
+    # scenario the census targets. Derived lazily from the aggregate
+    # itself -- the whole-frame window runs over one row per column
+    # name (bounded by schema width), not over the footer scan.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    n_unreadable = F.coalesce(
+        F.max(
+            F.when(F.col("column") == "<unreadable>", F.col("n_files_present"))
+        ).over(w),
+        F.lit(0),
+    )
+    n_readable = (F.lit(n_total) - n_unreadable).cast("long")
     return agg.select(
         "column",
         "types",
         "n_types",
         "n_files_present",
-        F.lit(n_total).cast("long").alias("n_files_total"),
+        n_readable.alias("n_files_total"),
         F.when(F.col("column") == "<unreadable>", "unreadable")
         .when(F.col("n_types") > 1, "type_conflict")
-        .when(F.col("n_files_present") < n_total, "partial")
+        .when(F.col("n_files_present") < n_readable, "partial")
         .otherwise("stable")
         .alias("drift"),
     )

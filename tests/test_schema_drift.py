@@ -64,6 +64,11 @@ def test_census_reports_unreadable_files_instead_of_dying(spark, tmp_path):
     assert rows["<unreadable>"]["drift"] == "unreadable"
     assert rows["<unreadable>"]["n_files_present"] == 1
     assert rows["event_id"]["drift"] == "type_conflict"
+    # denominator over READABLE footers only (ADVICE r11): a column in
+    # every readable file is 'stable', never 'partial', when the only
+    # absence is an unreadable footer that says nothing about it
+    assert rows["value"]["drift"] == "stable"
+    assert rows["value"]["n_files_total"] == rows["value"]["n_files_present"]
 
 
 def test_rename_is_silent_under_plain_read(spark, tmp_path):
