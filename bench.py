@@ -147,9 +147,10 @@ def _wobble_outliers(
     ledger floor (``floors``) -- VERDICT r10 item 6: on a host
     drifting busier, all-time quiet-era records fire the probe on
     pure era drift (r10 fired 3/15 with zero plan changes). Artifact
-    rows keep ``recorded_floor`` = the all-time ledger for continuity
-    and add ``recent_floor`` whenever it differs; ``ratio`` is vs the
-    trigger floor (the number the >1.25x rule actually used).
+    rows carry each key iff its source has the query (ADVICE r11):
+    ``recorded_floor`` = the all-time ledger entry, ``recent_floor`` =
+    the recent-era entry; ``ratio`` is vs the trigger floor (the
+    number the >1.25x rule actually used).
 
     Interpretation (refined r10 after measuring the fresh-JVM JIT
     bias): a probe best that reproduces the recorded floor attributes
@@ -188,11 +189,14 @@ def _wobble_outliers(
     }
 
     def _row(name: str, ratio: float) -> dict[str, object]:
-        row: dict[str, object] = {
-            "recorded_floor": floors.get(name, trigger[name]),
-            "ratio": round(ratio, 2),
-        }
-        if name in recent and recent[name] != row["recorded_floor"]:
+        # each key means exactly its source (ADVICE r11): recorded_floor
+        # ONLY when the all-time ledger has the query, recent_floor
+        # ALWAYS when the recent era does -- a recent-only query must
+        # not present its era value under the ledger's key
+        row: dict[str, object] = {"ratio": round(ratio, 2)}
+        if name in floors:
+            row["recorded_floor"] = floors[name]
+        if name in recent:
             row["recent_floor"] = recent[name]
         return row
 

@@ -260,6 +260,35 @@ def test_wobble_trigger_keys_to_recent_era_floor(tmp_path, monkeypatch):
     assert out == {"q_b": {"recorded_floor": 1.0, "ratio": 1.3, "probed": False}}
 
 
+def test_wobble_row_keys_track_their_sources(tmp_path, monkeypatch):
+    """ADVICE r11 (bench.py:192): a query known ONLY to the recent era
+    (no all-time ledger entry -- e.g. a renamed/new headline) must
+    present its value as recent_floor, never under the ledger's
+    recorded_floor key; and recent_floor appears whenever the trigger
+    came from the recent era, even when the two eras compare equal."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    floors = {
+        "sf": 0.1,
+        "floors": {"q_equal": 2.0},
+        "recent_floors": {"q_recent_only": 1.0, "q_equal": 2.0},
+    }
+    floors_file = str(tmp_path / "floors.json")
+    json.dump(floors, open(floors_file, "w"))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FLOORS", floors_file)
+    monkeypatch.setattr(bench, "WOBBLE_MAX_QUERIES", 0)
+
+    out = bench._wobble_outliers({"q_recent_only": 1.5, "q_equal": 3.0}, 0.1, "x")
+    assert out["q_recent_only"] == {
+        "recent_floor": 1.0, "ratio": 1.5, "probed": False,
+    }
+    assert out["q_equal"] == {
+        "recorded_floor": 2.0, "recent_floor": 2.0, "ratio": 1.5, "probed": False,
+    }
+
+
 # --- artifact emission (r10: the driver tail-captures ~2000 chars) ----------
 
 
