@@ -446,7 +446,14 @@ def quarantine_duplicate_keys(
     materialized pass instead of re-scanning and re-aggregating the
     key column three times. The checkpoint makes the build EAGER (one
     Spark job at construction -- the documented lsh bucket_cap
-    posture). Batch-only: a streaming source cannot be counted; use
+    posture) and trades away lineage fault-tolerance (ADVICE r11):
+    localCheckpoint blocks live on executor LOCAL storage, so losing
+    an executor after the build (preemption, dynamic-allocation
+    decommission, OOM kill) fails the downstream joins unrecoverably
+    instead of recomputing -- on clusters with executor churn, rebuild
+    on failure (the aggregate is one cheap keys-only pass) or swap the
+    localCheckpoint for a reliable ``checkpoint()`` with a configured
+    checkpoint dir. Batch-only: a streaming source cannot be counted; use
     dropDuplicates within watermark (streaming/events.py stream_dedup)
     for the streaming analog.
     """
