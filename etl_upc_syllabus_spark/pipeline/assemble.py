@@ -22,12 +22,53 @@ from .parse import parse_document
 from .schema import PARSED_COURSE_SCHEMA, PERIODS_SCHEMA
 
 
-def parse_documents(raw_docs: DataFrame) -> DataFrame:
+def _normalize_batch(pdf: pd.DataFrame, form: str) -> pd.DataFrame:
+    """Unicode-normalize every text surface of one raw-doc pandas batch
+    (pages + both tables), shared by ``normalize_raw_docs`` (the
+    composable pre-pass) and ``parse_documents(nfkc=True)`` (the fused
+    one-Arrow-pass path) so knob == pre-pass by construction."""
+    import unicodedata
+
+    def _norm(s):
+        return unicodedata.normalize(form, s) if isinstance(s, str) else s
+
+    pdf = pdf.copy()
+    pdf["pages"] = pdf["pages"].map(
+        lambda ps: None if ps is None else [_norm(p) for p in ps]
+    )
+    for col in ("units_table", "assessments_table"):
+        # rows are schema-nullable (containsNull) -- a NULL row passes
+        # through untouched so the parse stage's own null handling /
+        # quarantine still sees it (review r11)
+        pdf[col] = pdf[col].map(
+            lambda tbl: None
+            if tbl is None
+            else [None if row is None else [_norm(c) for c in row]
+                  for row in tbl]
+        )
+    return pdf
+
+
+def parse_documents(raw_docs: DataFrame, *, nfkc: bool = False) -> DataFrame:
     """Arrow parse stage: (filename, pages, units_table, assessments_table)
-    -> PARSED_COURSE_SCHEMA rows (error column set on failures)."""
+    -> PARSED_COURSE_SCHEMA rows (error column set on failures).
+
+    ``nfkc=True`` folds the ``normalize_raw_docs`` NFKC pre-pass into
+    this stage's single Arrow pass (VERDICT r11 item 5: the separate
+    pre-pass costs a second Arrow round-trip, measured at 55-61% of
+    the parse stage) -- same normalization helper, so output is
+    pinned identical to pre-pass-then-parse
+    (tests/test_syllabus_hostile.py). Default False: the parse
+    kernels' behavior on exotic input is the reference-parity surface
+    and normalization is an ingestion policy the caller opts into;
+    the frozen ``syllabus_calendar`` registry plan flows through the
+    default and is untouched.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if nfkc:
+                pdf = _normalize_batch(pdf, "NFKC")
             records = [
                 parse_document(
                     row.filename,
@@ -68,30 +109,16 @@ def normalize_raw_docs(raw: DataFrame, form: str = "NFKC") -> DataFrame:
     behavior, including these measured misses on exotic input, mirrors
     the reference's exact-substring matching), and normalization is an
     ingestion policy. Arrow ``mapInPandas`` like the parse stage
-    itself -- narrow, one pass, documents parallelize.
+    itself -- narrow, one pass, documents parallelize. When the next
+    stage is the parse itself, prefer ``parse_documents(nfkc=True)``:
+    same helper (``_normalize_batch``), same output, one Arrow pass
+    instead of two (the standalone pre-pass measured 55-61% of the
+    parse stage's cost, BASELINE.md r11/r12).
     """
-    import unicodedata
-
-    def _norm(s):
-        return unicodedata.normalize(form, s) if isinstance(s, str) else s
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf["pages"] = pdf["pages"].map(
-                lambda ps: None if ps is None else [_norm(p) for p in ps]
-            )
-            for col in ("units_table", "assessments_table"):
-                # rows are schema-nullable (containsNull) -- a NULL row
-                # passes through untouched so the parse stage's own
-                # null handling / quarantine still sees it (review r11)
-                pdf[col] = pdf[col].map(
-                    lambda tbl: None
-                    if tbl is None
-                    else [None if row is None else [_norm(c) for c in row]
-                          for row in tbl]
-                )
-            yield pdf
+            yield _normalize_batch(pdf, form)
 
     return raw.mapInPandas(run, schema=raw.schema)
 

@@ -128,3 +128,24 @@ def test_normalize_raw_docs_passes_null_rows_through(spark):
     out = normalize_raw_docs(raw).collect()[0]
     assert out["pages"] is None
     assert list(out["units_table"]) == [None, ["SEMANA", None]]
+
+
+def test_parse_nfkc_knob_equals_prepass_then_parse(spark):
+    """VERDICT r11 item 5: ``parse_documents(nfkc=True)`` fuses the
+    NFKC pre-pass into the parse stage's single Arrow pass (the
+    standalone pre-pass measured 55-61% of the parse cost). Pinned:
+    for the clean golden document AND every probe mutation class, the
+    fused knob's full parsed output equals normalize_raw_docs -> parse
+    exactly; and the default (nfkc=False) stays the raw
+    reference-parity posture, untouched."""
+    docs = [clean_doc()] + [m(clean_doc()) for m in mutations().values()]
+    raw = spark.createDataFrame([tuple(d) for d in docs], RAW_DOC_SCHEMA)
+
+    fused = sorted(map(str, parse_documents(raw, nfkc=True).collect()))
+    prepass = sorted(map(str, parse_documents(normalize_raw_docs(raw)).collect()))
+    assert fused == prepass
+
+    # default posture unchanged: the NBSP header class still parses
+    # silently to defaults without the knob (the frozen registry path)
+    good, bad = _run(spark, [mutations()["nbsp_in_header"](clean_doc())])
+    assert bad.count() == 0 and good.collect()[0]["name"] == ""

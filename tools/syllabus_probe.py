@@ -218,6 +218,8 @@ def bench(n: int) -> int:
         for label, pipe in [
             ("parse_only", lambda: parse_documents(raw)),
             ("nfkc_then_parse", lambda: parse_documents(normalize_raw_docs(raw))),
+            # r12: the fused single-Arrow-pass knob (VERDICT r11 item 5)
+            ("parse_nfkc_fused", lambda: parse_documents(raw, nfkc=True)),
         ]:
             best = float("inf")
             for _ in range(3):
@@ -227,6 +229,9 @@ def bench(n: int) -> int:
             res[label] = round(best, 3)
         res["overhead_pct"] = round(
             100 * (res["nfkc_then_parse"] / res["parse_only"] - 1), 1
+        )
+        res["fused_overhead_pct"] = round(
+            100 * (res["parse_nfkc_fused"] / res["parse_only"] - 1), 1
         )
         print(json.dumps({"n_docs": size, **res}), flush=True)
     spark.stop()
