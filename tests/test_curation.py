@@ -393,3 +393,90 @@ def test_quarantine_hostile_is_streaming_startable(spark):
     assert c2.isStreaming and q2.isStreaming
     with pytest.raises(ValueError, match="streaming input needs an explicit dim"):
         cu.quarantine_hostile(with_vec, vec_col="v")
+
+
+def test_streaming_ingest_recipe_end_to_end(spark, tmp_path):
+    """The README streaming-ingest recipe, pinned end-to-end (VERDICT
+    r11 item 7): gates BEFORE the watermark -- quarantine_hostile is
+    pure filters, the ts axis is what makes watermark poisoning
+    impossible (a year-9999 row would otherwise drag the watermark past
+    every real window and silently drop them as late), and the width
+    axis takes explicit dim= (a stream has no corpus to derive the
+    modal width from). Then withWatermark -> tumbling window -> append
+    sink. Drained with the staged-sentinel shape the harness uses:
+    data + sentinel 1 in micro-batch 1 (advances the watermark),
+    sentinel 2 as the trailing data batch that emits the real windows.
+    """
+    import datetime as dt
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_upc_syllabus_spark.streaming.events import run_stream_to_table
+
+    def table(rows):
+        ids, tss, vals, vecs = zip(*rows)
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(list(tss), pa.timestamp("us")),
+                "value": pa.array(vals, pa.float64()),
+                "vec": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+
+    t = lambda m, h=10: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    data = [
+        (1, t(1), 1.0, [1.0, 2.0, 3.0]),          # clean, window 10:00
+        (2, t(5), 2.0, [1.0, 1.0, 1.0]),          # clean, window 10:00
+        (3, t(12), 3.0, [2.0, 2.0, 2.0]),         # clean, window 10:10
+        (4, t(2), float("nan"), [1.0, 1.0, 1.0]),  # nonfinite axis
+        (5, t(3), 4.0, [1.0, 1.0]),                # width axis (dim=3)
+        (6, dt.datetime(9999, 1, 1), 5.0, [1.0, 1.0, 1.0]),  # ts axis
+    ]
+    sentinel = [(100, dt.datetime(2099, 1, 1), 0.0, [0.0, 0.0, 0.0])]
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d)
+    now = time.time()
+    for i, (name, rows) in enumerate(
+        [("data", data), ("zz_sentinel_0", sentinel), ("zz_sentinel_1", sentinel)]
+    ):
+        p = os.path.join(d, f"{name}.parquet")
+        pq.write_table(table(rows), p)
+        os.utime(p, (now - 100 + 40 * i, now - 100 + 40 * i))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, value double, vec array<double>"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .parquet(d)
+    )
+    clean, quar = cu.quarantine_hostile(
+        stream, cols=["value"], vec_col="vec", dim=3, ts_col="ts"
+    )
+    agg = (
+        clean.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    wins = {
+        (r["ws"].hour, r["ws"].minute): r["n"]
+        for r in run_stream_to_table(agg, "append").collect()
+        if r["ws"].year < 2099  # sentinel windows are harness scaffolding
+    }
+    assert wins == {(10, 0): 2, (10, 10): 1}
+
+    reasons = {
+        r["event_id"]: r["quarantine_reason"]
+        for r in run_stream_to_table(
+            quar.select("event_id", "quarantine_reason"), "append"
+        ).collect()
+    }
+    assert set(reasons) == {4, 5, 6}
+    assert reasons[4].startswith("nonfinite:")
+    assert reasons[5].startswith("width:")
+    assert reasons[6].startswith("ts_out_of_range:")
