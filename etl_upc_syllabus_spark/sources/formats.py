@@ -65,6 +65,17 @@ def read_resilient(
     footer is consulted at planning. Pair with
     :func:`scan_corrupt_files` to AUDIT what was skipped -- silently
     dropping files without a report is how a lake rots.
+
+    Composition with page-CRC verification (the r12 session default),
+    measured: a CRC failure mid-decode makes ``ignoreCorruptFiles``
+    skip the ENTIRE file -- good rows included -- with no error
+    anywhere, and the footer-only audit still reports it ok (the
+    footer is valid; only a data page rotted). A resilient backfill
+    over checksummed files must therefore publish the DEEP audit
+    (``scan_corrupt_files(..., deep=True)``) for its skip report to be
+    truthful. Note also that verification fires only on pages actually
+    DECODED: a count() or a projection that prunes the rotted column
+    sails through either way.
     """
     return (
         spark.read.schema(schema)
@@ -112,7 +123,9 @@ def _leaf_data_files(path: str) -> list[str]:
     return sorted(out)
 
 
-def scan_corrupt_files(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+def scan_corrupt_files(
+    spark: SparkSession, path: str, fmt: str = "parquet", deep: bool = False
+) -> DataFrame:
     """Distributed corruption audit: (file, ok, error) per data file.
 
     The driver only LISTS the tree (recursively -- partition
@@ -123,6 +136,22 @@ def scan_corrupt_files(spark: SparkSession, path: str, fmt: str = "parquet") -> 
     the audit scales with the cluster, not the driver. The result is
     the skip report a :func:`read_resilient` backfill publishes next
     to its output.
+
+    ``deep=True`` (parquet) fully decodes every column with page-CRC
+    verification (``page_checksum_verification``), because the default
+    footer-only probe is BLIND to bitrot under a valid footer -- and
+    that is exactly the class a resilient backfill now silently drops
+    whole files over (r12 measured composition: with page verification
+    on -- the session default -- ``ignoreCorruptFiles`` treats a CRC
+    failure as a corrupt FILE and skips ALL of it, good rows included,
+    with the footer audit still reporting ok=true; pinned in
+    tests/test_bitrot.py). Deep costs a full decode per file instead
+    of a few KB, distributed across executors like the cheap probe --
+    run it when the table's writers emit page CRCs and the read posture
+    is resilient-skip, so the skip report is truthful. On CRC-less
+    files deep still catches decode-breaking rot (3/12 classes in the
+    r11 matrix) but not silent value rot -- write-side CRCs remain the
+    only complete answer.
     """
     import pandas as _pd
 
@@ -137,7 +166,13 @@ def scan_corrupt_files(spark: SparkSession, path: str, fmt: str = "parquet") -> 
                     if fmt == "parquet":
                         import pyarrow.parquet as _pq
 
-                        _pq.ParquetFile(f)  # footer + magic validation
+                        if deep:
+                            # full decode, every page CRC verified
+                            _pq.ParquetFile(
+                                f, page_checksum_verification=True
+                            ).read()
+                        else:
+                            _pq.ParquetFile(f)  # footer + magic validation
                     else:
                         with open(f, "rb") as fh:
                             fh.read()

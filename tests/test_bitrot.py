@@ -95,3 +95,57 @@ def test_session_knob_wires_the_hadoop_conf(spark):
         == ("false" if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS") == "0"
             else "true")
     )
+
+
+def test_resilient_read_composition_with_verification(spark, checksummed, tmp_path):
+    """The r12 composition matrix, pinned AS MEASURED: with page
+    verification ON (the session default), ``ignoreCorruptFiles``
+    treats a CRC failure as a corrupt FILE and silently skips ALL of
+    it -- good rows included -- while the footer-only audit still
+    reports ok=true (the footer never rotted). The deep audit
+    (``scan_corrupt_files(deep=True)``) is what makes a resilient
+    backfill's skip report truthful. Also pinned: verification fires
+    only on pages actually decoded -- a count() never trips it."""
+    import pyarrow.parquet as pq
+
+    from etl_upc_syllabus_spark.sources.formats import scan_corrupt_files
+
+    d, p = checksummed
+    # second, healthy file alongside the to-be-corrupted one
+    p2 = os.path.join(d, "part-001.parquet")
+    pq.write_table(pq.read_table(SRC), p2, write_page_checksum=True)
+    base = _digest(spark, SRC, verify=False)
+    _corrupt_mid(p)
+
+    def read(verify, resilient):
+        rd = spark.read.option(
+            "parquet.page.verify-checksum.enabled", str(verify).lower()
+        )
+        if resilient:
+            rd = rd.option("ignoreCorruptFiles", "true")
+        return rd.schema(spark.read.parquet(SRC).schema).parquet(d)
+
+    # verification only fires on decoded pages: metadata-only count is
+    # blind to the rot under BOTH postures
+    assert read(True, False).count() == 2 * base[0]
+
+    # resilient + verify: the whole corrupted file vanishes silently --
+    # exactly the healthy file's digest survives
+    got = list(
+        read(True, True).agg(
+            F.count(F.lit(1)),
+            F.sum("vec_id"),
+            F.round(F.sum(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)), 3),
+        ).collect()[0]
+    )
+    assert got == base, "resilient+verify must drop exactly the bad file"
+
+    # footer-only audit is blind to it; the deep audit catches it
+    shallow = {os.path.basename(r["file"]): r["ok"]
+               for r in scan_corrupt_files(spark, d).collect()}
+    assert shallow == {"part-000.parquet": True, "part-001.parquet": True}
+    deep = {os.path.basename(r["file"]): (r["ok"], r["error"])
+            for r in scan_corrupt_files(spark, d, deep=True).collect()}
+    assert deep["part-001.parquet"] == (True, None)
+    ok, err = deep["part-000.parquet"]
+    assert not ok and "CRC" in (err or "").upper().replace("CHECKSUM", "CRC")
