@@ -269,15 +269,28 @@ def _verification_rounds(root: str | None = None) -> dict[str, int]:
         if k not in latest or latest[k][0] <= 3:
             rounds[k] = 0
     for k, swap_round in _PLAN_SWAPPED.items():
-        # pre-swap green verdicts vouch for the OLD plan shape only
-        if k not in latest or latest[k][0] < swap_round:
+        # pre-swap green verdicts vouch for the OLD plan shape only:
+        # demote unless a GREEN verdict exists at/after the swap round
+        # (review r12: keying on latest-record EXISTENCE left a
+        # neither-green-nor-broken >=swap-round record -- e.g. a
+        # rows-only check -- cancelling the demotion with the new plan
+        # still unverified)
+        if rounds.get(k, 0) < swap_round:
             rounds[k] = 0
     return rounds
 
 
 def _verified_names() -> frozenset[str]:
-    """Names with a green verdict in any round so far."""
-    return frozenset(_verification_rounds())
+    """Names whose CURRENT plan shape has a standing green verdict.
+
+    Tier-0 names are excluded (review r12): a name demoted to round 0
+    -- broken-latest, stale-green-broken, or a _PLAN_SWAPPED entry
+    whose green history belongs to the pre-swap plan -- is exactly
+    what ``verify_local --unverified`` exists to re-run, so counting
+    its key as 'verified' would hide it from the one tool meant to
+    catch it.
+    """
+    return frozenset(k for k, v in _verification_rounds().items() if v > 0)
 
 
 def all_specs() -> dict[str, QuerySpec]:

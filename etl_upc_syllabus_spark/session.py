@@ -49,7 +49,9 @@ def get_spark(app_name: str = "etl_upc_syllabus_spark", cpus: int | None = None)
         # (measured r11), so the measured posture wins: on.
         .config(
             "spark.hadoop.parquet.page.verify-checksum.enabled",
-            "false" if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS") == "0"
+            "false"
+            if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS", "").lower()
+            in ("0", "false", "off", "no")
             else "true",
         )
         .getOrCreate()

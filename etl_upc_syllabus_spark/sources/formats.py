@@ -146,7 +146,9 @@ def scan_corrupt_files(
     failure as a corrupt FILE and skips ALL of it, good rows included,
     with the footer audit still reporting ok=true; pinned in
     tests/test_bitrot.py). Deep costs a full decode per file instead
-    of a few KB, distributed across executors like the cheap probe --
+    of a few KB (streamed one row group at a time, so worker memory is
+    bounded by row-group size, not file size), distributed across
+    executors like the cheap probe --
     run it when the table's writers emit page CRCs and the read posture
     is resilient-skip, so the skip report is truthful. On CRC-less
     files deep still catches decode-breaking rot (3/12 classes in the
@@ -167,10 +169,15 @@ def scan_corrupt_files(
                         import pyarrow.parquet as _pq
 
                         if deep:
-                            # full decode, every page CRC verified
-                            _pq.ParquetFile(
+                            # full decode, every page CRC verified --
+                            # row group at a time, so executor memory
+                            # holds one row group, never a whole
+                            # multi-GB file (review r12)
+                            with _pq.ParquetFile(
                                 f, page_checksum_verification=True
-                            ).read()
+                            ) as pf:
+                                for rg in range(pf.num_row_groups):
+                                    pf.read_row_group(rg)
                         else:
                             _pq.ParquetFile(f)  # footer + magic validation
                     else:
@@ -227,7 +234,7 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
 
     def probe(batches):
         for pdf in batches:
-            out_f, out_c, out_t = [], [], []
+            out_f, out_c, out_t, out_e = [], [], [], []
             for f in pdf["file"]:
                 import pyarrow.parquet as _pq
 
@@ -237,19 +244,30 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
                     out_f.append(f)
                     out_c.append("<unreadable>")
                     out_t.append(f"{type(e).__name__}: {str(e)[:120]}")
+                    out_e.append(True)
                     continue
                 for field in sch:
                     out_f.append(f)
                     out_c.append(field.name)
                     out_t.append(str(field.type))
-            yield _pd.DataFrame({"file": out_f, "column": out_c, "ctype": out_t})
+                    out_e.append(False)
+            yield _pd.DataFrame(
+                {"file": out_f, "column": out_c, "ctype": out_t, "is_err": out_e}
+            )
 
-    cols = files.mapInPandas(probe, "file string, column string, ctype string")
+    cols = files.mapInPandas(
+        probe, "file string, column string, ctype string, is_err boolean"
+    )
     n_total = len(names)
     agg = cols.groupBy("column").agg(
         F.array_join(F.array_sort(F.collect_set("ctype")), ",").alias("types"),
         F.count_distinct("ctype").alias("n_types"),
         F.count_distinct("file").alias("n_files_present"),
+        # probe-failure files in this group -- carried as a FLAG, not
+        # inferred from the reserved '<unreadable>' name, so a real
+        # column that happens to be named '<unreadable>' cannot poison
+        # the readable-file denominator (review r12)
+        F.count_distinct(F.when(F.col("is_err"), F.col("file"))).alias("_n_err"),
     )
     # the 'partial' denominator counts READABLE footers only (ADVICE
     # r11): an unreadable file says nothing about which columns it
@@ -261,20 +279,14 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.lit(1))
-    n_unreadable = F.coalesce(
-        F.max(
-            F.when(F.col("column") == "<unreadable>", F.col("n_files_present"))
-        ).over(w),
-        F.lit(0),
-    )
-    n_readable = (F.lit(n_total) - n_unreadable).cast("long")
+    n_readable = (F.lit(n_total) - F.sum("_n_err").over(w)).cast("long")
     return agg.select(
         "column",
         "types",
         "n_types",
         "n_files_present",
         n_readable.alias("n_files_total"),
-        F.when(F.col("column") == "<unreadable>", "unreadable")
+        F.when(F.col("_n_err") > 0, "unreadable")
         .when(F.col("n_types") > 1, "type_conflict")
         .when(F.col("n_files_present") < n_readable, "partial")
         .otherwise("stable")

@@ -92,7 +92,9 @@ def test_session_knob_wires_the_hadoop_conf(spark):
     value-inert on healthy data); the env knob is opt-OUT."""
     assert (
         spark.conf.get("spark.hadoop.parquet.page.verify-checksum.enabled")
-        == ("false" if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS") == "0"
+        == ("false"
+            if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS", "").lower()
+            in ("0", "false", "off", "no")
             else "true")
     )
 

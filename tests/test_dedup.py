@@ -576,6 +576,25 @@ def test_swapped_cosine_registry_plan_oracle_and_band0_superset(spark, sf_dir):
     t_pairs = {(r["a"], r["b"]) for r in sdf.select("a", "b").collect()}
     assert f_pairs <= t_pairs, "band 0 must reproduce every pre-swap pair"
 
+    # INDEPENDENT anchor (review r12): both sides above share the
+    # plane-derivation code, so a regression there would keep the
+    # superset check green while the pre-swap pair set silently
+    # changes. Pin the pre-swap set against literals computed from the
+    # pre-swap shape on the sf0.001 fixture -- any drift in
+    # hyperplane_bucket / plane weights / offset math trips this.
+    if sf_dir.rstrip("/").endswith("sf0.001"):
+        import hashlib
+
+        ordered = sorted(f_pairs)
+        digest = hashlib.sha256(
+            ";".join(f"{a},{b}" for a, b in ordered).encode()
+        ).hexdigest()
+        assert len(ordered) == 500
+        assert ordered[:3] == [(1, 249), (2, 25), (4, 101)]
+        assert digest == (
+            "5c34a6194416422362733951f5c1c1b9f5697d56931dfbf0d9f782decf76cba4"
+        )
+
 
 def test_promoting_a_staged_name_requires_moving_it():
     """register() refuses a name still in the staged registry (review
