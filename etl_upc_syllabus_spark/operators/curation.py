@@ -540,6 +540,50 @@ def _ts_flags(ts_col: str, lo: str, hi: str) -> tuple[Column, Column]:
     return bad, reason
 
 
+def quarantine_partition_keys(
+    df: DataFrame, col: str, *, allow_null: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows whose value for an INTENDED PARTITION column cannot
+    survive a hive layout -> (clean, quarantined-with-reason
+    'partition_unsafe').
+
+    The r12 partition-values probe (tools/partition_values_probe.py)
+    measured 18 hostile value classes through
+    ``write.partitionBy(col)`` + read-back: 16 roundtrip and prune
+    exactly (Spark percent-escapes ``=``, ``/``, newline, unicode,
+    trailing dot/space, ... in the directory name), but the EMPTY
+    STRING and the literal ``__HIVE_DEFAULT_PARTITION__`` are both
+    written into the null-sentinel directory and read back as NULL --
+    a silent 3-way merge with real NULLs (a filter on ``''`` then
+    matches nothing; groupBy denominators shift). Worse cross-engine:
+    DuckDB's hive_partitioning reads that same directory as the
+    LITERAL sentinel string, so the two engines disagree on every row
+    in it with zero errors.
+
+    Pure filter -- scan speed, streaming-safe, composable alongside
+    the quarantine_hostile axes -- to run BEFORE the write that lays
+    the table out. True NULL stays clean by default (Spark defines its
+    round-trip through the sentinel directory); pass
+    ``allow_null=False`` on a lake other engines also read, where the
+    sentinel directory itself is the divergence.
+    """
+    c = F.col(col)
+    bad = (c == F.lit("")) | (c == F.lit("__HIVE_DEFAULT_PARTITION__"))
+    reason = F.when(
+        c == F.lit(""), F.lit("partition_unsafe:empty_string")
+    ).otherwise(F.lit("partition_unsafe:hive_sentinel"))
+    if allow_null:
+        bad = c.isNotNull() & bad
+    else:
+        bad = c.isNull() | bad
+        reason = F.when(
+            c.isNull(), F.lit("partition_unsafe:null")
+        ).otherwise(reason)
+    clean = df.filter(~bad)
+    quarantined = df.filter(bad).withColumn("quarantine_reason", reason)
+    return clean, quarantined
+
+
 def quarantine_hostile(
     df: DataFrame,
     *,

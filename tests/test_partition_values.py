@@ -1,0 +1,107 @@
+"""Hostile partition-VALUE posture (r12 probe,
+tools/partition_values_probe.py).
+
+A lake laid out by ``partitionBy`` on an uncontrolled string key:
+16/18 hostile classes roundtrip and prune exactly (Spark
+percent-escapes directory names); the EMPTY STRING and the literal
+``__HIVE_DEFAULT_PARTITION__`` silently merge into the NULL sentinel
+directory (3-way merge with real NULLs); and the same directories
+read DIFFERENTLY from DuckDB (literal sentinel string; no unescaping
+of ``a%3Db``-style names). Gate:
+``curation.quarantine_partition_keys`` before the write.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_upc_syllabus_spark.operators.curation import quarantine_partition_keys
+
+
+def test_silent_merge_through_the_null_sentinel_dir(spark, tmp_path):
+    """Pinned AS MEASURED: NULL, '' and the literal sentinel all land
+    in pv=__HIVE_DEFAULT_PARTITION__ and ALL read back as NULL."""
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "__HIVE_DEFAULT_PARTITION__"), (4, "x")],
+        "id int, pv string",
+    )
+    df.write.partitionBy("pv").parquet(d)
+    assert sorted(x for x in os.listdir(d) if x.startswith("pv=")) == [
+        "pv=__HIVE_DEFAULT_PARTITION__", "pv=x",
+    ]
+    back = spark.read.parquet(d)
+    assert back.filter(F.col("pv").isNull()).count() == 3  # wrote ONE true null
+    assert back.filter(F.col("pv") == "").count() == 0  # the '' row is gone
+
+
+def test_escaped_classes_roundtrip_and_prune(spark, tmp_path):
+    """The non-merging hostile classes are exact: escaped directory
+    names roundtrip the value and an equality filter prunes to it."""
+    d = str(tmp_path / "t")
+    vals = ["a=b", "a/b", "a\nb", "a b", "Sí", "a."]  # NFD accent included
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id int, pv string"
+    ).write.partitionBy("pv").parquet(d)
+    back = spark.read.parquet(d)
+    assert sorted(r["pv"] for r in back.collect()) == sorted(vals)
+    for v in vals:
+        assert back.filter(F.col("pv") == v).count() == 1, repr(v)
+
+
+def test_quarantine_partition_keys_gate(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "__HIVE_DEFAULT_PARTITION__"), (4, "a=b")],
+        "id int, pv string",
+    )
+    clean, quar = quarantine_partition_keys(df, "pv")
+    assert {r["id"] for r in clean.collect()} == {1, 4}  # NULL legal by default
+    reasons = {r["id"]: r["quarantine_reason"] for r in quar.collect()}
+    assert reasons == {
+        2: "partition_unsafe:empty_string",
+        3: "partition_unsafe:hive_sentinel",
+    }
+
+    # multi-engine posture: NULL itself is the divergence -> gate it
+    clean2, quar2 = quarantine_partition_keys(df, "pv", allow_null=False)
+    assert {r["id"] for r in clean2.collect()} == {4}
+    assert {r["quarantine_reason"] for r in quar2.collect()} == {
+        "partition_unsafe:empty_string",
+        "partition_unsafe:hive_sentinel",
+        "partition_unsafe:null",
+    }
+
+    # stream-safe: pure filters
+    from etl_upc_syllabus_spark.streaming.events import read_events_stream
+    from .conftest import SF_DIR
+
+    stream = read_events_stream(spark, SF_DIR).withColumn(
+        "pv", F.col("event_type")
+    )
+    c, q = quarantine_partition_keys(stream, "pv")
+    assert c.isStreaming and q.isStreaming
+
+
+def test_duckdb_reads_the_same_layout_differently(spark, tmp_path):
+    """Pinned AS MEASURED (the cross-engine argument for the gate and
+    for allow_null=False): DuckDB reads the sentinel directory as the
+    LITERAL string and does not unescape percent-escaped names."""
+    import duckdb
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, None), (2, "a=b")], "id int, pv string"
+    ).write.partitionBy("pv").parquet(d)
+    rows = dict(
+        duckdb.connect().execute(
+            f"SELECT pv, count(*) FROM read_parquet('{d}/*/*.parquet', "
+            "hive_partitioning=1) GROUP BY 1"
+        ).fetchall()
+    )
+    assert rows == {"__HIVE_DEFAULT_PARTITION__": 1, "a%3Db": 1}
+    # while Spark reads its own layout exactly
+    back = spark.read.parquet(d)
+    assert back.filter(F.col("pv").isNull()).count() == 1
+    assert back.filter(F.col("pv") == "a=b").count() == 1
