@@ -36,6 +36,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("output_dir", help="Output directory for JSON files")
     p.add_argument("--config", default=None, help="period config.json path")
     p.add_argument("--verbose", action="store_true", help="Enable verbose logging")
+    p.add_argument(
+        "--nfkc",
+        action="store_true",
+        help="NFKC-normalize document text inside the parse stage "
+        "(closes the hostile-Unicode silent classes the r11 probe "
+        "measured: NBSP/NFD section markers, fullwidth colons; "
+        "default off = reference-parity parsing)",
+    )
     args = p.parse_args(argv)
 
     from .pipeline import assemble, calendar, extract, sinks
@@ -46,7 +54,7 @@ def main(argv: list[str] | None = None) -> int:
         spark.sparkContext.setLogLevel("ERROR")
 
     raw = extract.extract_documents(extract.read_syllabus_pdfs(spark, args.input_dir))
-    good, bad = assemble.split_quarantine(assemble.parse_documents(raw))
+    good, bad = assemble.split_quarantine(assemble.parse_documents(raw, nfkc=args.nfkc))
 
     config_path = args.config
     if config_path is None:

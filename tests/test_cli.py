@@ -127,3 +127,31 @@ def test_cli_empty_input_dir(spark, tmp_path):
     assert json.loads((out / "all_courses.json").read_text(encoding="utf-8")) == []
     assert json.loads((out / "quarantine.json").read_text(encoding="utf-8")) == []
     assert (out / "weekly_calendar.pdf").read_bytes()[:5] == b"%PDF-"
+
+
+def test_cli_nfkc_flag_rescues_hostile_headers(spark, tmp_path):
+    """--nfkc wires the fused parse knob into the drop-in CLI: a
+    syllabus whose 'I. INFORMACIÓN GENERAL' header carries NBSPs (the
+    r11 probe's worst silent class) parses to default-valued fields
+    without the flag (reference-parity posture) and to the full record
+    with it."""
+    nbsp = " "
+    hostile_page1 = PAGE1.replace(
+        "I. INFORMACIÓN GENERAL", f"I.{nbsp}INFORMACIÓN{nbsp}GENERAL"
+    )
+    for flag, expected_name in [([], ""), (["--nfkc"], "Matemática Básica")]:
+        raw = tmp_path / f"raw{len(flag)}"
+        out = tmp_path / f"data{len(flag)}"
+        raw.mkdir()
+        minipdf.write_pdf(
+            str(raw / "UG-202520_1AEL0244-8281.pdf"),
+            [
+                hostile_page1,
+                ["VI. UNIDADES DE APRENDIZAJE", ("table", UNITS_TABLE)],
+                ["VIII. EVALUACIÓN", ("table", ASSESSMENTS_TABLE)],
+            ],
+        )
+        assert main([str(raw), str(out), *flag]) == 0
+        courses = json.loads((out / "all_courses.json").read_text(encoding="utf-8"))
+        assert len(courses) == 1
+        assert courses[0]["name"] == expected_name, flag
