@@ -566,7 +566,22 @@ def quarantine_partition_keys(
     round-trip through the sentinel directory); pass
     ``allow_null=False`` on a lake other engines also read, where the
     sentinel directory itself is the divergence.
+
+    String partition columns only (review r12): on a numeric column
+    the ``''`` comparison coerces to NULL and the split would silently
+    drop every non-null row from BOTH sides (ANSI off) or throw a
+    confusing cast error (ANSI on) -- and the merge classes this gate
+    exists for are string-layout artifacts anyway.
     """
+    from pyspark.sql import types as T
+
+    dtype = df.schema[col].dataType
+    if not isinstance(dtype, T.StringType):
+        raise ValueError(
+            f"quarantine_partition_keys needs a string column; {col!r} is "
+            f"{dtype.simpleString()} (numeric/date partition values have no "
+            "empty-string/sentinel merge class to gate)"
+        )
     c = F.col(col)
     bad = (c == F.lit("")) | (c == F.lit("__HIVE_DEFAULT_PARTITION__"))
     reason = F.when(

@@ -210,8 +210,10 @@ _STALE_GREEN_BROKEN = frozenset(
 # so until the driver records a verdict from the swap round or later,
 # the name is forced to tier 0 (ahead of every cohort) -- the swap
 # round's bounded ~50-entry window then verifies the new fn against
-# the new oracle together. Once a >=swap-round record exists (green or
-# broken), the normal ordering takes back over.
+# the new oracle together. Only a GREEN verdict at/after the swap
+# round lifts the demotion (review r12: a broken or rows-only record
+# does not -- the new plan is unverified until it hash-matches its
+# new oracle); after that the normal ordering takes back over.
 _PLAN_SWAPPED: dict[str, int] = {
     # r12: banded corpus-scaled LSH replaced the fixed 8-plane
     # single-band shape (VERDICT r10 item 3 sanction; staged +

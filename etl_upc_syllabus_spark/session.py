@@ -17,6 +17,14 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _verify_checksums_enabled(env_value: str | None) -> bool:
+    """Page-CRC verification default (ON since r12); the opt-out knob
+    SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS accepts the common falsy
+    spellings, not just '0' (review r12: a '=false' opt-out that
+    silently stays on defeats the operator's intent)."""
+    return (env_value or "").lower() not in ("0", "false", "off", "no")
+
+
 def get_spark(app_name: str = "etl_upc_syllabus_spark", cpus: int | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
     spark = (
@@ -49,10 +57,11 @@ def get_spark(app_name: str = "etl_upc_syllabus_spark", cpus: int | None = None)
         # (measured r11), so the measured posture wins: on.
         .config(
             "spark.hadoop.parquet.page.verify-checksum.enabled",
-            "false"
-            if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS", "").lower()
-            in ("0", "false", "off", "no")
-            else "true",
+            "true"
+            if _verify_checksums_enabled(
+                os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS")
+            )
+            else "false",
         )
         .getOrCreate()
     )

@@ -89,13 +89,24 @@ def test_unverified_read_of_bitrot_is_silent(spark, checksummed, tmp_path):
 
 def test_session_knob_wires_the_hadoop_conf(spark):
     """Verification defaults ON (r12 flip, measured plan- and
-    value-inert on healthy data); the env knob is opt-OUT."""
+    value-inert on healthy data); the env knob is opt-OUT. The
+    accepted-falsy set is pinned with explicit inputs (review r12:
+    recomputing the live expression would be tautological), and the
+    session conf must agree with the predicate for the live env."""
+    from etl_upc_syllabus_spark.session import _verify_checksums_enabled
+
+    assert _verify_checksums_enabled(None) is True  # unset -> default on
+    assert _verify_checksums_enabled("1") is True
+    assert _verify_checksums_enabled("anything") is True
+    for v in ("0", "false", "FALSE", "off", "Off", "no"):
+        assert _verify_checksums_enabled(v) is False, v
+
+    expected = _verify_checksums_enabled(
+        os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS")
+    )
     assert (
         spark.conf.get("spark.hadoop.parquet.page.verify-checksum.enabled")
-        == ("false"
-            if os.environ.get("SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS", "").lower()
-            in ("0", "false", "off", "no")
-            else "true")
+        == ("true" if expected else "false")
     )
 
 

@@ -41,7 +41,14 @@ def test_escaped_classes_roundtrip_and_prune(spark, tmp_path):
     """The non-merging hostile classes are exact: escaped directory
     names roundtrip the value and an equality filter prunes to it."""
     d = str(tmp_path / "t")
-    vals = ["a=b", "a/b", "a\nb", "a b", "Sí", "a."]  # NFD accent included
+    import unicodedata
+
+    # both normalization forms, constructed explicitly (review r12: a
+    # precomposed source literal silently pins only the NFC class)
+    nfc = unicodedata.normalize("NFC", "S\u00ed")
+    nfd = unicodedata.normalize("NFD", "S\u00ed")
+    assert nfc != nfd  # distinct partition values by codepoint
+    vals = ["a=b", "a/b", "a\nb", "a b", nfc, nfd, "a."]
     spark.createDataFrame(
         [(i, v) for i, v in enumerate(vals)], "id int, pv string"
     ).write.partitionBy("pv").parquet(d)
@@ -82,6 +89,14 @@ def test_quarantine_partition_keys_gate(spark):
     )
     c, q = quarantine_partition_keys(stream, "pv")
     assert c.isStreaming and q.isStreaming
+
+    # string columns only (review r12): on a numeric column the ''
+    # comparison would NULL-coerce and silently drop rows from BOTH
+    # sides under ANSI-off -- the gate must be loud instead
+    import pytest
+
+    with pytest.raises(ValueError, match="needs a string column"):
+        quarantine_partition_keys(df, "id")
 
 
 def test_duckdb_reads_the_same_layout_differently(spark, tmp_path):

@@ -84,14 +84,24 @@ CLASSES: dict[str, str | None] = {
 def main(argv: list[str]) -> int:
     gated = "--gated" in argv
 
-    from pyspark.sql import functions as F
-
     from etl_upc_syllabus_spark.session import get_spark
 
     spark = get_spark("partition-values-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
     root = tempfile.mkdtemp(prefix="partition_values_probe_")
+    try:
+        return _run(spark, root, gated)
+    finally:
+        # the probe exists to catch regressions, so it must clean up
+        # on the failing path too (review r12)
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
+
+
+def _run(spark, root: str, gated: bool) -> int:
+    from pyspark.sql import functions as F
+
     out: dict[str, str] = {}
     rows = [(i, k, v) for i, (k, v) in enumerate(CLASSES.items())]
     df = spark.createDataFrame(rows, "id int, cls string, pv string")
@@ -152,8 +162,6 @@ def main(argv: list[str]) -> int:
         ),
         flush=True,
     )
-    shutil.rmtree(root, ignore_errors=True)
-    spark.stop()
     return 0
 
 

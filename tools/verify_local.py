@@ -1,7 +1,10 @@
 """Local replica of the driver's correctness pass.
 
 Usage: python tools/verify_local.py [name ...]
-       python tools/verify_local.py --unverified   # every query with no r1 verdict
+       python tools/verify_local.py --unverified   # every query with no STANDING
+                                                   # green verdict for its current
+                                                   # plan shape (never-verified,
+                                                   # broken-latest, post-swap)
        python tools/verify_local.py --all
        python tools/verify_local.py --staged       # staged (non-driver) swap twins
 
