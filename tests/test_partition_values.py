@@ -120,3 +120,64 @@ def test_duckdb_reads_the_same_layout_differently(spark, tmp_path):
     back = spark.read.parquet(d)
     assert back.filter(F.col("pv").isNull()).count() == 1
     assert back.filter(F.col("pv") == "a=b").count() == 1
+
+
+def test_partition_type_inference_posture(spark, tmp_path):
+    """Pinned AS MEASURED (probe --infer): numeric/date-looking string
+    partition values are silently RE-TYPED by schema-less reads --
+    '01' -> int 1 loses the leading zero, '1.50' -> 1.5 loses the
+    trailing zero -- while DuckDB reads the same directory as the
+    literal string (cross-engine divergence on top of the value
+    change). Both mitigations are exact: an explicit read schema, or
+    partitionColumnTypeInference off."""
+    import duckdb
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame([(1, "01")], "id int, pv string").write.partitionBy(
+        "pv"
+    ).parquet(d)
+
+    inferred = spark.read.parquet(d)
+    assert inferred.schema["pv"].dataType.simpleString() == "int"
+    assert inferred.collect()[0]["pv"] == 1  # '01' is gone
+
+    explicit = spark.read.schema("id int, pv string").parquet(d)
+    assert explicit.collect()[0]["pv"] == "01"
+
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try:
+        off = spark.read.parquet(d)
+        assert off.schema["pv"].dataType.simpleString() == "string"
+        assert off.collect()[0]["pv"] == "01"
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+        )
+
+    assert duckdb.connect().execute(
+        f"SELECT pv FROM read_parquet('{d}/*/*.parquet', hive_partitioning=1)"
+    ).fetchone()[0] == "01"
+
+
+def test_engine_period_layout_is_inference_proof_by_construction(spark):
+    """The engine's own partitioned layout (S4/S7/S8: partitionBy
+    period) never hits the inference classes because parse_filename
+    emits 'YYYY-T' -- a dash makes the value un-inferable. Pinned from
+    both ends: the parsed format, and the roundtrip through the real
+    sink keeping period a string."""
+    import tempfile
+
+    from etl_upc_syllabus_spark.pipeline import sinks
+    from etl_upc_syllabus_spark.pipeline.parse import parse_filename
+
+    assert parse_filename("UG-202520_1AEL0244-8281.pdf")["period"] == "2025-2"
+
+    df = spark.createDataFrame(
+        [("1AEL0244", "2025-2", "Matemática Básica")],
+        "id string, period string, name string",
+    )
+    base = tempfile.mkdtemp(prefix="etl_upc_pti_")
+    sinks.write_courses_parquet(df, base)
+    back = sinks.read_courses(spark, base)
+    assert back.schema["period"].dataType.simpleString() == "string"
+    assert back.collect()[0]["period"] == "2025-2"

@@ -42,9 +42,24 @@ True NULL stays clean by default (Spark-defined round-trip) but the
 probe's duckdb row is the argument for ``allow_null=False`` on
 multi-engine lakes.
 
+TYPE-INFERENCE classes (the second half of the matrix, ``--infer``):
+numeric/date-LOOKING string partition values are re-typed by Spark's
+partition-column type inference on schema-less reads --
+``'01'`` -> int 1 (the leading zero is GONE: month/code columns),
+``'1e5'`` -> decimal 100000, ``'1.50'`` -> double 1.5,
+``'2024-01-01'`` -> date -- all silent, and all DIVERGENT from DuckDB,
+which reads every hive partition value as its literal string. Both
+mitigations are exact: an explicit read schema (the read_resilient
+posture -- schema-first reads are inference-proof by construction) or
+``spark.sql.sources.partitionColumnTypeInference.enabled=false``.
+The engine's own period layout is inference-proof by construction
+(parse_filename emits 'YYYY-T', never a bare number -- pinned);
+hardening ``sinks.read_courses`` with an explicit schema is the r13
+candidate (its two registry queries are r9-cohort, rotating r13).
+
 Usage::
 
-    python tools/partition_values_probe.py [--gated]
+    python tools/partition_values_probe.py [--gated] [--infer]
 """
 
 from __future__ import annotations
@@ -81,8 +96,55 @@ CLASSES: dict[str, str | None] = {
 }
 
 
+#: numeric/date-looking string values vs what a schema-less read
+#: re-types them to (None = survives as the same string)
+INFER_CLASSES: dict[str, str] = {
+    "leading_zero": "01",
+    "plain_int": "7",
+    "sci_notation": "1e5",
+    "float_like": "1.50",
+    "date_like": "2024-01-01",
+    "bool_like": "true",
+    "hex_like": "0x1A",
+}
+
+
+def _run_infer(spark, root: str) -> int:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    out = {}
+    for k, v in INFER_CLASSES.items():
+        d = os.path.join(root, f"i_{k}")
+        spark.createDataFrame([(1, v)], "id int, pv string").write.partitionBy(
+            "pv"
+        ).parquet(d)
+        back = spark.read.parquet(d)
+        got = back.collect()[0]["pv"]
+        dtype = back.schema["pv"].dataType.simpleString()
+        if got == v and dtype == "string":
+            out[k] = "survives"
+        else:
+            out[k] = f"SILENT: {v!r} -> {got!r} ({dtype})"
+        # both mitigations must be exact
+        a = spark.read.schema("id int, pv string").parquet(d).collect()[0]["pv"]
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
+        b = spark.read.parquet(d).collect()[0]["pv"]
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
+        )
+        out[k] += f"; explicit_schema={'exact' if a == v else 'DIVERGED'}"
+        out[k] += f"; inference_off={'exact' if b == v else 'DIVERGED'}"
+    n_silent = sum(1 for v in out.values() if v.startswith("SILENT"))
+    print(json.dumps({"mode": "infer", "classes": out, "n_silent": n_silent}),
+          flush=True)
+    return 0
+
+
 def main(argv: list[str]) -> int:
     gated = "--gated" in argv
+    infer = "--infer" in argv
 
     from etl_upc_syllabus_spark.session import get_spark
 
@@ -91,6 +153,8 @@ def main(argv: list[str]) -> int:
 
     root = tempfile.mkdtemp(prefix="partition_values_probe_")
     try:
+        if infer:
+            return _run_infer(spark, root)
         return _run(spark, root, gated)
     finally:
         # the probe exists to catch regressions, so it must clean up
