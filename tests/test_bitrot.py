@@ -162,3 +162,36 @@ def test_resilient_read_composition_with_verification(spark, checksummed, tmp_pa
     assert deep["part-001.parquet"] == (True, None)
     ok, err = deep["part-000.parquet"]
     assert not ok and "CRC" in (err or "").upper().replace("CHECKSUM", "CRC")
+
+
+def test_deep_audit_reaches_later_row_groups(spark, tmp_path):
+    """The deep audit streams row group BY row group (review r12
+    bounded-memory fix) -- pin that it genuinely iterates past the
+    first group: a 3-group file corrupted only in its LAST group's
+    region must still be flagged, with the early groups decoding
+    clean."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_upc_syllabus_spark.sources.formats import scan_corrupt_files
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    p = os.path.join(d, "part-000.parquet")
+    t = pa.table({
+        "x": pa.array(range(3000), pa.int64()),
+        "y": pa.array([float(i) for i in range(3000)], pa.float64()),
+    })
+    pq.write_table(t, p, row_group_size=1000, write_page_checksum=True)
+    assert pq.ParquetFile(p).num_row_groups == 3
+    size = os.path.getsize(p)
+    with open(p, "r+b") as fh:
+        fh.seek(int(size * 0.8))  # last group's data region
+        fh.write(b"\xde\xad" * 8)
+    # sanity: the corruption is NOT in the first group
+    pf = pq.ParquetFile(p, page_checksum_verification=True)
+    pf.read_row_group(0)
+
+    rows = scan_corrupt_files(spark, d, deep=True).collect()
+    assert len(rows) == 1 and not rows[0]["ok"]
+    assert scan_corrupt_files(spark, d).collect()[0]["ok"]  # footer audit blind
