@@ -15,6 +15,15 @@ output column. AVGs are exact-decimal-sum / count. Never round a
 double sum: summation order differs across engines and rounding at a
 boundary flips the hash.
 
+Overflow headroom (measured r12, tests/test_decimal_overflow.py):
+sum(decimal(12,2)) accumulates in decimal(22,2) -- 10^20 money units,
+ample for realistic 100 TB facts (~10^12 rows x ~10^4 prices = 10^16)
+but reachable with hostile near-max values. At the boundary the
+session default (ANSI on, deliberately not overridden) is LOUD;
+ansi=false -- value-identical at gate SFs per the partition sweep --
+silently returns NULL there, so a deployment forced onto ansi=false
+trades overflow loudness for a magnitude gate on the money column.
+
 Scale notes are in each docstring: the plans are written so the same
 code is the right plan at 100 TB (filters before joins, broadcast for
 bounded dims, partial aggregation via groupBy, no collect in any
