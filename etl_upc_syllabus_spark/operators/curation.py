@@ -540,6 +540,68 @@ def _ts_flags(ts_col: str, lo: str, hi: str) -> tuple[Column, Column]:
     return bad, reason
 
 
+def sum_headroom_max_abs(precision: int, scale: int, max_rows: int):
+    """Largest per-row ``abs(value)`` a ``decimal(precision, scale)``
+    column can carry such that ``sum()`` over ``max_rows`` rows cannot
+    overflow Spark's sum accumulator, which widens by 10 integer digits
+    capped at 38: ``decimal(min(38, p+10), s)`` (pinned by
+    tests/test_decimal_overflow.py::test_money_accumulator_headroom_is_ten_digits).
+
+    The bound is floored to the column's own scale so it is exactly
+    representable: ``max_rows`` rows at the bound sum to at most
+    ``capacity``, where capacity is the largest decimal(acc_p, s) value.
+    Computed in integer units of 10^-scale (a Decimal division would
+    silently round at the context's 28 significant digits -- too few
+    for a 38-digit accumulator).
+    """
+    from decimal import Decimal
+
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    acc_p = min(38, precision + 10)
+    # capacity in units of 10^-scale: the largest decimal(acc_p, scale)
+    # is (10^acc_p - 1) * 10^-scale; exact integer floor-divide,
+    # clamped to the column's OWN max (with 10 digits of widening,
+    # max_rows up to 10^10 can never overflow, so the headroom bound
+    # can exceed what the column can even hold -- the gate is then a
+    # no-op at the column max, which is the correct answer). The result
+    # is built with the tuple constructor -- scaleb/division would
+    # round through the 28-digit default context.
+    bound_units = min((10**acc_p - 1) // max_rows, 10**precision - 1)
+    return Decimal((0, tuple(int(d) for d in str(bound_units)), -scale))
+
+
+def quarantine_magnitude(
+    df: DataFrame, col: str, max_abs
+) -> tuple[DataFrame, DataFrame]:
+    """Split rows whose ``abs(col)`` exceeds ``max_abs`` -> (clean,
+    quarantined-with-reason 'magnitude:<value>').
+
+    This is the shipped substitute the decimal-overflow posture table
+    promises (VERDICT r12 item 4): the session default keeps ANSI on,
+    so a decimal-sum overflow is LOUD -- but a deployment forced onto
+    ansi=false (the legacy-migration config) forfeits that loudness and
+    a sum over hostile near-max money values silently returns NULL
+    (a downstream coalesce then turns total revenue into 0). Gating the
+    money column's magnitude at ingest restores the guarantee: with
+    every surviving row bounded by :func:`sum_headroom_max_abs`
+    (accumulator capacity / expected row bound), the accumulator cannot
+    overflow, so the silent-NULL class is structurally unreachable.
+
+    Pure filter -- scan speed, streaming-safe, composable alongside the
+    other gates. NULL stays CLEAN (absent is legal, outsized is not);
+    NaN in a float column stays clean here too (``abs(NaN) > x`` is
+    false) -- non-finite poison is :func:`quarantine_nonfinite`'s axis,
+    same single-responsibility split as the ts gate.
+    """
+    c = F.col(col)
+    bad = c.isNotNull() & (F.abs(c) > F.lit(max_abs))
+    reason = F.concat(F.lit("magnitude:"), c.cast("string"))
+    clean = df.filter(~bad)
+    quarantined = df.filter(bad).withColumn("quarantine_reason", reason)
+    return clean, quarantined
+
+
 def quarantine_partition_keys(
     df: DataFrame, col: str, *, allow_null: bool = True
 ) -> tuple[DataFrame, DataFrame]:
@@ -576,7 +638,9 @@ def quarantine_partition_keys(
     from pyspark.sql import types as T
 
     dtype = df.schema[col].dataType
-    if not isinstance(dtype, T.StringType):
+    # char/varchar partition values hit the same sentinel-directory
+    # merge as plain strings (ADVICE r12), so all three are accepted
+    if not isinstance(dtype, (T.StringType, T.CharType, T.VarcharType)):
         raise ValueError(
             f"quarantine_partition_keys needs a string column; {col!r} is "
             f"{dtype.simpleString()} (numeric/date partition values have no "

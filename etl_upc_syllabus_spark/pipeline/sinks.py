@@ -26,14 +26,63 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 COURSES_DIRNAME = "courses_parquet"
 _FRAGMENTS_DIRNAME = "_all_courses_fragments"
 
 
-def write_courses_parquet(courses: DataFrame, base_path: str) -> str:
-    """The scale path: parquet partitioned by period."""
+def write_courses_parquet(
+    courses: DataFrame, base_path: str, *, on_unsafe: str = "error"
+) -> str:
+    """The scale path: parquet partitioned by period.
+
+    The period key is validated before it lays the table out (r12
+    partition-values probe: the empty string and the literal
+    ``__HIVE_DEFAULT_PARTITION__`` silently 3-way-merge with real NULLs
+    in the null-sentinel directory, and DuckDB reads that directory
+    differently from Spark). ``on_unsafe``:
+
+    - ``"error"`` (default): raise ValueError naming the unsafe classes
+      and their row counts -- a library user cannot write the silent
+      merge by accident;
+    - ``"quarantine"``: write only the safe rows; unsafe rows land as
+      un-partitioned parquet under ``_quarantined_partition_keys/``
+      with their ``quarantine_reason``, so nothing is silently dropped;
+    - ``"off"``: skip the gate (the key is already trusted, e.g. the
+      engine's own parse_filename 'YYYY-T' periods -- costs nothing).
+
+    The gate costs one extra validation pass over the input in "error"
+    mode (a count of the quarantine side); at lake scale prefer "off"
+    for engine-generated keys or "quarantine" (whose second write scans
+    only what the first one excluded under Catalyst filter pushdown).
+    """
     out = os.path.join(base_path, COURSES_DIRNAME)
+    if on_unsafe not in ("error", "quarantine", "off"):
+        raise ValueError(f"on_unsafe must be error|quarantine|off, got {on_unsafe!r}")
+    if on_unsafe != "off":
+        from ..operators.curation import quarantine_partition_keys
+
+        clean, quarantined = quarantine_partition_keys(courses, "period")
+        if on_unsafe == "error":
+            offenders = [
+                f"{r['quarantine_reason']} x{r['n']}"
+                for r in quarantined.groupBy("quarantine_reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            ]
+            if offenders:
+                raise ValueError(
+                    "unsafe partition values in 'period' would silently "
+                    "merge into the null-sentinel directory: "
+                    + ", ".join(sorted(offenders))
+                    + " (fix the values, or pass on_unsafe='quarantine')"
+                )
+        else:
+            quarantined.write.mode("overwrite").parquet(
+                os.path.join(base_path, "_quarantined_partition_keys")
+            )
+            courses = clean
     courses.write.mode("overwrite").partitionBy("period").parquet(out)
     return out
 
@@ -110,7 +159,36 @@ def write_all_courses_json(courses: DataFrame, base_path: str) -> str:
 
 
 def read_courses(spark: SparkSession, base_path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(base_path, COURSES_DIRNAME))
+    """Read the course corpus with an EXPLICIT schema -- data-file
+    columns at their file types, the ``period`` partition column pinned
+    to string (VERDICT r12 item 3).
+
+    A schema-less ``spark.read.parquet`` runs partition-column TYPE
+    INFERENCE over the directory names: the r12 probe measured 5/7
+    numeric/date-looking string values silently re-typed ('01' -> int 1,
+    leading zero gone; '2024-01-01' -> date), every one also diverging
+    from DuckDB's read of the same layout. The engine's own 'YYYY-T'
+    periods are inference-proof by construction, but this is a library
+    surface -- so the schema is discovered from the file footers first,
+    then ``period`` is re-declared string and the real read is made
+    against the explicit schema: Spark then parses the RAW directory
+    value as a string instead of inferring ('01' stays '01'). Costs one
+    extra footer/listing pass; no session conf is touched (flipping
+    partitionColumnTypeInference would race concurrent readers).
+    """
+    path = os.path.join(base_path, COURSES_DIRNAME)
+    discovered = spark.read.parquet(path).schema
+    explicit = T.StructType(
+        [
+            T.StructField(
+                f.name,
+                T.StringType() if f.name == "period" else f.dataType,
+                f.nullable,
+            )
+            for f in discovered
+        ]
+    )
+    return spark.read.schema(explicit).parquet(path)
 
 
 def find_by_id(spark: SparkSession, base_path: str, course_id: str) -> DataFrame:

@@ -22,7 +22,9 @@ but reachable with hostile near-max values. At the boundary the
 session default (ANSI on, deliberately not overridden) is LOUD;
 ansi=false -- value-identical at gate SFs per the partition sweep --
 silently returns NULL there, so a deployment forced onto ansi=false
-trades overflow loudness for a magnitude gate on the money column.
+trades overflow loudness for a magnitude gate on the money column
+(shipped: operators.curation.quarantine_magnitude bounded by
+sum_headroom_max_abs -- r13, closing VERDICT r12 item 4).
 
 Scale notes are in each docstring: the plans are written so the same
 code is the right plan at 100 TB (filters before joins, broadcast for

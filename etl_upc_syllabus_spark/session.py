@@ -21,7 +21,13 @@ def _verify_checksums_enabled(env_value: str | None) -> bool:
     """Page-CRC verification default (ON since r12); the opt-out knob
     SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS accepts the common falsy
     spellings, not just '0' (review r12: a '=false' opt-out that
-    silently stays on defeats the operator's intent)."""
+    silently stays on defeats the operator's intent).
+
+    An EMPTY value (``SPARK_GRAFT_VERIFY_PAGE_CHECKSUMS=``) means
+    unset, i.e. the default ON (ADVICE r12, made explicit): shells
+    produce empty exports accidentally (``VAR= cmd``, unset-in-.env),
+    so empty is deliberately NOT an opt-out spelling -- disabling
+    verification requires one of 0/false/off/no."""
     return (env_value or "").lower() not in ("0", "false", "off", "no")
 
 

@@ -259,7 +259,14 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
         probe, "file string, column string, ctype string, is_err boolean"
     )
     n_total = len(names)
-    agg = cols.groupBy("column").agg(
+    # is_err is part of the GROUP KEY (ADVICE r12): a real data column
+    # literally named '<unreadable>' must never share a group with
+    # probe-failure rows -- merged, the whole group would be labeled
+    # 'unreadable' and the real column's own type_conflict/partial
+    # drift would be hidden. Grouped apart, such a corpus yields two
+    # rows for the name: the failure row and the genuine column's row,
+    # each with its own drift class. The output schema is unchanged.
+    agg = cols.groupBy("column", "is_err").agg(
         F.array_join(F.array_sort(F.collect_set("ctype")), ",").alias("types"),
         F.count_distinct("ctype").alias("n_types"),
         F.count_distinct("file").alias("n_files_present"),

@@ -96,6 +96,9 @@ def test_session_knob_wires_the_hadoop_conf(spark):
     from etl_upc_syllabus_spark.session import _verify_checksums_enabled
 
     assert _verify_checksums_enabled(None) is True  # unset -> default on
+    # empty export = unset, deliberately NOT an opt-out spelling
+    # (ADVICE r12: shells produce 'VAR=' accidentally)
+    assert _verify_checksums_enabled("") is True
     assert _verify_checksums_enabled("1") is True
     assert _verify_checksums_enabled("anything") is True
     for v in ("0", "false", "FALSE", "off", "Off", "no"):

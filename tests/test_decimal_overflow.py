@@ -59,3 +59,75 @@ def test_money_accumulator_headroom_is_ten_digits(spark):
     relies on, pinned so a Spark default change surfaces loudly."""
     df = spark.createDataFrame([(Decimal("1.00"),)], "v decimal(12,2)")
     assert df.agg(F.sum("v")).schema[0].dataType.simpleString() == "decimal(22,2)"
+
+
+def test_magnitude_gate_closes_the_silent_null_class(spark):
+    """VERDICT r12 item 4: the posture table's ansi=false substitute is
+    now shipped code. With hostile near-max rows quarantined by
+    curation.quarantine_magnitude at the sum_headroom_max_abs bound,
+    the ansi=false sum is exact and non-NULL -- the silent-NULL class
+    is structurally unreachable on the gated side."""
+    from etl_upc_syllabus_spark.operators.curation import (
+        quarantine_magnitude,
+        sum_headroom_max_abs,
+    )
+
+    big = Decimal("9" * 36 + ".99")
+    rows = [(big,), (big,), (Decimal("19.99"),), (Decimal("-7.50"),), (None,)]
+    df = spark.createDataFrame(rows, "v decimal(38,2)")
+
+    # headroom arithmetic: decimal(38,2) accumulates in decimal(38,2)
+    # (already at the cap), capacity (10^38 - 1) units of 0.01 floor-
+    # divided over the row bound: (2*10^37 - 1) * 0.01
+    bound = sum_headroom_max_abs(38, 2, max_rows=len(rows))
+    assert bound == Decimal("1" + "9" * 35 + ".99")
+
+    clean, quarantined = quarantine_magnitude(df, "v", bound)
+    # NULL stays clean; both near-max rows carry the magnitude reason
+    assert {str(r["quarantine_reason"]) for r in quarantined.collect()} == {
+        f"magnitude:{big}"
+    }
+    assert quarantined.count() == 2
+
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        total = clean.agg(F.sum("v")).collect()[0][0]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+    assert total == Decimal("12.49")  # exact, NOT the silent NULL
+
+    # pure filter: streaming-safe like the sibling gates
+    from etl_upc_syllabus_spark.streaming.events import read_events_stream
+
+    from .conftest import SF_DIR
+
+    stream = read_events_stream(spark, SF_DIR)
+    c, q = quarantine_magnitude(stream, "value", 1_000_000.0)
+    assert c.isStreaming and q.isStreaming
+
+
+def test_sum_headroom_bound_is_representable_and_tight(spark):
+    """max_rows rows AT the bound must sum inside the accumulator under
+    ansi=false (non-NULL), and the bound itself carries the column's
+    scale exactly."""
+    from etl_upc_syllabus_spark.operators.curation import sum_headroom_max_abs
+
+    import pytest
+
+    # headroom/rows exceeds what decimal(12,2) can even hold (the
+    # 10-digit widening covers up to 10^10 rows), so the bound clamps
+    # to the COLUMN max -- the gate is a no-op there, correctly
+    bound = sum_headroom_max_abs(12, 2, max_rows=1_000_000)
+    assert bound == Decimal("9999999999.99")
+    df = spark.createDataFrame([(bound,)] * 4, "v decimal(12,2)")
+    # 4 <= max_rows at the bound: exact under both ANSI postures
+    assert df.agg(F.sum("v")).collect()[0][0] == bound * 4
+
+    # past 10^10 rows the headroom, not the column, binds: capacity
+    # (10^22 - 1) units of 0.01 floor-divided over 10^12 rows
+    tight = sum_headroom_max_abs(12, 2, max_rows=10**12)
+    assert tight == Decimal("99999999.99")
+    assert tight < Decimal("9999999999.99")
+
+    with pytest.raises(ValueError, match="max_rows"):
+        sum_headroom_max_abs(12, 2, max_rows=0)

@@ -98,6 +98,17 @@ def test_quarantine_partition_keys_gate(spark):
     with pytest.raises(ValueError, match="needs a string column"):
         quarantine_partition_keys(df, "id")
 
+    # char/varchar hit the same sentinel-directory merge as plain
+    # string and are accepted (ADVICE r12)
+    vc = spark.createDataFrame([(1, ""), (2, "x")], "id int, pv string").selectExpr(
+        "id", "CAST(pv AS varchar(40)) AS pv"
+    )
+    c_vc, q_vc = quarantine_partition_keys(vc, "pv")
+    assert {r["id"] for r in c_vc.collect()} == {2}
+    assert {r["quarantine_reason"] for r in q_vc.collect()} == {
+        "partition_unsafe:empty_string"
+    }
+
 
 def test_duckdb_reads_the_same_layout_differently(spark, tmp_path):
     """Pinned AS MEASURED (the cross-engine argument for the gate and
@@ -144,15 +155,17 @@ def test_partition_type_inference_posture(spark, tmp_path):
     explicit = spark.read.schema("id int, pv string").parquet(d)
     assert explicit.collect()[0]["pv"] == "01"
 
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    # restore the PRIOR value, not a hard-coded 'true' (ADVICE r12): a
+    # session that deliberately disabled inference keeps its setting
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "false")
     try:
         off = spark.read.parquet(d)
         assert off.schema["pv"].dataType.simpleString() == "string"
         assert off.collect()[0]["pv"] == "01"
     finally:
-        spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
-        )
+        spark.conf.set(key, prior)
 
     assert duckdb.connect().execute(
         f"SELECT pv FROM read_parquet('{d}/*/*.parquet', hive_partitioning=1)"
@@ -181,3 +194,72 @@ def test_engine_period_layout_is_inference_proof_by_construction(spark):
     back = sinks.read_courses(spark, base)
     assert back.schema["period"].dataType.simpleString() == "string"
     assert back.collect()[0]["period"] == "2025-2"
+
+
+def test_read_courses_explicit_schema_defeats_inference(spark):
+    """VERDICT r12 item 3: read_courses is a library surface -- a user
+    who partitions by a numeric-looking period must get the exact
+    string back ('01' keeps its leading zero), not the silently
+    re-typed inference value, through read_courses AND both point
+    reads. Data-file column types are preserved unchanged."""
+    import tempfile
+
+    from etl_upc_syllabus_spark.pipeline import sinks
+
+    df = spark.createDataFrame(
+        [("C1", "01", 4), ("C2", "2024-01-01", 3)],
+        "id string, period string, credits int",
+    )
+    base = tempfile.mkdtemp(prefix="etl_upc_numperiod_")
+    sinks.write_courses_parquet(df, base)
+
+    back = sinks.read_courses(spark, base)
+    assert back.schema["period"].dataType.simpleString() == "string"
+    assert back.schema["credits"].dataType.simpleString() == "int"
+    assert sorted(r["period"] for r in back.collect()) == ["01", "2024-01-01"]
+
+    # the point reads ride the same explicit-schema read: pushdown-able
+    # string equality, exact values
+    assert sinks.find_by_id(spark, base, "C1").collect()[0]["period"] == "01"
+    assert sinks.find_by_period(spark, base, "01").collect()[0]["id"] == "C1"
+    assert sinks.find_by_period(spark, base, "2024-01-01").count() == 1
+
+
+def test_write_courses_parquet_gates_unsafe_periods(spark):
+    """VERDICT r12 stretch item 7: the write path validates the period
+    key itself -- a library user cannot lay out the silent 3-way
+    NULL-sentinel merge by accident."""
+    import os
+    import tempfile
+
+    import pytest
+
+    from etl_upc_syllabus_spark.pipeline import sinks
+
+    df = spark.createDataFrame(
+        [("C1", "2025-2"), ("C2", ""), ("C3", "__HIVE_DEFAULT_PARTITION__")],
+        "id string, period string",
+    )
+    base = tempfile.mkdtemp(prefix="etl_upc_gate_")
+
+    # default: loud, naming both unsafe classes with counts
+    with pytest.raises(ValueError, match="empty_string x1.*hive_sentinel x1"):
+        sinks.write_courses_parquet(df, base)
+
+    # quarantine: safe rows written, unsafe rows preserved with reasons
+    sinks.write_courses_parquet(df, base, on_unsafe="quarantine")
+    assert [r["id"] for r in sinks.read_courses(spark, base).collect()] == ["C1"]
+    quar = spark.read.parquet(os.path.join(base, "_quarantined_partition_keys"))
+    assert {r["quarantine_reason"] for r in quar.collect()} == {
+        "partition_unsafe:empty_string",
+        "partition_unsafe:hive_sentinel",
+    }
+
+    # off: trusted engine-generated keys skip the gate entirely
+    safe = df.filter("id = 'C1'")
+    base2 = tempfile.mkdtemp(prefix="etl_upc_gate_off_")
+    sinks.write_courses_parquet(safe, base2, on_unsafe="off")
+    assert sinks.read_courses(spark, base2).count() == 1
+
+    with pytest.raises(ValueError, match="error|quarantine|off"):
+        sinks.write_courses_parquet(safe, base2, on_unsafe="nope")

@@ -71,6 +71,41 @@ def test_census_reports_unreadable_files_instead_of_dying(spark, tmp_path):
     assert rows["value"]["n_files_total"] == rows["value"]["n_files_present"]
 
 
+def test_census_separates_real_column_named_unreadable(spark, tmp_path):
+    """ADVICE r12 (formats.py:289): a REAL data column literally named
+    '<unreadable>' must not group-merge with probe-failure rows -- the
+    merged group was labeled 'unreadable', hiding that column's own
+    drift. With is_err in the group key the corpus yields TWO rows for
+    the name: the failure row (drift 'unreadable') and the genuine
+    column's row with its own class."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    # two readable files whose '<unreadable>' column type-conflicts
+    pq.write_table(
+        pa.table({"<unreadable>": pa.array([1, 2], type=pa.int32())}),
+        os.path.join(d, "part-000.parquet"),
+    )
+    pq.write_table(
+        pa.table({"<unreadable>": pa.array(["a"], type=pa.string())}),
+        os.path.join(d, "part-001.parquet"),
+    )
+    # plus one genuinely unreadable footer
+    with open(os.path.join(d, "part-002.parquet"), "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet footer")
+
+    rows = scan_schema_drift(spark, d).collect()
+    by_drift = {r["drift"]: r for r in rows}
+    assert len(rows) == 2 and set(by_drift) == {"unreadable", "type_conflict"}
+    assert by_drift["unreadable"]["n_files_present"] == 1
+    # the real column's own drift is visible, over readable files only
+    assert by_drift["type_conflict"]["column"] == "<unreadable>"
+    assert by_drift["type_conflict"]["n_files_present"] == 2
+    assert by_drift["type_conflict"]["n_files_total"] == 2
+
+
 def test_rename_is_silent_under_plain_read(spark, tmp_path):
     """Pinned AS MEASURED: the plain reader resolves one footer and
     NULL-fills the renamed column's other half -- the sum silently

@@ -125,15 +125,18 @@ def _run_infer(spark, root: str) -> int:
             out[k] = "survives"
         else:
             out[k] = f"SILENT: {v!r} -> {got!r} ({dtype})"
-        # both mitigations must be exact
+        # both mitigations must be exact; restore the PRIOR conf value,
+        # not a hard-coded 'true' -- a session that deliberately
+        # disabled inference must not get it silently re-enabled
+        # (ADVICE r12)
         a = spark.read.schema("id int, pv string").parquet(d).collect()[0]["pv"]
-        spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-        )
-        b = spark.read.parquet(d).collect()[0]["pv"]
-        spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", "true"
-        )
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prior = spark.conf.get(key)
+        spark.conf.set(key, "false")
+        try:
+            b = spark.read.parquet(d).collect()[0]["pv"]
+        finally:
+            spark.conf.set(key, prior)
         out[k] += f"; explicit_schema={'exact' if a == v else 'DIVERGED'}"
         out[k] += f"; inference_off={'exact' if b == v else 'DIVERGED'}"
     n_silent = sum(1 for v in out.values() if v.startswith("SILENT"))
