@@ -78,18 +78,48 @@ def _preflight_load() -> tuple[list[float], bool]:
 
     Must run before the SparkSession exists: once our own executor
     threads spin up, loadavg measures us, not the neighbors.
+
+    Gates on load1 AND load5 (r13 measurement, same HEAD, minutes
+    apart: a window that passed load1<1.0 with load5=1.79 read the
+    suite at 15.37 s; a window with load5=0.49 read 10.98 s -- 1.4x,
+    every query inflated uniformly. A sub-1.0 load1 at the decision
+    instant does not mean the neighbors are done, only that they are
+    between bursts; load5 carries that history). Knobs:
+    SPARK_GRAFT_BENCH_LOAD_GATE (load1, default 1.0) and
+    SPARK_GRAFT_BENCH_LOAD5_GATE (load5, default 1.0 -- load5 decays
+    slowly, so a timed-out wait flags the artifact contended rather
+    than waiting unboundedly, same contract as before).
     """
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.0"))
+    gate5 = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD5_GATE", "1.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "180"))
     deadline = time.monotonic() + max_wait
     while True:
         load = [round(x, 2) for x in os.getloadavg()]
-        if load[0] < gate:
+        if load[0] < gate and load[1] < gate5:
             return load, False
         remaining = deadline - time.monotonic()
         if remaining <= 0:
             return load, True
         time.sleep(min(10.0, remaining))
+
+
+def _cpu_calibration() -> float:
+    """Fixed single-thread CPU workload (200k chained sha256), timed --
+    an ABSOLUTE host-speed reference stamped into the extended artifact
+    (r13): if a round's suite inflates while this number holds steady,
+    the cause is contention/neighbors; if this inflates too, the host
+    itself got slower (frequency scaling, different machine class).
+    Runs before the SparkSession for the same reason as the preflight.
+    Reference reading on the r13 quiet window: 0.086 s.
+    """
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"x"
+    for _ in range(200_000):
+        h = hashlib.sha256(h).digest()
+    return round(time.perf_counter() - t0, 3)
 
 
 def run_cold(names: list[str], sf_dir: str) -> dict[str, float]:
@@ -294,6 +324,15 @@ def _probe_invocation(repo: str, name: str, sf_dir: str) -> dict | None:
         SPARK_GRAFT_BENCH_MAX_WAIT=os.environ.get(
             "SPARK_GRAFT_BENCH_WOBBLE_MAX_WAIT", "60"
         ),
+        # probe children keep the load1-only gate: they fire seconds
+        # after our own 32-thread suite, so their load5 is dominated by
+        # SELF-inflicted history -- gating on it would flag every probe
+        # contended for minutes. The probe's attribution is a
+        # within-window comparison (vs_suite) anyway; load1 still
+        # screens instantaneous neighbors.
+        SPARK_GRAFT_BENCH_LOAD5_GATE=os.environ.get(
+            "SPARK_GRAFT_BENCH_WOBBLE_LOAD5_GATE", "1000"
+        ),
         SPARK_GRAFT_BENCH_COLD="",
         # fresh-JVM JIT bias correction (see main's n_warm comment):
         # without extra warmups an isolated probe reads ~2x a
@@ -323,6 +362,7 @@ def build_artifact(
     sf: float,
     cold_timings: dict[str, float],
     wobble: dict[str, object],
+    cpu_cal_sec: float | None = None,
 ) -> tuple[dict, dict]:
     """Split the warm-run artifact into (extended, summary) dicts, each
     printed as its own JSON line with summary LAST (see module
@@ -340,6 +380,9 @@ def build_artifact(
         else 0.0,
         **({"cold_queries": cold_timings} if cold_timings else {}),
         **({"wobble_floors": wobble} if wobble else {}),
+        # absolute host-speed reference (see _cpu_calibration): rides
+        # the extended line, never the length-capped summary
+        **({"cpu_cal_sec": cpu_cal_sec} if cpu_cal_sec is not None else {}),
     }
     summary = {
         "metric": "headline_suite_total",
@@ -352,7 +395,14 @@ def build_artifact(
         "runs_per_query": n_runs,
         "sf": sf,
         **(
-            {"cold_value": round(sum(cold_timings.values()), 3)}
+            # cold_mode: embedded cold runs follow a warm suite in the
+            # same process (JVM/JIT already hot when query 1 times) --
+            # not comparable to standalone --cold artifacts, which
+            # stamp "standalone" (VERDICT r12 item 5)
+            {
+                "cold_value": round(sum(cold_timings.values()), 3),
+                "cold_mode": "embedded",
+            }
             if cold_timings
             else {}
         ),
@@ -368,6 +418,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     cold = "--cold" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     loadavg_preflight, contended = _preflight_load()
+    cpu_cal = _cpu_calibration()
     n_runs = 3 if contended else 2
     specs = all_specs()
     # SPARK_GRAFT_BENCH_QUERIES overrides the headline list (comma-
@@ -387,10 +438,18 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "mode": "cold",
+                    # cold numbers are only comparable within an
+                    # invocation mode (VERDICT r12 item 5): standalone
+                    # --cold pays the process's FIRST JVM + JIT inside
+                    # query 1's timing (measured 32.3 s vs embedded
+                    # 18.5 s on identical code); stamp the mode so a
+                    # floors/wobble consumer can never silently mix them
+                    "cold_mode": "standalone",
                     "loadavg": [round(x, 2) for x in os.getloadavg()],
                     "loadavg_preflight": loadavg_preflight,
                     "contended": contended,
                     "sf": sf,
+                    "cpu_cal_sec": cpu_cal,
                 }
             )
         )
@@ -451,7 +510,7 @@ def main() -> None:
     wobble = {} if override else _wobble_outliers(timings, sf, sf_dir)
     extended, summary = build_artifact(
         timings, samples, warmups, loadavg_preflight, list(os.getloadavg()),
-        contended, n_runs, sf, cold_timings, wobble,
+        contended, n_runs, sf, cold_timings, wobble, cpu_cal_sec=cpu_cal,
     )
     print(json.dumps(extended))
     print(json.dumps(summary))

@@ -346,3 +346,104 @@ def test_summary_line_fits_tail_window():
     assert summary["sf"] == 0.1
     assert summary["cold_value"] == round(sum(cold.values()), 3)
     assert summary["wobble_outliers"] == sorted(names)
+    # the invocation-mode stamp (VERDICT r12 item 5): a warm suite's
+    # embedded cold numbers must never be compared to standalone --cold
+    # artifacts (first-JVM JIT lands inside query 1 there)
+    assert summary["cold_mode"] == "embedded"
+    # no cold timings -> neither cold key appears
+    _, no_cold = bench.build_artifact(
+        timings, samples, warmups, [1.0, 1.0, 1.0],
+        [1.0, 1.0, 1.0], False, 2, 0.1, {}, {},
+    )
+    assert "cold_value" not in no_cold and "cold_mode" not in no_cold
+
+
+def test_preflight_gates_on_load5_too(monkeypatch):
+    """r13 measurement (BASELINE.md): same HEAD, load1<1.0 both times,
+    suite 15.37 s at load5=1.79 vs 10.98 s at load5=0.49 -- a sub-gate
+    load1 at the decision instant only means the neighbors are between
+    bursts. The preflight must require BOTH load1 and load5 quiet."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_WAIT", "0")
+    # quiet on both: passes
+    monkeypatch.setattr(os, "getloadavg", lambda: (0.2, 0.5, 1.0))
+    load, contended = bench._preflight_load()
+    assert not contended and load == [0.2, 0.5, 1.0]
+    # the r13 trap window: load1 passes, load5 does not -> contended
+    monkeypatch.setattr(os, "getloadavg", lambda: (0.91, 1.79, 1.89))
+    _, contended = bench._preflight_load()
+    assert contended
+    # knob widens the load5 gate independently
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LOAD5_GATE", "2.0")
+    _, contended = bench._preflight_load()
+    assert not contended
+
+
+def test_cpu_calibration_rides_the_extended_line():
+    """The absolute host-speed reference (r13): a fixed single-thread
+    workload whose reading separates 'host slower' from 'neighbors
+    busier' across rounds. Extended line only -- the summary stays
+    inside its tail-capture budget."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    cal = bench._cpu_calibration()
+    assert 0.0 < cal < 30.0  # sane wall-clock for 200k hashes
+
+    extended, summary = bench.build_artifact(
+        {"q": 1.0}, {"q": [1.0]}, {"q": 1.0}, [0.1, 0.1, 0.1],
+        [0.1, 0.1, 0.1], False, 2, 0.1, {}, {}, cpu_cal_sec=cal,
+    )
+    assert extended["cpu_cal_sec"] == cal
+    assert "cpu_cal_sec" not in summary
+    # omitted when not measured (pure-function callers)
+    ext2, _ = bench.build_artifact(
+        {"q": 1.0}, {"q": [1.0]}, {"q": 1.0}, [0.1, 0.1, 0.1],
+        [0.1, 0.1, 0.1], False, 2, 0.1, {}, {},
+    )
+    assert "cpu_cal_sec" not in ext2
+
+
+def test_floors_ignore_cold_mode_artifacts(tmp_path):
+    """A standalone --cold artifact also carries a "queries" dict -- of
+    COLD timings. tools/floors.py must never fold those into the warm
+    floors ledger (VERDICT r12 item 5: the consumer filters on mode)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "floors", os.path.join(_REPO, "tools", "floors.py")
+    )
+    floors = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(floors)
+
+    cold_artifact = {
+        "parsed": {
+            "metric": "cold_suite_total",
+            "mode": "cold",
+            "cold_mode": "standalone",
+            "sf": 0.1,
+            "queries": {"q1_pricing_summary": 42.0},
+            "loadavg_preflight": [0.5, 0.5, 0.5],
+        }
+    }
+    p = tmp_path / "BENCH_cold.json"
+    p.write_text(json.dumps(cold_artifact))
+    vals, load = floors._readings(str(p), None)
+    assert vals == {} and load is None
+
+    warm_artifact = {
+        "parsed": {
+            "metric": "headline_suite_total",
+            "sf": 0.1,
+            "queries": {"q1_pricing_summary": 0.8},
+            "loadavg_preflight": [0.5, 0.5, 0.5],
+        }
+    }
+    p2 = tmp_path / "BENCH_warm.json"
+    p2.write_text(json.dumps(warm_artifact))
+    vals2, _ = floors._readings(str(p2), None)
+    assert vals2 == {"q1_pricing_summary": 0.8}

@@ -99,6 +99,16 @@ def _readings(path: str, known: set[str] | None) -> tuple[dict[str, float], list
     with open(path, encoding="utf-8") as fh:
         rec = json.load(fh)
     parsed = rec.get("parsed")
+    # cold-mode artifacts also carry a "queries" dict -- of COLD
+    # timings. Folding those into the warm floors would poison the
+    # ledger, and standalone --cold numbers are not even comparable to
+    # embedded ones (bench.py stamps cold_mode; VERDICT r12 item 5).
+    # Only warm headline artifacts feed the floors.
+    if parsed and (
+        parsed.get("mode") == "cold"
+        or parsed.get("metric") == "cold_suite_total"
+    ):
+        return {}, None
     if parsed and parsed.get("sf") == 0.1:
         q = {k: float(v) for k, v in parsed.get("queries", {}).items()}
         return q, parsed.get("loadavg_preflight")
