@@ -299,3 +299,105 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
         .otherwise("stable")
         .alias("drift"),
     )
+
+
+#: Spark/Hadoop committed-part naming: the 36-char writer-job UUID is
+#: the committer's job identity, shared by every part of ONE write
+_PART_UUID_RX = None  # compiled lazily (module import stays regex-free)
+
+
+def audit_write_artifacts(
+    spark: SparkSession, path: str, *, expect_success: bool = True
+) -> DataFrame:
+    """Torn-write / job-failure artifact audit: (file, issue) report,
+    EMPTY when the directory is a clean single-job commit (r13 axis,
+    tools/torn_write_probe.py).
+
+    What a killed or doubly-retried write job leaves behind, and what
+    each engine then does -- measured, not assumed:
+
+    - ``temporary_residue``: a ``_temporary/`` tree (FileOutputCommitter
+      v1 staging) survives a driver kill. Spark hides ``_``-prefixed
+      paths and reads correctly; DuckDB's recursive glob
+      (``dir/**/*.parquet``) reads the staged attempts as data --
+      SILENT cross-engine divergence (+phantom rows) with zero errors.
+    - ``orphan_writer_uuid``: a committed-looking part file from a
+      DIFFERENT writer job (committer-v2 crash, speculative attempt,
+      manual copy) sits next to the real parts. BOTH engines silently
+      double-count it -- the worst class: no divergence to notice,
+      both engines agree on the wrong answer. Detected as a minority
+      writer-job UUID among the part names. CAVEAT: a table built by
+      legitimate ``append`` writes carries one UUID per append -- this
+      issue is a torn-OVERWRITE signal; on append-mode tables treat it
+      as provenance info, not damage.
+    - ``zero_byte``: a torn 0-byte part. Spark SKIPS it silently even
+      with ignoreCorruptFiles=false (a zero-length file yields no read
+      splits); DuckDB refuses the whole glob LOUDLY. One engine's
+      invisible is the other's outage.
+    - ``missing_success``: no ``_SUCCESS`` marker at the table root --
+      the write job never committed, yet Spark reads whatever parts
+      exist with no signal. Disable with ``expect_success=False`` for
+      tables whose writers suppress the marker
+      (mapreduce.fileoutputcommitter.marksuccessfuljobs=false).
+
+    Metadata-only (names + sizes, no file reads), so the listing walk
+    runs driver-side like every file index; compose with
+    :func:`scan_corrupt_files` (content) and
+    :func:`scan_schema_drift` (schema) for the full pre-flight. The
+    posture this audit buys at 100 TB: publish it before promoting any
+    backfill output, because the one class both engines agree on
+    (orphan parts) is exactly the one no read-side check can see.
+    """
+    import os as _os
+    import re as _re
+
+    global _PART_UUID_RX
+    if _PART_UUID_RX is None:
+        _PART_UUID_RX = _re.compile(
+            r"part-\d+-([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}"
+            r"-[0-9a-f]{4}-[0-9a-f]{12})"
+        )
+
+    rows: list[tuple[str, str]] = []
+    schema = "file string, issue string"
+    if not _os.path.isdir(path):
+        if not _os.path.isfile(path):
+            raise FileNotFoundError(
+                f"write-artifact audit: {path!r} is neither a file nor "
+                "a table directory (same loud-on-typo contract as "
+                "scan_corrupt_files)"
+            )
+        return spark.createDataFrame([], schema)
+
+    uuid_files: dict[str, list[str]] = {}
+    for root, dirs, files in _os.walk(path):
+        for dname in list(dirs):
+            if dname == "_temporary":
+                rows.append((_os.path.join(root, dname), "temporary_residue"))
+            # don't descend into hidden trees: their contents are the
+            # single residue finding, not N findings
+            if dname.startswith(("_", ".")):
+                dirs.remove(dname)
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            full = _os.path.join(root, f)
+            if _os.path.getsize(full) == 0:
+                rows.append((full, "zero_byte"))
+                continue
+            m = _PART_UUID_RX.match(f)
+            if m:
+                uuid_files.setdefault(m.group(1), []).append(full)
+
+    if expect_success and "_SUCCESS" not in _os.listdir(path):
+        rows.append((path, "missing_success"))
+
+    if len(uuid_files) > 1:
+        # majority job = the commit; every other UUID's parts flagged
+        # (ties broken lexicographically so the report is deterministic)
+        majority = max(uuid_files, key=lambda u: (len(uuid_files[u]), u))
+        for u, fs in uuid_files.items():
+            if u != majority:
+                rows.extend((f, "orphan_writer_uuid") for f in sorted(fs))
+
+    return spark.createDataFrame(sorted(rows), schema)

@@ -1,0 +1,146 @@
+"""Torn-write / job-failure artifact posture (r13 axis,
+tools/torn_write_probe.py).
+
+A killed or doubly-retried write job leaves four artifact classes in a
+lake directory; the engines' read postures are pinned AS MEASURED and
+``sources.formats.audit_write_artifacts`` turns each into a named
+report row. The class that motivates the gate: an orphan part file
+from a different writer job is silently double-counted by BOTH engines
+-- no read-side check can see it, only the write-artifact audit can.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import uuid
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from torn_write_probe import build_polluted  # noqa: E402
+
+from etl_upc_syllabus_spark.sources.formats import audit_write_artifacts
+
+
+def _committed_table(spark, base: str, n: int = 20) -> str:
+    d = os.path.join(base, "t")
+    spark.range(n).withColumnRenamed("id", "v").coalesce(2).write.parquet(d)
+    return d
+
+
+def test_clean_commit_audits_empty(spark, tmp_path):
+    d = _committed_table(spark, str(tmp_path))
+    report = audit_write_artifacts(spark, d)
+    assert report.count() == 0
+    assert [f.name for f in report.schema] == ["file", "issue"]
+
+
+def test_all_four_classes_detected_with_reasons(spark, tmp_path):
+    d = build_polluted(spark, str(tmp_path))
+    rows = audit_write_artifacts(spark, d).collect()
+    by_issue = {}
+    for r in rows:
+        by_issue.setdefault(r["issue"], []).append(r["file"])
+    assert set(by_issue) == {
+        "temporary_residue",
+        "orphan_writer_uuid",
+        "zero_byte",
+        "missing_success",
+    }
+    # build_polluted plants exactly one of each (its zero-byte part and
+    # orphan carry distinct UUIDs; the orphan flag is the non-majority,
+    # non-empty one)
+    assert len(by_issue["temporary_residue"]) == 1
+    assert by_issue["temporary_residue"][0].endswith("_temporary")
+    assert len(by_issue["zero_byte"]) == 1
+    assert len(by_issue["orphan_writer_uuid"]) == 1
+    assert by_issue["missing_success"] == [d]
+
+
+def test_missing_success_respects_the_writer_convention(spark, tmp_path):
+    """A commit without its _SUCCESS marker reports missing_success;
+    writers that suppress the marker opt out with
+    expect_success=False instead of living with a standing false
+    positive."""
+    d = _committed_table(spark, str(tmp_path))
+    os.remove(os.path.join(d, "_SUCCESS"))
+    issues = {r["issue"] for r in audit_write_artifacts(spark, d).collect()}
+    assert issues == {"missing_success"}
+    # suppressed-marker writers opt out
+    issues2 = {
+        r["issue"]
+        for r in audit_write_artifacts(spark, d, expect_success=False).collect()
+    }
+    assert issues2 == set()
+
+
+def test_read_postures_pinned_as_measured(spark, tmp_path):
+    """The r13 probe matrix: Spark hides _temporary and silently skips
+    a zero-byte part even with ignoreCorruptFiles=false, both engines
+    silently double-count an orphan part, DuckDB's recursive glob reads
+    staged attempts as data."""
+    import duckdb
+
+    base = str(tmp_path)
+    d = _committed_table(spark, base)
+
+    # stage a 5-row donor part
+    stage = os.path.join(base, "stage")
+    spark.range(100, 105).withColumnRenamed("id", "v").coalesce(1).write.parquet(stage)
+    src = next(
+        os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+
+    # _temporary residue: invisible to Spark, data to DuckDB's ** glob
+    tmpdir = os.path.join(d, "_temporary/0/attempt_0")
+    os.makedirs(tmpdir)
+    shutil.copy(src, os.path.join(tmpdir, os.path.basename(src)))
+    assert spark.read.parquet(d).count() == 20
+    assert duckdb.sql(
+        f"select count(*) from read_parquet('{d}/**/*.parquet')"
+    ).fetchone()[0] == 25
+
+    # orphan writer-uuid part: both engines silently double-count
+    shutil.copy(src, os.path.join(d, f"part-00000-{uuid.uuid4()}.c000.snappy.parquet"))
+    assert spark.read.parquet(d).count() == 25
+    assert duckdb.sql(
+        f"select count(*) from read_parquet('{d}/*.parquet')"
+    ).fetchone()[0] == 25
+
+    # zero-byte part: Spark silently skips (no splits), DuckDB is loud
+    zb = os.path.join(d, f"part-00002-{uuid.uuid4()}.snappy.parquet")
+    open(zb, "wb").close()
+    assert spark.conf.get("spark.sql.files.ignoreCorruptFiles") in ("false", None)
+    assert spark.read.parquet(d).count() == 25
+    with pytest.raises(Exception, match="(?i)invalid|too small|parquet"):
+        duckdb.sql(f"select count(*) from read_parquet('{d}/*.parquet')").fetchone()
+
+
+def test_append_tables_carry_one_uuid_per_write(spark, tmp_path):
+    """The documented caveat, pinned from the mechanism: each append is
+    its own committed job, so a legitimate 2-append table reports the
+    smaller write's parts as orphan_writer_uuid -- provenance info on
+    append tables, damage signal on overwrite tables."""
+    d = os.path.join(str(tmp_path), "t")
+    spark.range(10).withColumnRenamed("id", "v").coalesce(2).write.parquet(d)
+    spark.range(10, 15).withColumnRenamed("id", "v").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    rows = audit_write_artifacts(spark, d).collect()
+    assert {r["issue"] for r in rows} == {"orphan_writer_uuid"}
+    assert len(rows) == 1  # the 1-part append is the minority
+
+
+def test_loud_on_typo_and_single_file(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="write-artifact audit"):
+        audit_write_artifacts(spark, str(tmp_path / "nope"))
+    d = _committed_table(spark, str(tmp_path))
+    part = next(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    assert audit_write_artifacts(spark, part).count() == 0
