@@ -58,33 +58,74 @@ def write_courses_parquet(
     only what the first one excluded under Catalyst filter pushdown).
     """
     out = os.path.join(base_path, COURSES_DIRNAME)
-    if on_unsafe not in ("error", "quarantine", "off"):
-        raise ValueError(f"on_unsafe must be error|quarantine|off, got {on_unsafe!r}")
-    if on_unsafe != "off":
-        from ..operators.curation import quarantine_partition_keys
-
-        clean, quarantined = quarantine_partition_keys(courses, "period")
-        if on_unsafe == "error":
-            offenders = [
-                f"{r['quarantine_reason']} x{r['n']}"
-                for r in quarantined.groupBy("quarantine_reason")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            ]
-            if offenders:
-                raise ValueError(
-                    "unsafe partition values in 'period' would silently "
-                    "merge into the null-sentinel directory: "
-                    + ", ".join(sorted(offenders))
-                    + " (fix the values, or pass on_unsafe='quarantine')"
-                )
-        else:
-            quarantined.write.mode("overwrite").parquet(
-                os.path.join(base_path, "_quarantined_partition_keys")
-            )
-            courses = clean
+    courses = _gate_period_keys(courses, base_path, on_unsafe)
     courses.write.mode("overwrite").partitionBy("period").parquet(out)
     return out
+
+
+def write_courses_period_incremental(
+    courses: DataFrame, base_path: str, *, on_unsafe: str = "error"
+) -> str:
+    """Incremental load: overwrite ONLY the period partitions present
+    in ``courses``, leaving every other period's data in place.
+
+    This exists because the obvious incremental recipe -- mode
+    "overwrite" + partitionBy through :func:`write_courses_parquet` --
+    is SILENT FULL-TABLE DATA LOSS under Spark's default
+    ``partitionOverwriteMode=STATIC`` (r13 overwrite probe: writing one
+    period's refresh deleted every other period with no error). The
+    dynamic mode is requested as a per-WRITE option here, so no session
+    conf is mutated and concurrent writes keep their own semantics.
+
+    Same period-key gate as the full writer (``on_unsafe``). At 100 TB
+    this is the only sane refresh shape: the write touches exactly the
+    partitions the batch carries, and readers of other periods are
+    never raced (their files are not deleted) -- whereas a full
+    overwrite deletes EVERY file, which a concurrent resilient read
+    silently resolves to 0 rows (see ``read_resilient``'s race caveat).
+    """
+    out = os.path.join(base_path, COURSES_DIRNAME)
+    courses = _gate_period_keys(courses, base_path, on_unsafe)
+    (
+        courses.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("period")
+        .parquet(out)
+    )
+    return out
+
+
+def _gate_period_keys(
+    courses: DataFrame, base_path: str, on_unsafe: str
+) -> DataFrame:
+    """The shared pre-write period-key gate (see write_courses_parquet
+    for the three postures)."""
+    if on_unsafe not in ("error", "quarantine", "off"):
+        raise ValueError(f"on_unsafe must be error|quarantine|off, got {on_unsafe!r}")
+    if on_unsafe == "off":
+        return courses
+    from ..operators.curation import quarantine_partition_keys
+
+    clean, quarantined = quarantine_partition_keys(courses, "period")
+    if on_unsafe == "error":
+        offenders = [
+            f"{r['quarantine_reason']} x{r['n']}"
+            for r in quarantined.groupBy("quarantine_reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        if offenders:
+            raise ValueError(
+                "unsafe partition values in 'period' would silently "
+                "merge into the null-sentinel directory: "
+                + ", ".join(sorted(offenders))
+                + " (fix the values, or pass on_unsafe='quarantine')"
+            )
+        return courses
+    quarantined.write.mode("overwrite").parquet(
+        os.path.join(base_path, "_quarantined_partition_keys")
+    )
+    return clean
 
 
 def write_per_record_json(courses: DataFrame, base_path: str) -> list[str]:

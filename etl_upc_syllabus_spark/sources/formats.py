@@ -76,6 +76,18 @@ def read_resilient(
     truthful. Note also that verification fires only on pages actually
     DECODED: a count() or a projection that prunes the rotted column
     sails through either way.
+
+    Overwrite-race composition (r13, tools/overwrite_probe.py,
+    measured): a DataFrame snapshots its file listing at analysis. If
+    another job OVERWRITES the directory before this one's action
+    runs, the fail-fast reader dies LOUDLY (FAILED_READ_FILE.
+    FILE_NOT_EXIST) -- but THIS reader's ``ignoreMissingFiles``
+    resolves every vanished file to nothing and returns **0 rows with
+    no error**. A resilient read must therefore never span a window in
+    which its source can be overwritten; for partitioned refresh use
+    dynamic partition overwrite
+    (``sinks.write_courses_period_incremental``), which deletes only
+    the partitions it replaces.
     """
     return (
         spark.read.schema(schema)
