@@ -72,7 +72,10 @@ def main(argv: list[str] | None = None) -> int:
         os.makedirs(args.output_dir, exist_ok=True)
         written = sinks.write_per_record_json(good, args.output_dir)
         sinks.write_all_courses_json(good, args.output_dir)
-        sinks.write_courses_parquet(good, args.output_dir)
+        # gate off: periods here come from parse_filename ('YYYY-T',
+        # inference-proof and sentinel-free by construction), so the
+        # validation pass would only re-scan the persisted frame
+        sinks.write_courses_parquet(good, args.output_dir, on_unsafe="off")
         calendar.render_pdf(
             assemble.weekly_calendar(good),
             os.path.join(args.output_dir, "weekly_calendar.pdf"),

@@ -590,12 +590,21 @@ def quarantine_magnitude(
 
     Pure filter -- scan speed, streaming-safe, composable alongside the
     other gates. NULL stays CLEAN (absent is legal, outsized is not);
-    NaN in a float column stays clean here too (``abs(NaN) > x`` is
-    false) -- non-finite poison is :func:`quarantine_nonfinite`'s axis,
-    same single-responsibility split as the ts gate.
+    NaN in a float column stays clean here too via an explicit
+    ``~isnan`` conjunct (review r13: Spark orders NaN GREATER than
+    every numeric, so the bare ``abs(NaN) > x`` comparison is TRUE and
+    would mis-attribute NaN to this gate) -- non-finite poison is
+    :func:`quarantine_nonfinite`'s axis, same single-responsibility
+    split as the ts gate. +-Infinity IS magnitude-quarantined here
+    (its magnitude genuinely exceeds any bound); run the nonfinite
+    gate first when its reason label is the one you want.
     """
+    from pyspark.sql import types as T
+
     c = F.col(col)
     bad = c.isNotNull() & (F.abs(c) > F.lit(max_abs))
+    if isinstance(df.schema[col].dataType, (T.FloatType, T.DoubleType)):
+        bad = bad & ~F.isnan(c)
     reason = F.concat(F.lit("magnitude:"), c.cast("string"))
     clean = df.filter(~bad)
     quarantined = df.filter(bad).withColumn("quarantine_reason", reason)

@@ -122,7 +122,13 @@ def _gate_period_keys(
                 + " (fix the values, or pass on_unsafe='quarantine')"
             )
         return courses
-    quarantined.write.mode("overwrite").parquet(
+    # the quarantine side is an APPEND-ONLY journal (review r13): an
+    # overwrite to the fixed path would let the NEXT gated write -- a
+    # fully-clean batch included -- wipe previously quarantined rows,
+    # exactly the silent-loss class the gate exists to prevent.
+    # Re-running the same batch appends visible duplicates; visible
+    # beats vanished.
+    quarantined.write.mode("append").parquet(
         os.path.join(base_path, "_quarantined_partition_keys")
     )
     return clean

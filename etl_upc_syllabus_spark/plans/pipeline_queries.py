@@ -150,7 +150,11 @@ def syllabus_enrich_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _staged_courses_path(spark: SparkSession) -> str:
     base = tempfile.mkdtemp(prefix="etl_upc_courses_")
-    sinks.write_courses_parquet(_good_courses(spark), base)
+    # gate off: parse_filename guarantees 'YYYY-T' periods (trusted
+    # engine-generated key), and the un-persisted parse lineage would
+    # otherwise be evaluated twice -- once by the gate's count, once
+    # by the write (review r13)
+    sinks.write_courses_parquet(_good_courses(spark), base, on_unsafe="off")
     return base
 
 

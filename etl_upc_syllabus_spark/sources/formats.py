@@ -405,11 +405,20 @@ def audit_write_artifacts(
         rows.append((path, "missing_success"))
 
     if len(uuid_files) > 1:
-        # majority job = the commit; every other UUID's parts flagged
-        # (ties broken lexicographically so the report is deterministic)
-        majority = max(uuid_files, key=lambda u: (len(uuid_files[u]), u))
-        for u, fs in uuid_files.items():
-            if u != majority:
-                rows.extend((f, "orphan_writer_uuid") for f in sorted(fs))
+        # majority job = the commit; every other UUID's parts flagged.
+        # A TIE for the maximum means the audit cannot know which job
+        # was the commit (review r13: one real part + one orphan part
+        # is exactly a 1-1 tie, and guessing lexicographically could
+        # flag the REAL file as the orphan) -- so on a tie EVERY
+        # part file of every UUID is reported as ambiguous instead.
+        counts = sorted((len(fs) for fs in uuid_files.values()), reverse=True)
+        if counts[0] == counts[1]:
+            for fs in uuid_files.values():
+                rows.extend((f, "ambiguous_writer_uuids") for f in sorted(fs))
+        else:
+            majority = max(uuid_files, key=lambda u: len(uuid_files[u]))
+            for u, fs in uuid_files.items():
+                if u != majority:
+                    rows.extend((f, "orphan_writer_uuid") for f in sorted(fs))
 
     return spark.createDataFrame(sorted(rows), schema)

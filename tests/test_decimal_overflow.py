@@ -106,6 +106,26 @@ def test_magnitude_gate_closes_the_silent_null_class(spark):
     assert c.isStreaming and q.isStreaming
 
 
+def test_magnitude_gate_nan_stays_clean_inf_is_quarantined(spark):
+    """Review r13: Spark orders NaN GREATER than every numeric, so the
+    bare abs(NaN) > bound comparison is TRUE -- without the explicit
+    ~isnan conjunct the gate would mis-attribute NaN (the nonfinite
+    gate's axis). +-Inf IS magnitude-quarantined: its magnitude
+    genuinely exceeds any bound."""
+    from etl_upc_syllabus_spark.operators.curation import quarantine_magnitude
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("inf")), (3, float("-inf")),
+         (4, 1e9), (5, 3.0), (6, None)],
+        "id int, v double",
+    )
+    clean, quar = quarantine_magnitude(df, "v", 100.0)
+    assert {r["id"] for r in clean.collect()} == {1, 5, 6}  # NaN + NULL clean
+    reasons = {r["id"]: r["quarantine_reason"] for r in quar.collect()}
+    assert set(reasons) == {2, 3, 4}
+    assert reasons[2] == "magnitude:Infinity"
+
+
 def test_sum_headroom_bound_is_representable_and_tight(spark):
     """max_rows rows AT the bound must sum inside the accumulator under
     ansi=false (non-NULL), and the bound itself carries the column's

@@ -263,3 +263,27 @@ def test_write_courses_parquet_gates_unsafe_periods(spark):
 
     with pytest.raises(ValueError, match="error|quarantine|off"):
         sinks.write_courses_parquet(safe, base2, on_unsafe="nope")
+
+
+def test_quarantine_journal_survives_clean_batches(spark):
+    """Review r13: the quarantine side is an append-only journal -- a
+    later gated write of a fully-clean batch must NOT wipe previously
+    quarantined rows (the overwrite-to-fixed-path bug)."""
+    import os
+    import tempfile
+
+    from etl_upc_syllabus_spark.pipeline import sinks
+
+    base = tempfile.mkdtemp(prefix="etl_upc_journal_")
+    dirty = spark.createDataFrame(
+        [("C1", "2025-1"), ("C2", "")], "id string, period string"
+    )
+    sinks.write_courses_parquet(dirty, base, on_unsafe="quarantine")
+    qpath = os.path.join(base, "_quarantined_partition_keys")
+    assert spark.read.parquet(qpath).count() == 1
+
+    clean = spark.createDataFrame([("C3", "2025-2")], "id string, period string")
+    sinks.write_courses_period_incremental(clean, base, on_unsafe="quarantine")
+    # the journal still carries batch 1's quarantined row
+    assert spark.read.parquet(qpath).count() == 1
+    assert spark.read.parquet(qpath).collect()[0]["id"] == "C2"

@@ -136,6 +136,24 @@ def test_append_tables_carry_one_uuid_per_write(spark, tmp_path):
     assert len(rows) == 1  # the 1-part append is the minority
 
 
+def test_writer_uuid_tie_reports_ambiguous_not_a_guess(spark, tmp_path):
+    """Review r13: one real part + one orphan part is a 1-1 tie -- the
+    audit cannot know which job was the commit, and a lexicographic
+    guess could flag the REAL file as the orphan (an operator acting on
+    the report would delete genuine data). On a tie every part of every
+    UUID is reported ambiguous instead."""
+    d = os.path.join(str(tmp_path), "t")
+    spark.range(10).withColumnRenamed("id", "v").coalesce(1).write.parquet(d)
+    part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    shutil.copy(
+        os.path.join(d, part),
+        os.path.join(d, f"part-00000-{uuid.uuid4()}.c000.snappy.parquet"),
+    )
+    rows = audit_write_artifacts(spark, d).collect()
+    assert {r["issue"] for r in rows} == {"ambiguous_writer_uuids"}
+    assert len(rows) == 2  # BOTH files flagged, neither guessed clean
+
+
 def test_loud_on_typo_and_single_file(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="write-artifact audit"):
         audit_write_artifacts(spark, str(tmp_path / "nope"))
