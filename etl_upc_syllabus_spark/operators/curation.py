@@ -598,12 +598,24 @@ def quarantine_magnitude(
     split as the ts gate. +-Infinity IS magnitude-quarantined here
     (its magnitude genuinely exceeds any bound); run the nonfinite
     gate first when its reason label is the one you want.
+
+    The predicate is written as the disjunction ``v > max_abs OR
+    v < -max_abs`` rather than ``abs(v) > max_abs`` deliberately:
+    abs() never reaches the parquet reader (PushedFilters carries only
+    IsNotNull), while the disjunction pushes as
+    ``Or(GreaterThan, LessThan)`` and row-group min/max stats prune
+    the quarantine-side scan to ~free on clean data -- measured at sf1
+    (6M rows): 0.185 s vs 0.276 s warm, and the win grows with corpus
+    size since pruning is per row group. Same pushable-axis lesson as
+    the ts gate (tools/fusion_bench.py).
     """
     from pyspark.sql import types as T
 
     c = F.col(col)
-    bad = c.isNotNull() & (F.abs(c) > F.lit(max_abs))
+    bad = c.isNotNull() & ((c > F.lit(max_abs)) | (c < -F.lit(max_abs)))
     if isinstance(df.schema[col].dataType, (T.FloatType, T.DoubleType)):
+        # NaN orders greater than every numeric, so NaN > max_abs is
+        # TRUE -- exclude it here too (review r13)
         bad = bad & ~F.isnan(c)
     reason = F.concat(F.lit("magnitude:"), c.cast("string"))
     clean = df.filter(~bad)

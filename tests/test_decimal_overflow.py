@@ -151,3 +151,22 @@ def test_sum_headroom_bound_is_representable_and_tight(spark):
 
     with pytest.raises(ValueError, match="max_rows"):
         sum_headroom_max_abs(12, 2, max_rows=0)
+
+
+def test_magnitude_gate_predicate_is_pushable(spark, tmp_path):
+    """The gate's disjunction form must reach the parquet reader so
+    row-group stats prune the quarantine-side scan (abs() would push
+    only IsNotNull). Pinned on the executed plan's PushedFilters."""
+    import re
+
+    from etl_upc_syllabus_spark.operators.curation import quarantine_magnitude
+
+    d = str(tmp_path / "m")
+    spark.createDataFrame(
+        [(Decimal("5.00"),), (Decimal("9.75"),)], "v decimal(12,2)"
+    ).write.parquet(d)
+    m = spark.read.parquet(d)
+    _, quar = quarantine_magnitude(m, "v", Decimal("100.00"))
+    plan = quar._jdf.queryExecution().executedPlan().toString()
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "Or(GreaterThan" in pushed and "LessThan" in pushed, pushed
