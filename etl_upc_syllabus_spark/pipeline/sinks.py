@@ -46,9 +46,15 @@ def write_courses_parquet(
     - ``"error"`` (default): raise ValueError naming the unsafe classes
       and their row counts -- a library user cannot write the silent
       merge by accident;
-    - ``"quarantine"``: write only the safe rows; unsafe rows land as
-      un-partitioned parquet under ``_quarantined_partition_keys/``
-      with their ``quarantine_reason``, so nothing is silently dropped;
+    - ``"quarantine"``: write only the safe rows; unsafe rows are
+      APPENDED as un-partitioned parquet under
+      ``_quarantined_partition_keys/`` with their
+      ``quarantine_reason``, so nothing is silently dropped. The
+      journal is append-only across writes (a later clean batch must
+      not wipe earlier findings), which means REPLAYING the same dirty
+      batch appends duplicate journal rows even though the main table
+      stays idempotent -- dedupe on read if you size cleanup work from
+      the journal;
     - ``"off"``: skip the gate (the key is already trusted, e.g. the
       engine's own parse_filename 'YYYY-T' periods -- costs nothing).
 

@@ -342,6 +342,13 @@ def audit_write_artifacts(
       legitimate ``append`` writes carries one UUID per append -- this
       issue is a torn-OVERWRITE signal; on append-mode tables treat it
       as provenance info, not damage.
+    - ``ambiguous_writer_uuids``: two or more writer jobs TIE for the
+      largest part count (the common shape of a retried write at the
+      same parallelism, or a 1-1 single-part collision) -- the audit
+      cannot know which tied job was the commit and refuses to guess,
+      so every part of every TIED group carries this issue instead.
+      Groups strictly below the tied maximum are orphans regardless
+      of which tied job committed and keep ``orphan_writer_uuid``.
     - ``zero_byte``: a torn 0-byte part. Spark SKIPS it silently even
       with ignoreCorruptFiles=false (a zero-length file yields no read
       splits); DuckDB refuses the whole glob LOUDLY. One engine's
@@ -406,19 +413,21 @@ def audit_write_artifacts(
 
     if len(uuid_files) > 1:
         # majority job = the commit; every other UUID's parts flagged.
-        # A TIE for the maximum means the audit cannot know which job
-        # was the commit (review r13: one real part + one orphan part
-        # is exactly a 1-1 tie, and guessing lexicographically could
-        # flag the REAL file as the orphan) -- so on a tie EVERY
-        # part file of every UUID is reported as ambiguous instead.
-        counts = sorted((len(fs) for fs in uuid_files.values()), reverse=True)
-        if counts[0] == counts[1]:
-            for fs in uuid_files.values():
+        # A TIE for the maximum means the audit cannot know which of
+        # the TIED jobs was the commit (review r13: one real part +
+        # one orphan part is exactly a 1-1 tie, and guessing
+        # lexicographically could flag the REAL file as the orphan) --
+        # tied-for-max groups are reported ambiguous. Groups strictly
+        # BELOW the maximum are orphans regardless of which tied job
+        # committed, so their certain signal is kept (review r13 #2:
+        # a 5-5 retry tie plus a 1-part speculative stray must still
+        # name the stray an orphan).
+        top = max(len(fs) for fs in uuid_files.values())
+        tied = [u for u, fs in uuid_files.items() if len(fs) == top]
+        for u, fs in uuid_files.items():
+            if len(fs) < top:
+                rows.extend((f, "orphan_writer_uuid") for f in sorted(fs))
+            elif len(tied) > 1:
                 rows.extend((f, "ambiguous_writer_uuids") for f in sorted(fs))
-        else:
-            majority = max(uuid_files, key=lambda u: len(uuid_files[u]))
-            for u, fs in uuid_files.items():
-                if u != majority:
-                    rows.extend((f, "orphan_writer_uuid") for f in sorted(fs))
 
     return spark.createDataFrame(sorted(rows), schema)

@@ -162,3 +162,30 @@ def test_loud_on_typo_and_single_file(spark, tmp_path):
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
     )
     assert audit_write_artifacts(spark, part).count() == 0
+
+
+def test_submax_groups_stay_orphans_under_a_tie(spark, tmp_path):
+    """Review r13 pass 2: a 2-2 retry tie plus a 1-part speculative
+    stray -- the stray is an orphan regardless of which tied job
+    committed, so its certain signal must survive the tie downgrade."""
+    d = os.path.join(str(tmp_path), "t")
+    spark.range(10).withColumnRenamed("id", "v").coalesce(2).write.parquet(d)
+    part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    # second "job" with the same part count (the retry shape)
+    u2 = uuid.uuid4()
+    for i in range(2):
+        shutil.copy(
+            os.path.join(d, part),
+            os.path.join(d, f"part-{i:05d}-{u2}.c000.snappy.parquet"),
+        )
+    # sub-max stray from a third job
+    shutil.copy(
+        os.path.join(d, part),
+        os.path.join(d, f"part-00000-{uuid.uuid4()}.c000.snappy.parquet"),
+    )
+    rows = audit_write_artifacts(spark, d).collect()
+    issues = {}
+    for r in rows:
+        issues.setdefault(r["issue"], []).append(r["file"])
+    assert len(issues["ambiguous_writer_uuids"]) == 4  # both tied groups
+    assert len(issues["orphan_writer_uuid"]) == 1  # the stray, still certain
