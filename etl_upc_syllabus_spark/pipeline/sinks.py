@@ -230,7 +230,20 @@ def read_courses(spark: SparkSession, base_path: str) -> DataFrame:
     partitionColumnTypeInference would race concurrent readers).
     """
     path = os.path.join(base_path, COURSES_DIRNAME)
-    discovered = spark.read.parquet(path).schema
+    try:
+        discovered = spark.read.parquet(path).schema
+    except Exception as e:  # AnalysisException; narrow on the class
+        # a ZERO-ROW commit writes only _SUCCESS -- no footer to
+        # discover from. The canonical corpus schema is the contract,
+        # so an empty corpus reads as an empty canonical DataFrame
+        # instead of dying on schema discovery (empty slices are
+        # normal at scale; the degenerate-sweep ethos). Anything else
+        # (missing path, corrupt footer) stays loud.
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        from .schema import PARSED_COURSE_SCHEMA
+
+        return spark.read.schema(PARSED_COURSE_SCHEMA).parquet(path)
     explicit = T.StructType(
         [
             T.StructField(

@@ -287,3 +287,26 @@ def test_quarantine_journal_survives_clean_batches(spark):
     # the journal still carries batch 1's quarantined row
     assert spark.read.parquet(qpath).count() == 1
     assert spark.read.parquet(qpath).collect()[0]["id"] == "C2"
+
+
+def test_empty_corpus_roundtrips_with_canonical_schema(spark):
+    """A zero-row commit writes only _SUCCESS (no footer to discover
+    from); read_courses falls back to the canonical PARSED_COURSE_SCHEMA
+    so an empty corpus reads as an empty canonical DataFrame instead of
+    dying at schema discovery. A missing path stays loud."""
+    import tempfile
+
+    import pytest
+
+    from etl_upc_syllabus_spark.pipeline import sinks
+    from etl_upc_syllabus_spark.pipeline.schema import PARSED_COURSE_SCHEMA
+
+    base = tempfile.mkdtemp(prefix="etl_upc_empty_")
+    empty = spark.createDataFrame([], PARSED_COURSE_SCHEMA)
+    sinks.write_courses_parquet(empty, base, on_unsafe="off")
+    back = sinks.read_courses(spark, base)
+    assert back.count() == 0
+    assert back.schema == PARSED_COURSE_SCHEMA
+
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
+        sinks.read_courses(spark, tempfile.mkdtemp() + "/nope").count()
