@@ -211,10 +211,22 @@ def write_all_courses_json(courses: DataFrame, base_path: str) -> str:
     return path
 
 
-def read_courses(spark: SparkSession, base_path: str) -> DataFrame:
+def read_courses(
+    spark: SparkSession, base_path: str, *, merge_schemas: bool = False
+) -> DataFrame:
     """Read the course corpus with an EXPLICIT schema -- data-file
     columns at their file types, the ``period`` partition column pinned
     to string (VERDICT r12 item 3).
+
+    ``merge_schemas``: the default discovery resolves ONE footer, so a
+    corpus whose schema EVOLVED across writes (an incremental batch
+    added ``credits``) silently drops the new column from the read --
+    measured r13, the same listing-order class ``scan_schema_drift``
+    censuses. Pass ``merge_schemas=True`` on evolved corpora: discovery
+    then unions every footer (one metadata read per file -- pay it
+    when evolution is real, not by default) and new columns surface as
+    NULL on pre-evolution rows. Run ``scan_schema_drift`` first when
+    unsure whether a corpus has drifted.
 
     A schema-less ``spark.read.parquet`` runs partition-column TYPE
     INFERENCE over the directory names: the r12 probe measured 5/7
@@ -230,8 +242,11 @@ def read_courses(spark: SparkSession, base_path: str) -> DataFrame:
     partitionColumnTypeInference would race concurrent readers).
     """
     path = os.path.join(base_path, COURSES_DIRNAME)
+    reader = spark.read
+    if merge_schemas:
+        reader = reader.option("mergeSchema", "true")
     try:
-        discovered = spark.read.parquet(path).schema
+        discovered = reader.parquet(path).schema
     except Exception as e:  # AnalysisException; narrow on the class
         # a ZERO-ROW commit writes only _SUCCESS -- no footer to
         # discover from. The canonical corpus schema is the contract,

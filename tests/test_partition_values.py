@@ -310,3 +310,34 @@ def test_empty_corpus_roundtrips_with_canonical_schema(spark):
 
     with pytest.raises(Exception, match="PATH_NOT_FOUND|does not exist"):
         sinks.read_courses(spark, tempfile.mkdtemp() + "/nope").count()
+
+
+def test_evolved_corpus_needs_merge_schemas(spark):
+    """Pinned AS MEASURED (r13): one-footer discovery silently drops a
+    column an incremental batch added -- the scan_schema_drift
+    listing-order class inside the engine's own read. merge_schemas
+    unions the footers: the evolved column surfaces, NULL on
+    pre-evolution rows, period still pinned string."""
+    import tempfile
+
+    from etl_upc_syllabus_spark.pipeline import sinks
+
+    base = tempfile.mkdtemp(prefix="etl_upc_evolve_")
+    v1 = spark.createDataFrame(
+        [("C1", "2025-1", "A")], "id string, period string, name string"
+    )
+    sinks.write_courses_parquet(v1, base)
+    v2 = spark.createDataFrame(
+        [("C2", "2025-2", "B", 4)],
+        "id string, period string, name string, credits int",
+    )
+    sinks.write_courses_period_incremental(v2, base)
+
+    # default: the evolved column is silently absent (measured posture)
+    assert "credits" not in sinks.read_courses(spark, base).columns
+
+    merged = sinks.read_courses(spark, base, merge_schemas=True)
+    assert merged.schema["period"].dataType.simpleString() == "string"
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows["C2"]["credits"] == 4
+    assert rows["C1"]["credits"] is None
