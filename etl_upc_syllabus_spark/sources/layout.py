@@ -59,3 +59,111 @@ def compact(spark: SparkSession, path: str, out_path: str, target_files: int) ->
     n_in = df.rdd.getNumPartitions()
     df.coalesce(target_files).write.mode("overwrite").parquet(out_path)
     return n_in
+
+
+# --- snapshot publish: manifest-committed atomic table versions (r13) ------
+#
+# The r13 overwrite/torn-write probes measured the two failure shapes
+# of in-place mode("overwrite") at lake scale: a racing fail-fast
+# reader dies on vanished files, a racing resilient reader returns 0
+# rows SILENTLY, and a killed job leaves artifacts both engines
+# mis-read. Real table formats (Delta/Iceberg) fix this with
+# metadata-committed snapshots; this is the minimal core of that idea
+# on plain parquet + a manifest file:
+#
+# - every publish writes a brand-new snapshot-NNNNNNNN directory
+#   (never touching live files), then flips one tiny _CURRENT manifest
+#   via atomic os.replace;
+# - readers resolve _CURRENT once at analysis and keep reading that
+#   snapshot's files, which no later publish deletes -- the overwrite
+#   race is structurally gone until an explicit vacuum;
+# - a publish killed mid-write leaves an orphan snapshot dir that
+#   _CURRENT never pointed to: invisible to readers, reclaimed by
+#   vacuum, and auditable with audit_write_artifacts before the flip.
+
+_MANIFEST = "_CURRENT"
+_SNAP_PREFIX = "snapshot-"
+
+
+def publish_snapshot(df: DataFrame, table_dir: str) -> str:
+    """Write ``df`` as the table's next snapshot and atomically flip
+    the manifest. Returns the published snapshot directory.
+
+    The write lands in a NEW ``snapshot-NNNNNNNN`` dir (monotonic
+    version numbers; gaps are fine -- orphans from killed publishes
+    are skipped by the version scan because only _CURRENT confers
+    liveness). The manifest flip is ``os.replace`` of a same-directory
+    temp file: atomic on POSIX, so a reader sees either the old
+    version or the new one, never a torn manifest. On an object store
+    without atomic rename, point _CURRENT at a real metadata service
+    -- the snapshot layout itself carries over unchanged.
+    """
+    import os as _os
+
+    _os.makedirs(table_dir, exist_ok=True)
+    version = (
+        max(
+            (
+                int(d[len(_SNAP_PREFIX):])
+                for d in _os.listdir(table_dir)
+                if d.startswith(_SNAP_PREFIX) and d[len(_SNAP_PREFIX):].isdigit()
+            ),
+            default=-1,
+        )
+        + 1
+    )
+    snap = f"{_SNAP_PREFIX}{version:08d}"
+    df.write.mode("errorifexists").parquet(_os.path.join(table_dir, snap))
+    tmp = _os.path.join(table_dir, f"._CURRENT.tmp.{version:08d}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(snap + "\n")
+    _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))
+    return _os.path.join(table_dir, snap)
+
+
+def read_current_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read the snapshot _CURRENT points at. The returned DataFrame's
+    file listing is pinned to that snapshot at analysis time, and no
+    later publish deletes its files -- the r13 overwrite race cannot
+    reach it. A table with no manifest is loud (never published, or
+    mid-first-publish)."""
+    import os as _os
+
+    manifest = _os.path.join(table_dir, _MANIFEST)
+    try:
+        with open(manifest, encoding="utf-8") as fh:
+            snap = fh.read().strip()
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"snapshot table {table_dir!r} has no {_MANIFEST} manifest: "
+            "never published (or a first publish is mid-flight); refusing "
+            "to guess a snapshot"
+        ) from None
+    return spark.read.parquet(_os.path.join(table_dir, snap))
+
+
+def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
+    """Delete all but the newest ``keep`` snapshots, NEVER the one
+    _CURRENT points at (it is force-kept even if older than the
+    window). Returns the deleted snapshot names. Run only when no
+    reader can still be pinned to an old snapshot (the same contract
+    as any table format's retention window)."""
+    import os as _os
+    import shutil as _shutil
+
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    try:
+        with open(_os.path.join(table_dir, _MANIFEST), encoding="utf-8") as fh:
+            current = fh.read().strip()
+    except FileNotFoundError:
+        current = None
+    snaps = sorted(
+        d
+        for d in _os.listdir(table_dir)
+        if d.startswith(_SNAP_PREFIX) and d[len(_SNAP_PREFIX):].isdigit()
+    )
+    doomed = [s for s in snaps[:-keep] if s != current]
+    for s in doomed:
+        _shutil.rmtree(_os.path.join(table_dir, s))
+    return doomed

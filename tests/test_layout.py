@@ -60,3 +60,103 @@ def test_fan_out_metadata_probe(spark, sf_dir, tmp_path):
     spark.range(1000).repartition(cores + 1).write.parquet(many_dir)
     many = spark.read.parquet(many_dir)
     assert fan_out(many) is many
+
+
+# --- snapshot publish (r13): manifest-committed atomic versions -------------
+
+
+def test_snapshot_publish_roundtrip_and_versioning(spark, tmp_path):
+    from etl_upc_syllabus_spark.sources.layout import (
+        publish_snapshot,
+        read_current_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot(spark.range(5).withColumnRenamed("id", "v"), t)
+    assert read_current_snapshot(spark, t).count() == 5
+    p2 = publish_snapshot(spark.range(3).withColumnRenamed("id", "v"), t)
+    assert p2.endswith("snapshot-00000001")
+    assert read_current_snapshot(spark, t).count() == 3
+
+
+def test_snapshot_reader_survives_a_racing_publish(spark, tmp_path):
+    """The property the layer exists for (r13 overwrite race, measured:
+    in-place overwrite makes a pinned fail-fast reader die loudly and a
+    resilient reader return 0 rows silently): a reader pinned to
+    snapshot N keeps returning N's exact rows after N+1 publishes,
+    because no publish deletes live files."""
+    from etl_upc_syllabus_spark.sources.layout import (
+        publish_snapshot,
+        read_current_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot(spark.range(100).withColumnRenamed("id", "v"), t)
+    pinned = read_current_snapshot(spark, t)  # analysis pins the file list
+    assert pinned.count() == 100
+    publish_snapshot(spark.range(7).withColumnRenamed("id", "v"), t)
+    assert pinned.count() == 100  # unharmed by the publish
+    assert read_current_snapshot(spark, t).count() == 7  # new readers see v1
+
+
+def test_snapshot_unpublished_table_is_loud(spark, tmp_path):
+    import pytest
+
+    from etl_upc_syllabus_spark.sources.layout import read_current_snapshot
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t)
+    with pytest.raises(FileNotFoundError, match="no _CURRENT manifest"):
+        read_current_snapshot(spark, t)
+
+
+def test_vacuum_keeps_window_and_never_the_current(spark, tmp_path):
+    from etl_upc_syllabus_spark.sources.layout import (
+        publish_snapshot,
+        read_current_snapshot,
+        vacuum_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    for n in (4, 5, 6, 7):
+        publish_snapshot(spark.range(n).withColumnRenamed("id", "v"), t)
+    deleted = vacuum_snapshots(t, keep=2)
+    assert deleted == ["snapshot-00000000", "snapshot-00000001"]
+    assert read_current_snapshot(spark, t).count() == 7
+
+    # _CURRENT is force-kept even outside the keep window: point the
+    # manifest at the oldest remaining snapshot, vacuum keep=1
+    with open(os.path.join(t, "_CURRENT"), "w") as fh:
+        fh.write("snapshot-00000002\n")
+    deleted2 = vacuum_snapshots(t, keep=1)
+    assert "snapshot-00000002" not in deleted2
+    assert read_current_snapshot(spark, t).count() == 6
+
+    import pytest
+
+    with pytest.raises(ValueError, match="keep"):
+        vacuum_snapshots(t, keep=0)
+
+
+def test_orphan_snapshot_from_killed_publish_is_invisible(spark, tmp_path):
+    """A publish killed between the data write and the manifest flip
+    leaves an orphan snapshot dir _CURRENT never pointed at: readers
+    never see it, the next publish takes the next version number, and
+    vacuum reclaims it."""
+    from etl_upc_syllabus_spark.sources.layout import (
+        publish_snapshot,
+        read_current_snapshot,
+        vacuum_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot(spark.range(5).withColumnRenamed("id", "v"), t)
+    # simulate the kill: snapshot dir exists, manifest never flipped
+    spark.range(999).withColumnRenamed("id", "v").write.parquet(
+        os.path.join(t, "snapshot-00000001")
+    )
+    assert read_current_snapshot(spark, t).count() == 5  # orphan invisible
+    publish_snapshot(spark.range(2).withColumnRenamed("id", "v"), t)
+    assert read_current_snapshot(spark, t).count() == 2  # took version 2
+    deleted = vacuum_snapshots(t, keep=1)
+    assert "snapshot-00000001" in deleted  # orphan reclaimed
