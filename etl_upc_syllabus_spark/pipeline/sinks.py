@@ -245,16 +245,21 @@ def read_courses(
     reader = spark.read
     if merge_schemas:
         reader = reader.option("mergeSchema", "true")
+    from pyspark.errors import AnalysisException
+
     try:
         discovered = reader.parquet(path).schema
-    except Exception as e:  # AnalysisException; narrow on the class
+    except AnalysisException as e:
         # a ZERO-ROW commit writes only _SUCCESS -- no footer to
         # discover from. The canonical corpus schema is the contract,
         # so an empty corpus reads as an empty canonical DataFrame
         # instead of dying on schema discovery (empty slices are
         # normal at scale; the degenerate-sweep ethos). Anything else
-        # (missing path, corrupt footer) stays loud.
-        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+        # (missing path, corrupt footer) stays loud. Dispatch on the
+        # ERROR CLASS, not the message text (review r13 pass 3: a
+        # reworded/localized message must not silently change the
+        # posture).
+        if e.getCondition() != "UNABLE_TO_INFER_SCHEMA":
             raise
         from .schema import PARSED_COURSE_SCHEMA
 

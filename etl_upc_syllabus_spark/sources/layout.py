@@ -94,31 +94,59 @@ def publish_snapshot(df: DataFrame, table_dir: str) -> str:
     are skipped by the version scan because only _CURRENT confers
     liveness). The manifest flip is ``os.replace`` of a same-directory
     temp file: atomic on POSIX, so a reader sees either the old
-    version or the new one, never a torn manifest. On an object store
-    without atomic rename, point _CURRENT at a real metadata service
-    -- the snapshot layout itself carries over unchanged.
+    version or the new one, never a torn manifest.
+
+    Concurrency contract (review r13 pass 3): the flip is CONDITIONAL
+    -- if a HIGHER version exists by flip time (a faster concurrent
+    publisher committed while this one's data wrote), this publish
+    raises instead of rolling the table back to its own older version,
+    and its snapshot dir is left as a vacuum-reclaimable orphan. The
+    re-check shrinks the race window to the replace itself but is
+    advisory, not a lock: for genuinely concurrent publishers use a
+    real metadata service as the manifest (same snapshot layout,
+    conditional-put commit). On an object store without atomic rename,
+    the same applies.
     """
     import os as _os
 
     _os.makedirs(table_dir, exist_ok=True)
-    version = (
-        max(
-            (
-                int(d[len(_SNAP_PREFIX):])
-                for d in _os.listdir(table_dir)
-                if d.startswith(_SNAP_PREFIX) and d[len(_SNAP_PREFIX):].isdigit()
-            ),
-            default=-1,
-        )
-        + 1
-    )
+    version = _max_version(table_dir) + 1
     snap = f"{_SNAP_PREFIX}{version:08d}"
     df.write.mode("errorifexists").parquet(_os.path.join(table_dir, snap))
+    _flip_manifest(table_dir, version, snap)
+    return _os.path.join(table_dir, snap)
+
+
+def _max_version(table_dir: str) -> int:
+    import os as _os
+
+    return max(
+        (
+            int(d[len(_SNAP_PREFIX):])
+            for d in _os.listdir(table_dir)
+            if d.startswith(_SNAP_PREFIX) and d[len(_SNAP_PREFIX):].isdigit()
+        ),
+        default=-1,
+    )
+
+
+def _flip_manifest(table_dir: str, version: int, snap: str) -> None:
+    """Conditional _CURRENT flip: refuse to flip backwards past a
+    concurrently committed higher version (see publish_snapshot's
+    concurrency contract)."""
+    import os as _os
+
+    newest = _max_version(table_dir)
+    if newest > version:
+        raise RuntimeError(
+            f"concurrent publish won: {_SNAP_PREFIX}{newest:08d} exists, "
+            f"refusing to roll _CURRENT back to {snap}; this publish's "
+            "snapshot is left as a vacuum-reclaimable orphan"
+        )
     tmp = _os.path.join(table_dir, f"._CURRENT.tmp.{version:08d}")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(snap + "\n")
     _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))
-    return _os.path.join(table_dir, snap)
 
 
 def read_current_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
@@ -158,12 +186,23 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
             current = fh.read().strip()
     except FileNotFoundError:
         current = None
+    # NUMERIC version order (review r13 pass 3): lexicographic order
+    # breaks at the 9th digit (snapshot-100000000 sorts before
+    # snapshot-99999999) and would doom the second-newest snapshot
     snaps = sorted(
-        d
-        for d in _os.listdir(table_dir)
-        if d.startswith(_SNAP_PREFIX) and d[len(_SNAP_PREFIX):].isdigit()
+        (
+            d
+            for d in _os.listdir(table_dir)
+            if d.startswith(_SNAP_PREFIX) and d[len(_SNAP_PREFIX):].isdigit()
+        ),
+        key=lambda d: int(d[len(_SNAP_PREFIX):]),
     )
     doomed = [s for s in snaps[:-keep] if s != current]
     for s in doomed:
         _shutil.rmtree(_os.path.join(table_dir, s))
+    # stale temp manifests from publishes killed before their flip are
+    # dead by construction (a newer _CURRENT exists or will): reclaim
+    for f in _os.listdir(table_dir):
+        if f.startswith("._CURRENT.tmp."):
+            _os.remove(_os.path.join(table_dir, f))
     return doomed

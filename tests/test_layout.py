@@ -160,3 +160,48 @@ def test_orphan_snapshot_from_killed_publish_is_invisible(spark, tmp_path):
     assert read_current_snapshot(spark, t).count() == 2  # took version 2
     deleted = vacuum_snapshots(t, keep=1)
     assert "snapshot-00000001" in deleted  # orphan reclaimed
+
+
+def test_flip_refuses_to_roll_back_past_a_concurrent_winner(spark, tmp_path):
+    """Review r13 pass 3: if a faster concurrent publisher committed a
+    HIGHER version while this one's data wrote, the flip raises instead
+    of silently rolling the table back; the loser's snapshot becomes a
+    vacuum-reclaimable orphan."""
+    import pytest
+
+    from etl_upc_syllabus_spark.sources.layout import (
+        _flip_manifest,
+        publish_snapshot,
+        read_current_snapshot,
+        vacuum_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot(spark.range(5).withColumnRenamed("id", "v"), t)  # v0
+    publish_snapshot(spark.range(9).withColumnRenamed("id", "v"), t)  # v1, current
+    # the slow loser tries to flip back to v0
+    with pytest.raises(RuntimeError, match="concurrent publish won"):
+        _flip_manifest(t, 0, "snapshot-00000000")
+    assert read_current_snapshot(spark, t).count() == 9  # table unharmed
+
+
+def test_vacuum_orders_versions_numerically_and_reclaims_tmp(spark, tmp_path):
+    """Review r13 pass 3: lexicographic order breaks at the 9th digit;
+    vacuum must doom the numerically oldest snapshots. Stale temp
+    manifests from killed flips are reclaimed too."""
+    from etl_upc_syllabus_spark.sources.layout import vacuum_snapshots
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t)
+    for v in (99999999, 100000000, 100000001):
+        os.makedirs(os.path.join(t, f"snapshot-{v:08d}"))
+    with open(os.path.join(t, "_CURRENT"), "w") as fh:
+        fh.write("snapshot-100000001\n")
+    open(os.path.join(t, "._CURRENT.tmp.00000042"), "w").close()
+
+    deleted = vacuum_snapshots(t, keep=2)
+    # numerically oldest goes; the second-newest (lexicographically
+    # "smallest") survives
+    assert deleted == ["snapshot-99999999"]
+    assert os.path.isdir(os.path.join(t, "snapshot-100000000"))
+    assert not os.path.exists(os.path.join(t, "._CURRENT.tmp.00000042"))
