@@ -122,6 +122,34 @@ def _cpu_calibration() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _cpu_calibration_mt() -> float:
+    """Fixed MULTI-core CPU workload: 32 tasks each sha256-hashing
+    64 x 1 MB on a 32-thread pool (hashlib releases the GIL on large
+    buffers, so this genuinely saturates cores). The r13 variance
+    study measured the single-thread calibration FLAT across windows
+    whose suite readings moved 1.35x -- neighbor pressure on a shared
+    host is a multi-core phenomenon, and this is the instrument that
+    sees it: on a free host it reads ~0.2 s (8x the 1-thread wall for
+    the same work); every stolen core inflates it proportionally.
+    Stamped as cpu_cal_mt_sec next to cpu_cal_sec.
+    """
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = b"x" * (1 << 20)
+
+    def one(n: int) -> bytes:
+        h = hashlib.sha256()
+        for _ in range(n):
+            h.update(buf)
+        return h.digest()
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(32) as ex:
+        list(ex.map(one, [64] * 32))
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_cold(names: list[str], sf_dir: str) -> dict[str, float]:
     """One COLD timed run per query: fresh SparkSession (empty
     CacheManager, so no persisted plans survive from prior queries),
@@ -363,6 +391,7 @@ def build_artifact(
     cold_timings: dict[str, float],
     wobble: dict[str, object],
     cpu_cal_sec: float | None = None,
+    cpu_cal_mt_sec: float | None = None,
 ) -> tuple[dict, dict]:
     """Split the warm-run artifact into (extended, summary) dicts, each
     printed as its own JSON line with summary LAST (see module
@@ -383,6 +412,11 @@ def build_artifact(
         # absolute host-speed reference (see _cpu_calibration): rides
         # the extended line, never the length-capped summary
         **({"cpu_cal_sec": cpu_cal_sec} if cpu_cal_sec is not None else {}),
+        **(
+            {"cpu_cal_mt_sec": cpu_cal_mt_sec}
+            if cpu_cal_mt_sec is not None
+            else {}
+        ),
     }
     summary = {
         "metric": "headline_suite_total",
@@ -419,6 +453,7 @@ def main() -> None:
     cold = "--cold" in sys.argv or os.environ.get("SPARK_GRAFT_BENCH_COLD") == "1"
     loadavg_preflight, contended = _preflight_load()
     cpu_cal = _cpu_calibration()
+    cpu_cal_mt = _cpu_calibration_mt()
     n_runs = 3 if contended else 2
     specs = all_specs()
     # SPARK_GRAFT_BENCH_QUERIES overrides the headline list (comma-
@@ -450,6 +485,7 @@ def main() -> None:
                     "contended": contended,
                     "sf": sf,
                     "cpu_cal_sec": cpu_cal,
+                    "cpu_cal_mt_sec": cpu_cal_mt,
                 }
             )
         )
@@ -511,6 +547,7 @@ def main() -> None:
     extended, summary = build_artifact(
         timings, samples, warmups, loadavg_preflight, list(os.getloadavg()),
         contended, n_runs, sf, cold_timings, wobble, cpu_cal_sec=cpu_cal,
+        cpu_cal_mt_sec=cpu_cal_mt,
     )
     print(json.dumps(extended))
     print(json.dumps(summary))

@@ -393,19 +393,23 @@ def test_cpu_calibration_rides_the_extended_line():
 
     cal = bench._cpu_calibration()
     assert 0.0 < cal < 30.0  # sane wall-clock for 200k hashes
+    cal_mt = bench._cpu_calibration_mt()
+    assert 0.0 < cal_mt < 60.0  # 2 GB hashed across a 32-thread pool
 
     extended, summary = bench.build_artifact(
         {"q": 1.0}, {"q": [1.0]}, {"q": 1.0}, [0.1, 0.1, 0.1],
-        [0.1, 0.1, 0.1], False, 2, 0.1, {}, {}, cpu_cal_sec=cal,
+        [0.1, 0.1, 0.1], False, 2, 0.1, {}, {},
+        cpu_cal_sec=cal, cpu_cal_mt_sec=cal_mt,
     )
     assert extended["cpu_cal_sec"] == cal
-    assert "cpu_cal_sec" not in summary
+    assert extended["cpu_cal_mt_sec"] == cal_mt
+    assert "cpu_cal_sec" not in summary and "cpu_cal_mt_sec" not in summary
     # omitted when not measured (pure-function callers)
     ext2, _ = bench.build_artifact(
         {"q": 1.0}, {"q": [1.0]}, {"q": 1.0}, [0.1, 0.1, 0.1],
         [0.1, 0.1, 0.1], False, 2, 0.1, {}, {},
     )
-    assert "cpu_cal_sec" not in ext2
+    assert "cpu_cal_sec" not in ext2 and "cpu_cal_mt_sec" not in ext2
 
 
 def test_floors_ignore_cold_mode_artifacts(tmp_path):
