@@ -451,3 +451,24 @@ def test_floors_ignore_cold_mode_artifacts(tmp_path):
     p2.write_text(json.dumps(warm_artifact))
     vals2, _ = floors._readings(str(p2), None)
     assert vals2 == {"q1_pricing_summary": 0.8}
+
+
+def test_headline_registry_and_floors_stay_coherent():
+    """Consistency pin: every headline query must exist in the registry
+    (a renamed query would silently vanish from the official artifact)
+    and carry an all-time floor (so the wobble trigger can ever fire
+    for it). Guards the three artifacts' shared vocabulary."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    from etl_upc_syllabus_spark.plans import all_specs
+
+    specs = all_specs()
+    missing_in_registry = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing_in_registry, missing_in_registry
+
+    with open(os.path.join(_REPO, "BENCH_FLOORS.json"), encoding="utf-8") as fh:
+        floors = json.load(fh)
+    missing_floor = [n for n in bench.HEADLINE if n not in floors.get("floors", {})]
+    assert not missing_floor, missing_floor
