@@ -359,8 +359,21 @@ def audit_write_artifacts(
       tables whose writers suppress the marker
       (mapreduce.fileoutputcommitter.marksuccessfuljobs=false).
 
-    Metadata-only (names + sizes, no file reads), so the listing walk
-    runs driver-side like every file index; compose with
+    Metadata-only (names + sizes, no file reads) -- and the listing is
+    DISTRIBUTED (VERDICT r13 item 3): the driver lists only the table
+    root (one shallow readdir, width = the partition count); each
+    visible top-level directory becomes one mapInPandas task that walks
+    its own subtree executor-side, returning its findings plus a
+    per-directory writer-UUID census (uuid, count) -- tiny by
+    construction, a handful of rows per write job, never one row per
+    file. The UUID majority/tie logic is a GLOBAL aggregate, so it
+    runs driver-side on that collected census; when (and only when)
+    minority/tied UUIDs exist, a second distributed pass names the
+    affected files -- the flagged set is the actual damage, not the
+    table. A clean table (the common case) costs exactly one
+    distributed walk and ships no per-file rows anywhere. Same shared-
+    filesystem requirement as every executor-side path here
+    (write_per_record_json et al.); compose with
     :func:`scan_corrupt_files` (content) and
     :func:`scan_schema_drift` (schema) for the full pre-flight. The
     posture this audit buys at 100 TB: publish it before promoting any
@@ -368,16 +381,11 @@ def audit_write_artifacts(
     (orphan parts) is exactly the one no read-side check can see.
     """
     import os as _os
-    import re as _re
 
-    global _PART_UUID_RX
-    if _PART_UUID_RX is None:
-        _PART_UUID_RX = _re.compile(
-            r"part-\d+-([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}"
-            r"-[0-9a-f]{4}-[0-9a-f]{12})"
-        )
+    import pandas as _pd
 
-    rows: list[tuple[str, str]] = []
+    from pyspark.sql import functions as _F
+
     schema = "file string, issue string"
     if not _os.path.isdir(path):
         if not _os.path.isfile(path):
@@ -388,30 +396,86 @@ def audit_write_artifacts(
             )
         return spark.createDataFrame([], schema)
 
-    uuid_files: dict[str, list[str]] = {}
-    for root, dirs, files in _os.walk(path):
-        for dname in list(dirs):
-            if dname == "_temporary":
-                rows.append((_os.path.join(root, dname), "temporary_residue"))
-            # don't descend into hidden trees: their contents are the
-            # single residue finding, not N findings
-            if dname.startswith(("_", ".")):
-                dirs.remove(dname)
-        for f in files:
-            if f.startswith(("_", ".")):
-                continue
-            full = _os.path.join(root, f)
-            if _os.path.getsize(full) == 0:
-                rows.append((full, "zero_byte"))
-                continue
-            m = _PART_UUID_RX.match(f)
-            if m:
-                uuid_files.setdefault(m.group(1), []).append(full)
-
-    if expect_success and "_SUCCESS" not in _os.listdir(path):
+    # driver-side: ONE shallow listing of the root -- classify the
+    # top-level entries and fan the visible subtrees out as tasks. A
+    # sentinel "" task audits the files sitting directly at the root.
+    entries = sorted(_os.listdir(path))
+    rows: list[tuple[str, str]] = []
+    subs: list[str] = [""]
+    for e in entries:
+        if _os.path.isdir(_os.path.join(path, e)):
+            if e == "_temporary":
+                rows.append((_os.path.join(path, e), "temporary_residue"))
+            elif not e.startswith(("_", ".")):
+                subs.append(e)
+    if expect_success and "_SUCCESS" not in entries:
         rows.append((path, "missing_success"))
 
-    if len(uuid_files) > 1:
+    tasks = spark.createDataFrame([(s,) for s in subs], "sub string").repartition(
+        min(len(subs), spark.sparkContext.defaultParallelism)
+    )
+
+    def _audit_subtrees(batches, emit_uuids: frozenset | None = None):
+        """One task per top-level subtree: walk, stat, census.
+        ``emit_uuids=None`` -> phase 1 (findings + per-dir uuid census);
+        a frozenset -> phase 2 (name the files of the flagged uuids)."""
+        for pdf in batches:
+            out_file, out_issue, out_uuid, out_n = [], [], [], []
+            for sub in pdf["sub"]:
+                census: dict[str, int] = {}
+                it = (
+                    _walk_visible(_os.path.join(path, sub))
+                    if sub
+                    else _shallow_files(path)
+                )
+                for full, kind in it:
+                    if kind == "dir_temporary":
+                        if emit_uuids is None:
+                            out_file.append(full)
+                            out_issue.append("temporary_residue")
+                            out_uuid.append(None)
+                            out_n.append(None)
+                        continue
+                    name = _os.path.basename(full)
+                    if _os.path.getsize(full) == 0:
+                        if emit_uuids is None:
+                            out_file.append(full)
+                            out_issue.append("zero_byte")
+                            out_uuid.append(None)
+                            out_n.append(None)
+                        continue
+                    m = _part_uuid_rx().match(name)
+                    if m:
+                        u = m.group(1)
+                        if emit_uuids is None:
+                            census[u] = census.get(u, 0) + 1
+                        elif u in emit_uuids:
+                            out_file.append(full)
+                            out_issue.append(None)
+                            out_uuid.append(u)
+                            out_n.append(None)
+                for u, n in census.items():
+                    out_file.append(None)
+                    out_issue.append(None)
+                    out_uuid.append(u)
+                    out_n.append(n)
+            yield _pd.DataFrame(
+                {"file": out_file, "issue": out_issue, "uuid": out_uuid, "n": out_n}
+            )
+
+    phase1 = tasks.mapInPandas(
+        _audit_subtrees, "file string, issue string, uuid string, n long"
+    ).collect()
+
+    uuid_counts: dict[str, int] = {}
+    for r in phase1:
+        if r["n"] is not None:
+            uuid_counts[r["uuid"]] = uuid_counts.get(r["uuid"], 0) + r["n"]
+        else:
+            rows.append((r["file"], r["issue"]))
+
+    flagged: dict[str, str] = {}
+    if len(uuid_counts) > 1:
         # majority job = the commit; every other UUID's parts flagged.
         # A TIE for the maximum means the audit cannot know which of
         # the TIED jobs was the commit (review r13: one real part +
@@ -422,12 +486,71 @@ def audit_write_artifacts(
         # committed, so their certain signal is kept (review r13 #2:
         # a 5-5 retry tie plus a 1-part speculative stray must still
         # name the stray an orphan).
-        top = max(len(fs) for fs in uuid_files.values())
-        tied = [u for u, fs in uuid_files.items() if len(fs) == top]
-        for u, fs in uuid_files.items():
-            if len(fs) < top:
-                rows.extend((f, "orphan_writer_uuid") for f in sorted(fs))
-            elif len(tied) > 1:
-                rows.extend((f, "ambiguous_writer_uuids") for f in sorted(fs))
+        top = max(uuid_counts.values())
+        tied = sum(1 for n in uuid_counts.values() if n == top)
+        for u, n in uuid_counts.items():
+            if n < top:
+                flagged[u] = "orphan_writer_uuid"
+            elif tied > 1:
+                flagged[u] = "ambiguous_writer_uuids"
 
-    return spark.createDataFrame(sorted(rows), schema)
+    local = spark.createDataFrame(sorted(rows), schema)
+    if not flagged:
+        return local
+
+    # phase 2 (torn tables only): a second distributed pass names the
+    # files of the flagged writer jobs -- output bounded by the damage
+    emit = frozenset(flagged)
+    issue_expr = _F.col("uuid")
+    for u, iss in flagged.items():
+        issue_expr = _F.when(_F.col("uuid") == u, _F.lit(iss)).otherwise(issue_expr)
+    named = (
+        tasks.mapInPandas(
+            lambda batches: _audit_subtrees(batches, emit),
+            "file string, issue string, uuid string, n long",
+        )
+        .select("file", issue_expr.alias("issue"))
+    )
+    return local.unionAll(named)
+
+
+def _part_uuid_rx():
+    """Compiled-on-first-use part-name matcher (module import stays
+    regex-free); safe to call executor-side."""
+    import re as _re
+
+    global _PART_UUID_RX
+    if _PART_UUID_RX is None:
+        _PART_UUID_RX = _re.compile(
+            r"part-\d+-([0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}"
+            r"-[0-9a-f]{4}-[0-9a-f]{12})"
+        )
+    return _PART_UUID_RX
+
+
+def _shallow_files(root: str):
+    """The sentinel root task: files sitting directly at the table
+    root (no descent -- every subtree is some other task's job)."""
+    import os as _os
+
+    for f in sorted(_os.listdir(root)):
+        full = _os.path.join(root, f)
+        if _os.path.isfile(full) and not f.startswith(("_", ".")):
+            yield full, "file"
+
+
+def _walk_visible(start: str):
+    """Walk one subtree with the audit's visibility rules: hidden trees
+    are pruned (their contents are not N findings), a nested
+    ``_temporary`` dir is itself the single residue finding."""
+    import os as _os
+
+    for root, dirs, files in _os.walk(start):
+        for dname in list(dirs):
+            if dname == "_temporary":
+                yield _os.path.join(root, dname), "dir_temporary"
+            if dname.startswith(("_", ".")):
+                dirs.remove(dname)
+        for f in sorted(files):
+            if not f.startswith(("_", ".")):
+                yield _os.path.join(root, f), "file"

@@ -85,7 +85,7 @@ _MANIFEST = "_CURRENT"
 _SNAP_PREFIX = "snapshot-"
 
 
-def publish_snapshot(df: DataFrame, table_dir: str) -> str:
+def publish_snapshot(df: DataFrame, table_dir: str, *, verify: bool = False) -> str:
     """Write ``df`` as the table's next snapshot and atomically flip
     the manifest. Returns the published snapshot directory.
 
@@ -96,25 +96,80 @@ def publish_snapshot(df: DataFrame, table_dir: str) -> str:
     temp file: atomic on POSIX, so a reader sees either the old
     version or the new one, never a torn manifest.
 
-    Concurrency contract (review r13 pass 3): the flip is CONDITIONAL
-    -- if a HIGHER version exists by flip time (a faster concurrent
-    publisher committed while this one's data wrote), this publish
-    raises instead of rolling the table back to its own older version,
-    and its snapshot dir is left as a vacuum-reclaimable orphan. The
-    re-check shrinks the race window to the replace itself but is
-    advisory, not a lock: for genuinely concurrent publishers use a
-    real metadata service as the manifest (same snapshot layout,
-    conditional-put commit). On an object store without atomic rename,
-    the same applies.
+    Concurrency contract (review r13 pass 3 + ADVICE r13): the version
+    is CLAIMED with an atomic ``os.mkdir`` of the snapshot dir before
+    any data writes -- two concurrent publishers that both compute
+    version N+1 cannot both create ``snapshot-N+1`` (EEXIST), so the
+    loser retries loudly at a higher version instead of commingling two
+    jobs' part files into one snapshot that _CURRENT then double-counts
+    (the exact orphan-part class ``audit_write_artifacts`` targets).
+    The flip itself stays CONDITIONAL -- if a HIGHER version exists by
+    flip time (a faster concurrent publisher committed while this one's
+    data wrote), this publish raises instead of rolling the table back
+    to its own older version, and its snapshot dir is left as a
+    vacuum-reclaimable orphan. mkdir-claim + conditional flip close the
+    same-version and rollback shapes on POSIX; for an object store
+    without atomic mkdir/rename use a real metadata service as the
+    manifest (same snapshot layout, conditional-put commit).
+
+    ``verify=True`` runs :func:`~..sources.formats.audit_write_artifacts`
+    on the just-written snapshot BEFORE the flip and raises on any
+    finding -- a torn/polluted snapshot then never becomes _CURRENT
+    (it stays a vacuum-reclaimable orphan), which makes the documented
+    "audit before promoting" composition executable instead of
+    advisory. Costs one metadata-only distributed listing of the new
+    snapshot; default off.
     """
     import os as _os
 
     _os.makedirs(table_dir, exist_ok=True)
-    version = _max_version(table_dir) + 1
-    snap = f"{_SNAP_PREFIX}{version:08d}"
-    df.write.mode("errorifexists").parquet(_os.path.join(table_dir, snap))
+    version, snap = _claim_version(table_dir)
+    df.write.mode("overwrite").parquet(_os.path.join(table_dir, snap))
+    if verify:
+        _verify_snapshot(df.sparkSession, _os.path.join(table_dir, snap), snap)
     _flip_manifest(table_dir, version, snap)
     return _os.path.join(table_dir, snap)
+
+
+def _claim_version(table_dir: str, attempts: int = 16) -> tuple[int, str]:
+    """Atomically claim the table's next version by mkdir'ing its
+    snapshot dir (ADVICE r13: EEXIST from a concurrent claimant ->
+    retry at a higher version, never share a dir). The claimed dir is
+    empty and owned by this publisher alone, so the Spark write into it
+    uses mode("overwrite") safely -- "errorifexists" would trip over
+    our own claim."""
+    import os as _os
+
+    for _ in range(attempts):
+        version = _max_version(table_dir) + 1
+        snap = f"{_SNAP_PREFIX}{version:08d}"
+        try:
+            _os.mkdir(_os.path.join(table_dir, snap))
+            return version, snap
+        except FileExistsError:
+            continue  # a concurrent publisher claimed it first; go higher
+    raise RuntimeError(
+        f"could not claim a snapshot version in {table_dir!r} after "
+        f"{attempts} attempts -- a publisher storm or a clock-free loop; "
+        "back off and retry"
+    )
+
+
+def _verify_snapshot(spark: SparkSession, snap_dir: str, snap: str) -> None:
+    """Pre-flip write audit (VERDICT r13 item 6): any artifact finding
+    aborts the publish loudly; the unflipped snapshot stays invisible
+    to readers and vacuum-reclaimable."""
+    from .formats import audit_write_artifacts
+
+    findings = audit_write_artifacts(spark, snap_dir).collect()
+    if findings:
+        detail = ", ".join(f"{r['issue']}: {r['file']}" for r in findings[:5])
+        raise RuntimeError(
+            f"verify=True: write-artifact audit found {len(findings)} "
+            f"issue(s) in {snap} -- refusing to flip _CURRENT onto a "
+            f"torn snapshot ({detail}{'...' if len(findings) > 5 else ''}); "
+            "the snapshot is left unpublished for inspection/vacuum"
+        )
 
 
 def _max_version(table_dir: str) -> int:
@@ -200,9 +255,28 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     doomed = [s for s in snaps[:-keep] if s != current]
     for s in doomed:
         _shutil.rmtree(_os.path.join(table_dir, s))
-    # stale temp manifests from publishes killed before their flip are
-    # dead by construction (a newer _CURRENT exists or will): reclaim
+    # Temp manifests: reclaim only those whose embedded version is <=
+    # the CURRENT version (ADVICE r13: an unconditional sweep deletes
+    # the tmp file of a publish that is BETWEEN its tmp-write and its
+    # os.replace right now, failing that publish with FileNotFoundError.
+    # A tmp at version <= current is provably dead -- its conditional
+    # flip would refuse anyway; a tmp at a higher version may belong to
+    # a live concurrent publisher and is left alone).
+    cur_version = _version_of(current) if current else -1
     for f in _os.listdir(table_dir):
         if f.startswith("._CURRENT.tmp."):
-            _os.remove(_os.path.join(table_dir, f))
+            tail = f[len("._CURRENT.tmp."):]
+            if tail.isdigit() and int(tail) <= cur_version:
+                _os.remove(_os.path.join(table_dir, f))
     return doomed
+
+
+def _version_of(manifest_target: str) -> int:
+    """Version number embedded in a _CURRENT target (snapshot dir name);
+    -1 for anything unparseable (then vacuum reclaims no tmp files --
+    the conservative side)."""
+    if manifest_target.startswith(_SNAP_PREFIX):
+        tail = manifest_target[len(_SNAP_PREFIX):]
+        if tail.isdigit():
+            return int(tail)
+    return -1

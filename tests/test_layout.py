@@ -205,3 +205,117 @@ def test_vacuum_orders_versions_numerically_and_reclaims_tmp(spark, tmp_path):
     assert deleted == ["snapshot-99999999"]
     assert os.path.isdir(os.path.join(t, "snapshot-100000000"))
     assert not os.path.exists(os.path.join(t, "._CURRENT.tmp.00000042"))
+
+
+def test_concurrent_claims_never_share_a_snapshot_dir(spark, tmp_path):
+    """ADVICE r13: two publishers that both compute version N+1 must
+    not commingle part files in one snapshot. The version is claimed
+    with an atomic mkdir, so a pre-claimed dir (the concurrent winner's
+    mkdir) forces this publisher to the NEXT version."""
+    from etl_upc_syllabus_spark.sources.layout import (
+        publish_snapshot,
+        read_current_snapshot,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot(spark.range(5).withColumnRenamed("id", "v"), t)  # v0
+    # a concurrent publisher has claimed v1 (mkdir done, data mid-write)
+    os.makedirs(os.path.join(t, "snapshot-00000001"))
+    p = publish_snapshot(spark.range(9).withColumnRenamed("id", "v"), t)
+    assert p.endswith("snapshot-00000002")  # went around, never shared
+    assert read_current_snapshot(spark, t).count() == 9
+    # the concurrent claimant's dir is untouched (still empty)
+    assert os.listdir(os.path.join(t, "snapshot-00000001")) == []
+
+
+def test_claim_version_gives_up_loudly_after_a_storm(tmp_path):
+    import pytest
+
+    from etl_upc_syllabus_spark.sources.layout import _claim_version
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t)
+    # every version this claimant will try is already taken
+    for v in range(20):
+        os.makedirs(os.path.join(t, f"snapshot-{v:08d}"))
+    # _max_version sees 19, so the claim would try 20 -- make the race
+    # unwinnable by racing it: patch-free deterministic variant, cap at
+    # attempts=0-equivalent via attempts=1 against a dir created between
+    # the scan and the mkdir is not reproducible without threads, so pin
+    # the loud-exhaustion contract directly with attempts=0
+    with pytest.raises(RuntimeError, match="could not claim"):
+        _claim_version(t, attempts=0)
+
+
+def test_vacuum_spares_tmp_of_a_live_concurrent_publisher(spark, tmp_path):
+    """ADVICE r13: vacuum must not delete a ._CURRENT.tmp.* belonging
+    to a publish currently between its tmp-write and its os.replace.
+    Tmp files at versions <= current are provably dead and reclaimed;
+    higher versions may be live and are left alone."""
+    from etl_upc_syllabus_spark.sources.layout import (
+        publish_snapshot,
+        vacuum_snapshots,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot(spark.range(5).withColumnRenamed("id", "v"), t)  # v0
+    publish_snapshot(spark.range(6).withColumnRenamed("id", "v"), t)  # v1
+    dead = os.path.join(t, "._CURRENT.tmp.00000000")  # killed pre-flip, old
+    live = os.path.join(t, "._CURRENT.tmp.00000005")  # concurrent, mid-flip
+    open(dead, "w").close()
+    open(live, "w").close()
+    vacuum_snapshots(t, keep=1)
+    assert not os.path.exists(dead)  # provably dead: reclaimed
+    assert os.path.exists(live)  # possibly live: spared
+
+
+def test_verified_publish_rejects_a_torn_snapshot(spark, tmp_path, monkeypatch):
+    """VERDICT r13 item 6: verify=True runs the write-artifact audit on
+    the just-written snapshot BEFORE the flip; a seeded orphan part
+    fails the publish, _CURRENT never moves, and the torn snapshot is
+    left as a vacuum-reclaimable orphan."""
+    import shutil
+    import uuid as _uuid
+
+    import pytest
+
+    import etl_upc_syllabus_spark.sources.layout as layout
+
+    t = str(tmp_path / "tbl")
+    layout.publish_snapshot(spark.range(5).withColumnRenamed("id", "v"), t)
+
+    # donor part for the orphan
+    stage = str(tmp_path / "stage")
+    spark.range(3).withColumnRenamed("id", "v").coalesce(1).write.parquet(stage)
+    donor = next(
+        os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+
+    # inject the orphan between the data write and the (real) audit --
+    # the injection point is mocked, the audit and abort path are real
+    real_verify = layout._verify_snapshot
+
+    def seeded(spark_, snap_dir, snap):
+        shutil.copy(
+            donor,
+            os.path.join(snap_dir, f"part-00000-{_uuid.uuid4()}.c000.snappy.parquet"),
+        )
+        real_verify(spark_, snap_dir, snap)
+
+    monkeypatch.setattr(layout, "_verify_snapshot", seeded)
+    with pytest.raises(RuntimeError, match="refusing to flip"):
+        layout.publish_snapshot(
+            spark.range(9).withColumnRenamed("id", "v"), t, verify=True
+        )
+    # table unharmed: _CURRENT still points at v0's data
+    assert layout.read_current_snapshot(spark, t).count() == 5
+
+    # a clean verified publish goes through (v2, past the torn orphan)
+    monkeypatch.setattr(layout, "_verify_snapshot", real_verify)
+    layout.publish_snapshot(
+        spark.range(2).withColumnRenamed("id", "v"), t, verify=True
+    )
+    assert layout.read_current_snapshot(spark, t).count() == 2
+    # the torn snapshot is an orphan _CURRENT never pointed at: reclaimable
+    deleted = layout.vacuum_snapshots(t, keep=1)
+    assert "snapshot-00000001" in deleted
