@@ -123,6 +123,14 @@ def publish_snapshot(df: DataFrame, table_dir: str, *, verify: bool = False) -> 
     import os as _os
 
     _os.makedirs(table_dir, exist_ok=True)
+    current = _read_manifest_target(table_dir)
+    if current is not None and current.startswith(_MANIFEST_PREFIX):
+        raise ValueError(
+            f"{table_dir!r} is a partition-pointer table "
+            f"(_CURRENT -> {current}); whole-table publishes do not mix "
+            "with pointer manifests -- keep using "
+            "publish_snapshot_incremental, or start a fresh table dir"
+        )
     version, snap = _claim_version(table_dir)
     df.write.mode("overwrite").parquet(_os.path.join(table_dir, snap))
     if verify:
@@ -204,6 +212,148 @@ def _flip_manifest(table_dir: str, version: int, snap: str) -> None:
     _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))
 
 
+# --- incremental snapshot publish: per-partition pointer manifests (r14) ---
+#
+# publish_snapshot gives atomic versions but rewrites the WHOLE table
+# per version; write_courses_period_incremental (pipeline/sinks.py)
+# gives O(batch) refresh but mutates in place with no versioning. A
+# 100 TB lake needs BOTH (VERDICT r13 item 2) -- which is exactly why
+# real table formats commit file-level manifests. This is the minimal
+# core of that idea: the manifest maps each partition directory to the
+# snapshot that last wrote it, so an incremental publish writes ONLY
+# the batch's partitions into a new snapshot dir and re-points their
+# manifest entries, reusing every untouched partition's files from
+# older snapshots. Readers resolve _CURRENT -> manifest -> a pinned
+# list of partition dirs; no publish ever deletes a live file, so the
+# racing-reader and killed-publish properties of the whole-table layer
+# carry over unchanged.
+
+_MANIFEST_PREFIX = "manifest-"
+
+
+def publish_snapshot_incremental(
+    df: DataFrame,
+    table_dir: str,
+    partition_col: str | None = None,
+    *,
+    verify: bool = False,
+) -> str:
+    """Publish ``df`` as the table's next version, writing ONLY the
+    partitions present in ``df`` -- untouched partitions are carried
+    forward by manifest pointer, not by copy. Returns the new
+    snapshot directory.
+
+    The first publish on an empty table establishes the table's
+    ``partition_col`` (required then; later calls may omit it and must
+    not contradict the manifest). Each publish:
+
+    1. claims the next version with an atomic ``os.mkdir`` (same
+       contract as :func:`publish_snapshot`);
+    2. writes the batch ``partitionBy(partition_col)`` into the claimed
+       snapshot dir -- cost scales with the BATCH, never the table;
+    3. composes the new pointer map = current map with the batch's
+       partition dirs re-pointed at the new snapshot (a partition
+       absent from the batch keeps its old pointer; dropping partitions
+       is an explicit non-goal -- publish a full :func:`publish_snapshot`
+       or filter at read time);
+    4. optionally audits the new snapshot (``verify=True``, pre-flip,
+       same semantics as :func:`publish_snapshot`);
+    5. writes ``manifest-NNNNNNNN.json`` (unique name, never racing)
+       and atomically flips ``_CURRENT`` to it, with the same
+       conditional no-rollback check.
+
+    A reader pinned to version N keeps its exact files across any
+    number of later publishes (nothing it references is deleted until
+    vacuum); a publish killed at any step leaves only an orphan
+    snapshot dir / manifest file that ``_CURRENT`` never pointed at.
+
+    Not compatible with a table already published by the whole-table
+    :func:`publish_snapshot` (loud ValueError): the two layouts answer
+    different needs and silently mixing them would let a whole-table
+    reader miss pointer-carried partitions.
+    """
+    import json as _json
+    import os as _os
+
+    _os.makedirs(table_dir, exist_ok=True)
+    current = _read_manifest_target(table_dir)
+    base: dict[str, str] = {}
+    if current is not None:
+        if not current.startswith(_MANIFEST_PREFIX):
+            raise ValueError(
+                f"{table_dir!r} is a whole-table snapshot table "
+                f"(_CURRENT -> {current}); incremental pointer publishes "
+                "do not mix with whole-table snapshots -- keep using "
+                "publish_snapshot, or start a fresh table dir"
+            )
+        meta = _load_manifest(table_dir, current)
+        if partition_col is not None and partition_col != meta["partition_col"]:
+            raise ValueError(
+                f"partition_col {partition_col!r} contradicts the table's "
+                f"manifest ({meta['partition_col']!r})"
+            )
+        partition_col = meta["partition_col"]
+        base = dict(meta["partitions"])
+    elif partition_col is None:
+        raise ValueError(
+            "first publish on an empty table must name partition_col"
+        )
+
+    version, snap = _claim_version(table_dir)
+    snap_dir = _os.path.join(table_dir, snap)
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(snap_dir)
+    if verify:
+        _verify_snapshot(df.sparkSession, snap_dir, snap)
+    # the batch's partitions, straight from the committed layout (raw
+    # Hive-escaped dir names ARE the pointer keys -- no decode/re-encode
+    # round trip to get subtly wrong)
+    written = sorted(
+        d
+        for d in _os.listdir(snap_dir)
+        if _os.path.isdir(_os.path.join(snap_dir, d)) and "=" in d
+    )
+    base.update({d: snap for d in written})
+    manifest = f"{_MANIFEST_PREFIX}{version:08d}.json"
+    with open(_os.path.join(table_dir, manifest), "w", encoding="utf-8") as fh:
+        _json.dump(
+            {
+                "format": "partition-pointers-v1",
+                "version": version,
+                "partition_col": partition_col,
+                "partitions": base,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+    _flip_manifest(table_dir, version, manifest)
+    return snap_dir
+
+
+def _read_manifest_target(table_dir: str) -> str | None:
+    import os as _os
+
+    try:
+        with open(_os.path.join(table_dir, _MANIFEST), encoding="utf-8") as fh:
+            return fh.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def _load_manifest(table_dir: str, manifest_name: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(table_dir, manifest_name), encoding="utf-8") as fh:
+        meta = _json.load(fh)
+    if meta.get("format") != "partition-pointers-v1":
+        raise ValueError(
+            f"unrecognized manifest format in {manifest_name!r}: "
+            f"{meta.get('format')!r}"
+        )
+    return meta
+
+
 def read_current_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read the snapshot _CURRENT points at. The returned DataFrame's
     file listing is pinned to that snapshot at analysis time, and no
@@ -212,17 +362,67 @@ def read_current_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
     mid-first-publish)."""
     import os as _os
 
-    manifest = _os.path.join(table_dir, _MANIFEST)
-    try:
-        with open(manifest, encoding="utf-8") as fh:
-            snap = fh.read().strip()
-    except FileNotFoundError:
+    snap = _read_manifest_target(table_dir)
+    if snap is None:
         raise FileNotFoundError(
             f"snapshot table {table_dir!r} has no {_MANIFEST} manifest: "
             "never published (or a first publish is mid-flight); refusing "
             "to guess a snapshot"
-        ) from None
+        )
+    if snap.startswith(_MANIFEST_PREFIX):
+        return _read_pointer_manifest(spark, table_dir, snap)
     return spark.read.parquet(_os.path.join(table_dir, snap))
+
+
+def _read_pointer_manifest(
+    spark: SparkSession, table_dir: str, manifest_name: str
+) -> DataFrame:
+    """Assemble the pinned view of a pointer-manifest table: group the
+    partition dirs by owning snapshot, read each group against its
+    snapshot's basePath (so the partition column is recovered from the
+    dir names), and union. The partition column is pinned to STRING
+    with an explicit schema -- same posture as pipeline read_courses:
+    schema-less reads run partition TYPE INFERENCE over dir names and
+    silently re-type '01' -> 1 (r12 probe). unionByName with
+    allowMissingColumns bridges schema evolution across snapshots (a
+    column added in a later batch reads as NULL on older partitions,
+    matching mergeSchema semantics)."""
+    import os as _os
+    from functools import reduce
+
+    from pyspark.sql import types as _T
+
+    meta = _load_manifest(table_dir, manifest_name)
+    pcol = meta["partition_col"]
+    groups: dict[str, list[str]] = {}
+    for pdir, snap in meta["partitions"].items():
+        groups.setdefault(snap, []).append(pdir)
+    if not groups:
+        raise ValueError(
+            f"pointer manifest {manifest_name!r} maps zero partitions; "
+            "nothing to read (was an empty DataFrame published first?)"
+        )
+    parts = []
+    for snap, pdirs in sorted(groups.items()):
+        base = _os.path.join(table_dir, snap)
+        paths = [_os.path.join(base, d) for d in sorted(pdirs)]
+        discovered = spark.read.option("basePath", base).parquet(*paths).schema
+        explicit = _T.StructType(
+            [
+                _T.StructField(
+                    f.name,
+                    _T.StringType() if f.name == pcol else f.dataType,
+                    f.nullable,
+                )
+                for f in discovered
+            ]
+        )
+        parts.append(
+            spark.read.option("basePath", base).schema(explicit).parquet(*paths)
+        )
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), parts
+    )
 
 
 def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
@@ -252,7 +452,35 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
         ),
         key=lambda d: int(d[len(_SNAP_PREFIX):]),
     )
-    doomed = [s for s in snaps[:-keep] if s != current]
+    # pointer-manifest tables (r14): keep the newest ``keep`` manifests
+    # (plus _CURRENT's), and every snapshot dir a kept manifest still
+    # references -- a partition never rewritten keeps its original
+    # snapshot dir alive across any number of later versions. Doomed
+    # manifests go first, so a crash mid-vacuum never leaves a kept
+    # manifest pointing at a deleted dir.
+    manifests = sorted(
+        (
+            f
+            for f in _os.listdir(table_dir)
+            if f.startswith(_MANIFEST_PREFIX)
+            and f.endswith(".json")
+            and f[len(_MANIFEST_PREFIX):-len(".json")].isdigit()
+        ),
+        key=lambda f: int(f[len(_MANIFEST_PREFIX):-len(".json")]),
+    )
+    kept_manifests = set(manifests[-keep:])
+    if current is not None and current.startswith(_MANIFEST_PREFIX):
+        kept_manifests.add(current)
+    referenced: set[str] = {current} if current else set()
+    for m in sorted(kept_manifests):
+        # a kept manifest that cannot be parsed must FAIL the vacuum:
+        # skipping it silently would reclaim the dirs it references
+        referenced |= set(_load_manifest(table_dir, m)["partitions"].values())
+    for m in manifests[:-keep]:
+        if m not in kept_manifests:
+            _os.remove(_os.path.join(table_dir, m))
+
+    doomed = [s for s in snaps[:-keep] if s not in referenced]
     for s in doomed:
         _shutil.rmtree(_os.path.join(table_dir, s))
     # Temp manifests: reclaim only those whose embedded version is <=
@@ -272,11 +500,16 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
 
 
 def _version_of(manifest_target: str) -> int:
-    """Version number embedded in a _CURRENT target (snapshot dir name);
-    -1 for anything unparseable (then vacuum reclaims no tmp files --
-    the conservative side)."""
+    """Version number embedded in a _CURRENT target (snapshot dir name
+    or pointer-manifest filename); -1 for anything unparseable (then
+    vacuum reclaims no tmp files -- the conservative side)."""
+    tail = None
     if manifest_target.startswith(_SNAP_PREFIX):
         tail = manifest_target[len(_SNAP_PREFIX):]
-        if tail.isdigit():
-            return int(tail)
+    elif manifest_target.startswith(_MANIFEST_PREFIX) and manifest_target.endswith(
+        ".json"
+    ):
+        tail = manifest_target[len(_MANIFEST_PREFIX):-len(".json")]
+    if tail is not None and tail.isdigit():
+        return int(tail)
     return -1

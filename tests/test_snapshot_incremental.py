@@ -1,0 +1,178 @@
+"""Incremental snapshot publishes via per-partition pointer manifests
+(VERDICT r13 item 2): atomic versions AND O(batch) refresh together.
+
+The whole-table snapshot layer (test_layout.py) rewrites the full table
+per version; the dynamic-partition incremental writer (test_overwrite)
+refreshes in place with no versioning. The pointer-manifest layer gives
+both: each publish writes only the batch's partitions into a new
+snapshot dir and re-points their manifest entries, so untouched
+partitions are carried forward by POINTER -- never copied, never
+deleted while a kept manifest references them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_upc_syllabus_spark.sources.layout import (
+    publish_snapshot,
+    publish_snapshot_incremental,
+    read_current_snapshot,
+    vacuum_snapshots,
+)
+
+
+def _batch(spark, period: str, n: int, start: int = 0):
+    return spark.range(start, start + n).select(
+        F.col("id").alias("v"), F.lit(period).alias("period")
+    )
+
+
+def test_incremental_publish_roundtrip_and_obatch_layout(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    # first publish establishes the partition column (full write)
+    p0 = publish_snapshot_incremental(
+        _batch(spark, "A", 5).union(_batch(spark, "B", 3, 100)), t, "period"
+    )
+    assert p0.endswith("snapshot-00000000")
+    assert read_current_snapshot(spark, t).count() == 8
+
+    # refresh ONLY period B: the new snapshot dir holds B and nothing else
+    p1 = publish_snapshot_incremental(_batch(spark, "B", 7, 200), t)
+    parts_written = [d for d in os.listdir(p1) if "=" in d]
+    assert parts_written == ["period=B"]  # O(batch): A was not rewritten
+
+    out = read_current_snapshot(spark, t)
+    assert out.filter(F.col("period") == "A").count() == 5  # carried by pointer
+    assert out.filter(F.col("period") == "B").count() == 7  # the refresh
+    # A's rows physically still come from snapshot 0
+    manifest = json.load(open(os.path.join(t, "manifest-00000001.json")))
+    assert manifest["partitions"]["period=A"] == "snapshot-00000000"
+    assert manifest["partitions"]["period=B"] == "snapshot-00000001"
+
+
+def test_pinned_reader_survives_incremental_publishes(spark, tmp_path):
+    """The racing-reader property, re-proven on the pointer path: a
+    reader pinned to version N keeps N's exact rows after N+1
+    publishes, because a publish deletes nothing."""
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 100), t, "period")
+    pinned = read_current_snapshot(spark, t)
+    assert pinned.count() == 100
+    publish_snapshot_incremental(_batch(spark, "A", 7), t)
+    assert pinned.count() == 100  # unharmed
+    assert read_current_snapshot(spark, t).count() == 7
+
+
+def test_killed_incremental_publish_is_invisible_and_reclaimable(spark, tmp_path):
+    """A publish killed between any step and the _CURRENT flip leaves
+    only an orphan snapshot dir + manifest file readers never see."""
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 5), t, "period")
+    # simulate the kill: claimed dir + data + manifest written, no flip
+    os.makedirs(os.path.join(t, "snapshot-00000001"))
+    _batch(spark, "B", 9).write.mode("overwrite").partitionBy("period").parquet(
+        os.path.join(t, "snapshot-00000001")
+    )
+    with open(os.path.join(t, "manifest-00000001.json"), "w") as fh:
+        json.dump(
+            {
+                "format": "partition-pointers-v1",
+                "version": 1,
+                "partition_col": "period",
+                "partitions": {"period=B": "snapshot-00000001"},
+            },
+            fh,
+        )
+    assert read_current_snapshot(spark, t).count() == 5  # orphan invisible
+    # next publish claims PAST the orphan
+    p = publish_snapshot_incremental(_batch(spark, "A", 2), t)
+    assert p.endswith("snapshot-00000002")
+    assert read_current_snapshot(spark, t).count() == 2
+    # vacuum reclaims the orphan dir AND its orphan manifest
+    deleted = vacuum_snapshots(t, keep=1)
+    assert "snapshot-00000001" in deleted
+    assert not os.path.exists(os.path.join(t, "manifest-00000001.json"))
+
+
+def test_vacuum_keeps_pointer_referenced_old_snapshots(spark, tmp_path):
+    """The property the pointer layer changes about vacuum: a snapshot
+    dir OUTSIDE the keep window stays alive as long as a kept manifest
+    still points a partition at it."""
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(
+        _batch(spark, "A", 5).union(_batch(spark, "B", 3, 50)), t, "period"
+    )
+    for i in range(4):  # four refreshes of B only; A stays in snapshot 0
+        publish_snapshot_incremental(_batch(spark, "B", i + 1, 100 * i), t)
+    deleted = vacuum_snapshots(t, keep=1)
+    # snapshot 0 is 5 versions old but still carries partition A: kept
+    assert "snapshot-00000000" not in deleted
+    # intermediate B-only snapshots are unreferenced: reclaimed
+    assert {"snapshot-00000001", "snapshot-00000002", "snapshot-00000003"} <= set(
+        deleted
+    )
+    out = read_current_snapshot(spark, t)
+    assert out.filter(F.col("period") == "A").count() == 5
+    assert out.filter(F.col("period") == "B").count() == 4
+
+
+def test_layouts_refuse_to_mix_loudly(spark, tmp_path):
+    t1 = str(tmp_path / "whole")
+    publish_snapshot(spark.range(3).withColumnRenamed("id", "v"), t1)
+    with pytest.raises(ValueError, match="whole-table snapshot table"):
+        publish_snapshot_incremental(_batch(spark, "A", 1), t1)
+
+    t2 = str(tmp_path / "pointer")
+    publish_snapshot_incremental(_batch(spark, "A", 1), t2, "period")
+    with pytest.raises(ValueError, match="partition-pointer table"):
+        publish_snapshot(spark.range(3).withColumnRenamed("id", "v"), t2)
+
+
+def test_first_publish_requires_partition_col_and_later_must_agree(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="must name partition_col"):
+        publish_snapshot_incremental(_batch(spark, "A", 1), t)
+    publish_snapshot_incremental(_batch(spark, "A", 1), t, "period")
+    with pytest.raises(ValueError, match="contradicts"):
+        publish_snapshot_incremental(_batch(spark, "A", 1), t, "v")
+
+
+def test_partition_values_stay_strings_never_inferred(spark, tmp_path):
+    """Same posture as read_courses: '01' must read back as the string
+    '01', not the int 1 -- the pointer read pins the partition column
+    to string with an explicit schema instead of letting dir-name type
+    inference re-type it (r12 probe)."""
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "01", 3), t, "period")
+    rows = read_current_snapshot(spark, t).select("period").distinct().collect()
+    assert [r["period"] for r in rows] == ["01"]
+    assert dict(read_current_snapshot(spark, t).dtypes)["period"] == "string"
+
+
+def test_schema_evolution_bridges_across_snapshots(spark, tmp_path):
+    """A column added by a later batch reads as NULL on partitions still
+    carried by older snapshots (mergeSchema semantics via unionByName
+    allowMissingColumns)."""
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 2), t, "period")
+    evolved = _batch(spark, "B", 2).withColumn("credits", F.lit(3))
+    publish_snapshot_incremental(evolved, t)
+    out = read_current_snapshot(spark, t)
+    assert "credits" in out.columns
+    assert out.filter(F.col("period") == "A").filter(
+        F.col("credits").isNull()
+    ).count() == 2
+    assert out.filter(F.col("period") == "B").filter(
+        F.col("credits") == 3
+    ).count() == 2
+
+
+def test_verified_incremental_publish_passes_clean(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 4), t, "period", verify=True)
+    assert read_current_snapshot(spark, t).count() == 4
