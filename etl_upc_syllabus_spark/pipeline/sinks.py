@@ -33,7 +33,8 @@ _FRAGMENTS_DIRNAME = "_all_courses_fragments"
 
 
 def write_courses_parquet(
-    courses: DataFrame, base_path: str, *, on_unsafe: str = "error"
+    courses: DataFrame, base_path: str, *, on_unsafe: str = "error",
+    verify: bool = False,
 ) -> str:
     """The scale path: parquet partitioned by period.
 
@@ -62,15 +63,30 @@ def write_courses_parquet(
     mode (a count of the quarantine side); at lake scale prefer "off"
     for engine-generated keys or "quarantine" (whose second write scans
     only what the first one excluded under Catalyst filter pushdown).
+
+    ``verify=True`` (VERDICT r13 item 6) runs the write-artifact audit
+    (:func:`~..sources.formats.audit_write_artifacts`) over the table
+    just written and raises on any finding. A full overwrite is one
+    committed job, so the whole table is in scope. NOTE the semantics
+    difference from the snapshot layer: this write is IN PLACE, so
+    verify detects damage after the fact -- it cannot un-promote it.
+    When the table must never expose a torn state, publish through
+    ``sources.layout.publish_snapshot(..., verify=True)`` instead,
+    where a failed audit means the version simply never goes live.
     """
     out = os.path.join(base_path, COURSES_DIRNAME)
     courses = _gate_period_keys(courses, base_path, on_unsafe)
     courses.write.mode("overwrite").partitionBy("period").parquet(out)
+    if verify:
+        _raise_on_artifacts(
+            courses.sparkSession, [(out, True)], "write_courses_parquet"
+        )
     return out
 
 
 def write_courses_period_incremental(
-    courses: DataFrame, base_path: str, *, on_unsafe: str = "error"
+    courses: DataFrame, base_path: str, *, on_unsafe: str = "error",
+    verify: bool = False,
 ) -> str:
     """Incremental load: overwrite ONLY the period partitions present
     in ``courses``, leaving every other period's data in place.
@@ -89,6 +105,17 @@ def write_courses_period_incremental(
     never raced (their files are not deleted) -- whereas a full
     overwrite deletes EVERY file, which a concurrent resilient read
     silently resolves to 0 rows (see ``read_resilient``'s race caveat).
+
+    ``verify=True`` (VERDICT r13 item 6) audits exactly the partitions
+    this batch refreshed -- each touched ``period=...`` dir is one
+    committed job's output, so the per-dir writer-UUID census is the
+    right scope (a whole-table audit on an incrementally-built table
+    would flag every older refresh's UUID as an orphan, the documented
+    append-table caveat). Costs one distinct() over the batch's periods
+    plus one metadata-only audit per touched partition; raises with the
+    findings. Same in-place semantics note as write_courses_parquet:
+    detection, not un-promotion -- for atomic versions use
+    ``sources.layout.publish_snapshot_incremental(..., verify=True)``.
     """
     out = os.path.join(base_path, COURSES_DIRNAME)
     courses = _gate_period_keys(courses, base_path, on_unsafe)
@@ -98,7 +125,53 @@ def write_courses_period_incremental(
         .partitionBy("period")
         .parquet(out)
     )
+    if verify:
+        from urllib.parse import unquote
+
+        touched = {
+            str(r["period"])
+            for r in courses.select("period").distinct().collect()
+            if r["period"] is not None
+        }
+        # resolve dir names by PARSING them (unquote of Hive %XX
+        # escaping) rather than re-implementing the escaper
+        dirs = [
+            (os.path.join(out, d), False)
+            for d in sorted(os.listdir(out))
+            if d.startswith("period=")
+            and unquote(d.split("=", 1)[1]) in touched
+        ]
+        _raise_on_artifacts(
+            courses.sparkSession, dirs, "write_courses_period_incremental"
+        )
     return out
+
+
+def _raise_on_artifacts(
+    spark: SparkSession, scopes: list[tuple[str, bool]], who: str
+) -> None:
+    """Run the write-artifact audit over each (path, expect_success)
+    scope; raise with the combined findings. expect_success is False
+    for partition subdirs (the _SUCCESS marker lives at the table
+    root)."""
+    from ..sources.formats import audit_write_artifacts
+
+    findings = []
+    for path, expect_success in scopes:
+        findings.extend(
+            audit_write_artifacts(
+                spark, path, expect_success=expect_success
+            ).collect()
+        )
+    if findings:
+        detail = ", ".join(f"{r['issue']}: {r['file']}" for r in findings[:5])
+        raise RuntimeError(
+            f"verify=True: {who} write-artifact audit found "
+            f"{len(findings)} issue(s) ({detail}"
+            f"{'...' if len(findings) > 5 else ''}); the write is IN "
+            "PLACE so the damage is live -- repair before promoting "
+            "readers, or switch to the snapshot publish layer"
+        )
 
 
 def _gate_period_keys(

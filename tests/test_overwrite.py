@@ -102,3 +102,60 @@ def test_read_racing_overwrite_loud_vs_silent(spark, tmp_path):
     with pytest.raises(Exception, match="FILE_NOT_EXIST|FAILED_READ_FILE"):
         failfast.count()
     assert resilient.count() == 0  # SILENT total loss, pinned as measured
+
+
+def test_verified_incremental_write_scopes_audit_to_touched_partitions(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 item 6 on the in-place path: verify=True audits
+    exactly the batch's partitions. The untouched partition's
+    different writer-UUID (a legitimate earlier refresh) must NOT
+    false-positive as an orphan; a seeded orphan inside a touched
+    partition must fail the write loudly."""
+    import shutil
+    import uuid as _uuid
+
+    base = str(tmp_path)
+    df = spark.createDataFrame(
+        [("C1", "2025-1", "Algebra"), ("C2", "2025-2", "Física I")],
+        "id string, period string, name string",
+    )
+    sinks.write_courses_parquet(df, base)
+
+    refresh = spark.createDataFrame(
+        [("C3", "2025-2", "Química")], "id string, period string, name string"
+    )
+    # clean refresh passes even though period=2025-1 still carries the
+    # FIRST write's job UUID (out of scope by design)
+    out = sinks.write_courses_period_incremental(refresh, base, verify=True)
+
+    # seeded orphan in the touched partition fails; the injection point
+    # is mocked, the audit and raise are real
+    stage = str(tmp_path / "stage")
+    refresh.write.parquet(stage)
+    donor = next(
+        os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    real = sinks._raise_on_artifacts
+
+    def seeded(spark_, scopes, who):
+        pdir = scopes[0][0]
+        shutil.copy(
+            donor,
+            os.path.join(pdir, f"part-00000-{_uuid.uuid4()}.c000.snappy.parquet"),
+        )
+        real(spark_, scopes, who)
+
+    monkeypatch.setattr(sinks, "_raise_on_artifacts", seeded)
+    with pytest.raises(RuntimeError, match="write-artifact audit found"):
+        sinks.write_courses_period_incremental(refresh, base, verify=True)
+    assert out.endswith("courses_parquet")
+
+
+def test_verified_full_write_passes_clean(spark, tmp_path):
+    base = str(tmp_path)
+    df = spark.createDataFrame(
+        [("C1", "2025-1", "Algebra")], "id string, period string, name string"
+    )
+    sinks.write_courses_parquet(df, base, verify=True)
+    assert sinks.read_courses(spark, base).count() == 1
