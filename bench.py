@@ -89,14 +89,27 @@ def _preflight_load() -> tuple[list[float], bool]:
     SPARK_GRAFT_BENCH_LOAD5_GATE (load5, default 1.0 -- load5 decays
     slowly, so a timed-out wait flags the artifact contended rather
     than waiting unboundedly, same contract as before).
+
+    Self-exemption (ADVICE r13): load5 carries ~5 minutes of history
+    INCLUDING THIS PROCESS'S OWN PREVIOUS INVOCATION, so back-to-back
+    bench runs on an otherwise idle host would burn the full max-wait
+    and stamp themselves contended (probe children got exactly this
+    exemption for the same reason). The load5 conjunct is therefore
+    waived once load1 has held below its gate for 6 CONSECUTIVE polls
+    (~60 s): sustained-quiet load1 is direct evidence the load5
+    residue is history (ours or a finished neighbor), whereas the
+    between-bursts failure mode r13 root-caused shows as load1 dipping
+    for an instant, not holding for a minute.
     """
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.0"))
     gate5 = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD5_GATE", "1.0"))
     max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "180"))
     deadline = time.monotonic() + max_wait
+    quiet_streak = 0
     while True:
         load = [round(x, 2) for x in os.getloadavg()]
-        if load[0] < gate and load[1] < gate5:
+        quiet_streak = quiet_streak + 1 if load[0] < gate else 0
+        if load[0] < gate and (load[1] < gate5 or quiet_streak >= 6):
             return load, False
         remaining = deadline - time.monotonic()
         if remaining <= 0:

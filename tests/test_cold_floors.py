@@ -472,3 +472,32 @@ def test_headline_registry_and_floors_stay_coherent():
         floors = json.load(fh)
     missing_floor = [n for n in bench.HEADLINE if n not in floors.get("floors", {})]
     assert not missing_floor, missing_floor
+
+
+def test_preflight_waives_load5_after_sustained_quiet_load1(monkeypatch):
+    """ADVICE r13: load5 carries the bench's OWN previous invocation
+    for ~5 minutes, so back-to-back runs on an idle host would burn the
+    full max-wait and stamp themselves contended. Six consecutive
+    sub-gate load1 polls (~60 s of sustained quiet) waive the load5
+    conjunct; a single load1 blip resets the streak."""
+    import importlib
+    import time as _time
+
+    bench = importlib.import_module("bench")
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_MAX_WAIT", "300")
+    sleeps = []
+    monkeypatch.setattr(_time, "sleep", lambda s: sleeps.append(s))
+    # self-inflicted residue: load1 quiet, load5 high forever
+    monkeypatch.setattr(os, "getloadavg", lambda: (0.2, 5.0, 5.0))
+    load, contended = bench._preflight_load()
+    assert not contended
+    assert len(sleeps) == 5  # passed on the 6th consecutive quiet poll
+
+    # a load1 blip resets the streak: 1 failing poll + 6 quiet again
+    sleeps.clear()
+    seq = iter([(2.0, 5.0, 5.0)] + [(0.2, 5.0, 5.0)] * 6)
+    monkeypatch.setattr(os, "getloadavg", lambda: next(seq))
+    _, contended = bench._preflight_load()
+    assert not contended
+    assert len(sleeps) == 6
