@@ -176,3 +176,87 @@ def test_verified_incremental_publish_passes_clean(spark, tmp_path):
     t = str(tmp_path / "tbl")
     publish_snapshot_incremental(_batch(spark, "A", 4), t, "period", verify=True)
     assert read_current_snapshot(spark, t).count() == 4
+
+
+def test_empty_batch_publish_is_a_noop_version(spark, tmp_path):
+    """Degenerate-sweep ethos: a zero-row batch publishes a new version
+    whose pointer map is unchanged -- readers see identical data, and
+    nothing is lost or invented."""
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 5), t, "period")
+    empty = _batch(spark, "X", 1).filter(F.lit(False))
+    p = publish_snapshot_incremental(empty, t)
+    assert p.endswith("snapshot-00000001")
+    out = read_current_snapshot(spark, t)
+    assert out.count() == 5
+    manifest = json.load(open(os.path.join(t, "manifest-00000001.json")))
+    assert manifest["partitions"] == {"period=A": "snapshot-00000000"}
+
+
+def test_first_publish_of_zero_rows_reads_loud_not_silent(spark, tmp_path):
+    """A pointer table whose only version maps zero partitions has no
+    schema to answer with -- the read refuses to guess instead of
+    returning a silent empty frame of invented shape."""
+    t = str(tmp_path / "tbl")
+    empty = _batch(spark, "X", 1).filter(F.lit(False))
+    publish_snapshot_incremental(empty, t, "period")
+    with pytest.raises(ValueError, match="zero partitions"):
+        read_current_snapshot(spark, t)
+
+
+def test_null_and_escaped_partition_values_roundtrip(spark, tmp_path):
+    """The r12 partition-values axis on the pointer path: a NULL period
+    lands in the Hive null-sentinel dir and reads back as NULL; a value
+    Hive must %XX-escape ('a/b') roundtrips exactly because the RAW dir
+    name is the pointer key (no decode/re-encode trip)."""
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, None), (2, "a/b"), (3, "ok")], "v long, period string"
+    )
+    publish_snapshot_incremental(df, t, "period")
+    manifest = json.load(open(os.path.join(t, "manifest-00000000.json")))
+    assert "period=a%2Fb" in manifest["partitions"]
+    assert "period=__HIVE_DEFAULT_PARTITION__" in manifest["partitions"]
+    back = {
+        r["v"]: r["period"] for r in read_current_snapshot(spark, t).collect()
+    }
+    assert back == {1: None, 2: "a/b", 3: "ok"}
+
+
+def test_pointer_flip_refuses_rollback_past_concurrent_winner(spark, tmp_path):
+    """Same conditional-flip contract as the whole-table layer, proven
+    on the pointer path: a slower publisher whose data wrote while a
+    faster one committed a higher version raises instead of rolling
+    _CURRENT back (its snapshot and manifest stay vacuum-reclaimable
+    orphans)."""
+    import etl_upc_syllabus_spark.sources.layout as layout
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 3), t, "period")  # v0
+
+    real_flip = layout._flip_manifest
+
+    def delayed(table_dir, version, target):
+        if version == 1:
+            # the faster concurrent publisher commits v2 first
+            os.makedirs(os.path.join(table_dir, "snapshot-00000002"))
+        real_flip(table_dir, version, target)
+
+    import pytest as _pytest
+
+    try:
+        layout._flip_manifest = delayed
+        with _pytest.raises(RuntimeError, match="concurrent publish won"):
+            publish_snapshot_incremental(_batch(spark, "A", 9), t)
+    finally:
+        layout._flip_manifest = real_flip
+    # table unharmed: still v0's rows
+    assert read_current_snapshot(spark, t).count() == 3
+
+
+def test_vacuum_with_keep_larger_than_history_deletes_nothing(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 2), t, "period")
+    publish_snapshot_incremental(_batch(spark, "B", 2), t)
+    assert vacuum_snapshots(t, keep=10) == []
+    assert read_current_snapshot(spark, t).count() == 4
