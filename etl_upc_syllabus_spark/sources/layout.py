@@ -271,6 +271,17 @@ def publish_snapshot_incremental(
     :func:`publish_snapshot` (loud ValueError): the two layouts answer
     different needs and silently mixing them would let a whole-table
     reader miss pointer-carried partitions.
+
+    Layout recipe for wide batches: ``df.repartition(partition_col)``
+    before publishing. Without it every write task emits a file into
+    every partition dir it holds rows for -- measured at 2000
+    partitions x 32 tasks: 64k tiny files, 213 s publish and a 2x
+    slower read, vs 39 s and one file per partition with the
+    repartition (tools/snapshot_probe.py width receipt). The publish
+    does not repartition for you because the right layout is a skew
+    decision (one task per partition value concentrates a hot
+    partition onto one core; salt or range-partition instead when a
+    partition is huge).
     """
     import json as _json
     import os as _os
@@ -313,6 +324,25 @@ def publish_snapshot_incremental(
         if _os.path.isdir(_os.path.join(snap_dir, d)) and "=" in d
     )
     base.update({d: snap for d in written})
+    # record each referenced snapshot's DATA schema (the batch's
+    # columns minus the partition col) in the manifest: the reader
+    # then needs no footer-discovery pass at all -- at manifest widths
+    # of thousands of partitions the discovery listing measurably
+    # doubles the read (tools/snapshot_probe.py width receipt). Carried
+    # forward and pruned to still-referenced snapshots, so the manifest
+    # stays bounded by the live snapshot count.
+    from pyspark.sql import types as _T
+
+    schemas = {
+        s: sch
+        for s, sch in (meta.get("schemas", {}) if current else {}).items()
+        if s in set(base.values())
+    }
+    if written:
+        data_schema = _T.StructType(
+            [f for f in df.schema if f.name != partition_col]
+        )
+        schemas[snap] = data_schema.jsonValue()
     manifest = f"{_MANIFEST_PREFIX}{version:08d}.json"
     with open(_os.path.join(table_dir, manifest), "w", encoding="utf-8") as fh:
         _json.dump(
@@ -321,6 +351,7 @@ def publish_snapshot_incremental(
                 "version": version,
                 "partition_col": partition_col,
                 "partitions": base,
+                "schemas": schemas,
             },
             fh,
             indent=1,
@@ -394,6 +425,7 @@ def _read_pointer_manifest(
 
     meta = _load_manifest(table_dir, manifest_name)
     pcol = meta["partition_col"]
+    schemas = meta.get("schemas", {})
     groups: dict[str, list[str]] = {}
     for pdir, snap in meta["partitions"].items():
         groups.setdefault(snap, []).append(pdir)
@@ -406,16 +438,16 @@ def _read_pointer_manifest(
     for snap, pdirs in sorted(groups.items()):
         base = _os.path.join(table_dir, snap)
         paths = [_os.path.join(base, d) for d in sorted(pdirs)]
-        discovered = spark.read.option("basePath", base).parquet(*paths).schema
+        if snap in schemas:
+            # the publish recorded this snapshot's data schema: no
+            # footer-discovery listing needed (halves the read at
+            # thousands-of-partitions manifest widths)
+            fields = list(_T.StructType.fromJson(schemas[snap]))
+        else:
+            discovered = spark.read.option("basePath", base).parquet(*paths).schema
+            fields = [f for f in discovered if f.name != pcol]
         explicit = _T.StructType(
-            [
-                _T.StructField(
-                    f.name,
-                    _T.StringType() if f.name == pcol else f.dataType,
-                    f.nullable,
-                )
-                for f in discovered
-            ]
+            fields + [_T.StructField(pcol, _T.StringType(), True)]
         )
         parts.append(
             spark.read.option("basePath", base).schema(explicit).parquet(*paths)

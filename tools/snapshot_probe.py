@@ -129,6 +129,43 @@ def audit_receipt(spark, work: str) -> dict:
     }
 
 
+def pointer_width_receipt(spark, work: str, n_parts: int = 2000) -> dict:
+    """Manifest-width scaling: a pointer table with n_parts partitions
+    -- the cost driver of the pointer read is the explicit path list
+    (one dir per partition), so measure publish/refresh/read at a
+    width 40x the sf1 receipt's."""
+    t = os.path.join(work, "tbl_wide")
+    # repartition by the partition column first: without it every task
+    # writes a file into every partition dir (32 x 2000 = 64k tiny
+    # files; measured 213 s publish / 31 s read on this exact shape) --
+    # the standard partitionBy recipe, named in the publish docstring
+    df = (
+        spark.range(n_parts * 50)
+        .select(
+            (F.col("id") % n_parts).cast("string").alias("pk"),
+            F.col("id").alias("v"),
+        )
+        .repartition(F.col("pk"))
+    )
+    t0 = time.perf_counter()
+    publish_snapshot_incremental(df, t, "pk")
+    full_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    publish_snapshot_incremental(df.filter(F.col("pk") == "7"), t)
+    refresh_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n = read_current_snapshot(spark, t).count()
+    read_sec = round(time.perf_counter() - t0, 3)
+    return {
+        "receipt": "pointer_manifest_width",
+        "n_partitions": n_parts,
+        "rows": n,
+        "full_publish_sec": full_sec,
+        "one_partition_refresh_sec": refresh_sec,
+        "full_read_sec": read_sec,
+    }
+
+
 def main() -> None:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_data/sf1"
     spark = (
@@ -142,6 +179,7 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="snapshot_probe_")
     try:
         print(json.dumps(audit_receipt(spark, work)))
+        print(json.dumps(pointer_width_receipt(spark, work)))
         if os.path.isdir(sf1):
             print(json.dumps(snapshot_receipt(spark, sf1, work)))
         else:
