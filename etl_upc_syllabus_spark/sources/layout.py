@@ -272,6 +272,17 @@ def publish_snapshot_incremental(
     different needs and silently mixing them would let a whole-table
     reader miss pointer-carried partitions.
 
+    Re-basing: a table refreshed partition-at-a-time accumulates live
+    snapshots (each partition pins the version that last wrote it, and
+    the reader unions one branch per LIVE snapshot). When the live
+    snapshot count grows past a few dozen, publish the FULL table once
+    through this same function: every pointer then re-points at the new
+    snapshot, older snapshots drop out of the reference set, and the
+    next vacuum reclaims them -- the pointer-layer analog of
+    compaction. (tests pin that vacuum keeps exactly the referenced
+    set, so re-base + vacuum is safe under pinned readers of KEPT
+    versions only, as always.)
+
     Layout recipe for wide batches: ``df.repartition(partition_col)``
     before publishing. Without it every write task emits a file into
     every partition dir it holds rows for -- measured at 2000
