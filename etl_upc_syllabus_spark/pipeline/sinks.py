@@ -78,8 +78,11 @@ def write_courses_parquet(
     courses = _gate_period_keys(courses, base_path, on_unsafe)
     courses.write.mode("overwrite").partitionBy("period").parquet(out)
     if verify:
+        from ..sources.formats import audit_write_artifacts
+
         _raise_on_artifacts(
-            courses.sparkSession, [(out, True)], "write_courses_parquet"
+            audit_write_artifacts(courses.sparkSession, out),
+            "write_courses_parquet",
         )
     return out
 
@@ -128,41 +131,41 @@ def write_courses_period_incremental(
     if verify:
         from urllib.parse import unquote
 
-        touched = {
-            str(r["period"])
-            for r in courses.select("period").distinct().collect()
-            if r["period"] is not None
-        }
+        from ..sources.formats import audit_write_artifact_dirs
+
+        vals = [r["period"] for r in courses.select("period").distinct().collect()]
+        touched = {str(v) for v in vals if v is not None}
+        # a NULL period lands in the Hive null-sentinel dir -- it is a
+        # partition this batch rewrote and MUST be in audit scope
+        # (review r14: dropping None from the touched set silently
+        # excluded exactly the partition both engines already mis-read)
+        has_null = any(v is None for v in vals)
         # resolve dir names by PARSING them (unquote of Hive %XX
         # escaping) rather than re-implementing the escaper
-        dirs = [
-            (os.path.join(out, d), False)
-            for d in sorted(os.listdir(out))
-            if d.startswith("period=")
-            and unquote(d.split("=", 1)[1]) in touched
-        ]
-        _raise_on_artifacts(
-            courses.sparkSession, dirs, "write_courses_period_incremental"
-        )
+        dirs = []
+        for d in sorted(os.listdir(out)):
+            if not d.startswith("period="):
+                continue
+            raw = d.split("=", 1)[1]
+            if unquote(raw) in touched or (
+                has_null and raw == "__HIVE_DEFAULT_PARTITION__"
+            ):
+                dirs.append(os.path.join(out, d))
+        if dirs:
+            # ONE distributed job over all touched dirs (review r14: a
+            # per-dir loop paid N sequential jobs of scheduling
+            # overhead); pooling the UUID census across them is right
+            # because this batch IS one write job
+            _raise_on_artifacts(
+                audit_write_artifact_dirs(courses.sparkSession, dirs),
+                "write_courses_period_incremental",
+            )
     return out
 
 
-def _raise_on_artifacts(
-    spark: SparkSession, scopes: list[tuple[str, bool]], who: str
-) -> None:
-    """Run the write-artifact audit over each (path, expect_success)
-    scope; raise with the combined findings. expect_success is False
-    for partition subdirs (the _SUCCESS marker lives at the table
-    root)."""
-    from ..sources.formats import audit_write_artifacts
-
-    findings = []
-    for path, expect_success in scopes:
-        findings.extend(
-            audit_write_artifacts(
-                spark, path, expect_success=expect_success
-            ).collect()
-        )
+def _raise_on_artifacts(report: DataFrame, who: str) -> None:
+    """Collect a write-artifact audit report; raise with the findings."""
+    findings = report.collect()
     if findings:
         detail = ", ".join(f"{r['issue']}: {r['file']}" for r in findings[:5])
         raise RuntimeError(

@@ -382,11 +382,6 @@ def audit_write_artifacts(
     """
     import os as _os
 
-    import pandas as _pd
-
-    from pyspark.sql import functions as _F
-
-    schema = "file string, issue string"
     if not _os.path.isdir(path):
         if not _os.path.isfile(path):
             raise FileNotFoundError(
@@ -394,40 +389,79 @@ def audit_write_artifacts(
                 "a table directory (same loud-on-typo contract as "
                 "scan_corrupt_files)"
             )
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], "file string, issue string")
 
     # driver-side: ONE shallow listing of the root -- classify the
     # top-level entries and fan the visible subtrees out as tasks. A
-    # sentinel "" task audits the files sitting directly at the root.
+    # shallow task audits the files sitting directly at the root.
     entries = sorted(_os.listdir(path))
     rows: list[tuple[str, str]] = []
-    subs: list[str] = [""]
+    starts: list[tuple[str, bool]] = [(path, True)]
     for e in entries:
         if _os.path.isdir(_os.path.join(path, e)):
             if e == "_temporary":
                 rows.append((_os.path.join(path, e), "temporary_residue"))
             elif not e.startswith(("_", ".")):
-                subs.append(e)
+                starts.append((_os.path.join(path, e), False))
     if expect_success and "_SUCCESS" not in entries:
         rows.append((path, "missing_success"))
+    return _audit_subtree_report(spark, rows, starts)
 
-    tasks = spark.createDataFrame([(s,) for s in subs], "sub string").repartition(
-        min(len(subs), spark.sparkContext.defaultParallelism)
-    )
+
+def audit_write_artifact_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    """Audit an explicit list of directory subtrees as ONE scope in ONE
+    distributed job: findings pooled, writer-UUID census pooled (right
+    when the dirs were written by the same job -- e.g. the partitions
+    one dynamic-overwrite batch touched; see
+    ``pipeline.sinks.write_courses_period_incremental(verify=True)``,
+    whose per-dir loop this replaces: N sequential Spark jobs of
+    scheduling overhead for a metadata-only check, review r14). No
+    ``_SUCCESS`` check (the marker lives at the table root, not in
+    partition subdirs). Same issue classes/tie semantics as
+    :func:`audit_write_artifacts`."""
+    import os as _os
+
+    for d in dirs:
+        if not _os.path.isdir(d):
+            raise FileNotFoundError(
+                f"write-artifact audit: {d!r} is not a directory (same "
+                "loud-on-typo contract as scan_corrupt_files)"
+            )
+    return _audit_subtree_report(spark, [], [(d, False) for d in dirs])
+
+
+def _audit_subtree_report(
+    spark: SparkSession,
+    local_rows: list[tuple[str, str]],
+    starts: list[tuple[str, bool]],
+) -> DataFrame:
+    """The distributed audit engine shared by the whole-table and
+    explicit-dirs entry points: fan ``starts`` out as walk tasks
+    (``shallow=True`` lists files at that level only), pool the
+    findings + writer-UUID census, apply the global majority/tie
+    logic, and name flagged files with a second pass only when a
+    minority/tied UUID exists."""
+    import os as _os
+
+    import pandas as _pd
+
+    from pyspark.sql import functions as _F
+
+    schema = "file string, issue string"
+    rows = list(local_rows)
+    tasks = spark.createDataFrame(
+        starts, "start string, shallow boolean"
+    ).repartition(max(1, min(len(starts), spark.sparkContext.defaultParallelism)))
 
     def _audit_subtrees(batches, emit_uuids: frozenset | None = None):
-        """One task per top-level subtree: walk, stat, census.
+        """One task per subtree: walk, stat, census.
         ``emit_uuids=None`` -> phase 1 (findings + per-dir uuid census);
         a frozenset -> phase 2 (name the files of the flagged uuids)."""
         for pdf in batches:
             out_file, out_issue, out_uuid, out_n = [], [], [], []
-            for sub in pdf["sub"]:
+            for start, shallow in zip(pdf["start"], pdf["shallow"]):
                 census: dict[str, int] = {}
-                it = (
-                    _walk_visible(_os.path.join(path, sub))
-                    if sub
-                    else _shallow_files(path)
-                )
+                it = _shallow_files(start) if shallow else _walk_visible(start)
                 for full, kind in it:
                     if kind == "dir_temporary":
                         if emit_uuids is None:

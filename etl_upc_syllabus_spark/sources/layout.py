@@ -355,7 +355,12 @@ def publish_snapshot_incremental(
         )
         schemas[snap] = data_schema.jsonValue()
     manifest = f"{_MANIFEST_PREFIX}{version:08d}.json"
-    with open(_os.path.join(table_dir, manifest), "w", encoding="utf-8") as fh:
+    # write the manifest ATOMICALLY (same tmp+replace recipe as the
+    # _CURRENT flip, review r14): a publish killed mid-json.dump must
+    # leave either no manifest or a complete one, never a truncated
+    # file that breaks the NEXT vacuum's kept-manifest parse
+    tmp = _os.path.join(table_dir, f".{manifest}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
         _json.dump(
             {
                 "format": "partition-pointers-v1",
@@ -367,6 +372,28 @@ def publish_snapshot_incremental(
             fh,
             indent=1,
             sort_keys=True,
+        )
+    _os.replace(tmp, _os.path.join(table_dir, manifest))
+    # Lost-update guard (review r14): the pointer map was composed from
+    # the manifest read at ENTRY, i.e. before a data write of arbitrary
+    # duration. The version-rollback check alone cannot see a
+    # concurrent publisher that committed a LOWER version after our
+    # claim (we hold the higher version number but the STALE base):
+    # flipping would silently revert its committed pointers -- the
+    # exact silent-loss class this layer exists to close. Refuse
+    # loudly when _CURRENT moved since entry; our snapshot + manifest
+    # stay vacuum-reclaimable orphans and the caller retries on the
+    # fresh base. (Advisory like the rollback check: the window shrinks
+    # to the replace itself, not to zero -- see the concurrency
+    # contract.)
+    if _read_manifest_target(table_dir) != current:
+        raise RuntimeError(
+            f"concurrent publish moved _CURRENT from {current!r} to "
+            f"{_read_manifest_target(table_dir)!r} while this publish's "
+            f"data wrote; refusing to flip {manifest} composed from the "
+            "stale base -- its pointers would silently revert the other "
+            "publish. This snapshot/manifest are left as vacuum-"
+            "reclaimable orphans; retry on the fresh base"
         )
     _flip_manifest(table_dir, version, manifest)
     return snap_dir
@@ -473,17 +500,21 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     _CURRENT points at (it is force-kept even if older than the
     window). Returns the deleted snapshot names. Run only when no
     reader can still be pinned to an old snapshot (the same contract
-    as any table format's retention window)."""
+    as any table format's retention window).
+
+    Pointer-manifest tables: every snapshot a KEPT manifest still
+    references is also kept (see the r14 comment below). An orphan
+    manifest at a version ABOVE the current one (a refused or killed
+    publish) is conservatively treated as possibly-live -- a publisher
+    between its manifest-write and its flip looks identical -- so it
+    and the snapshots it pins survive until a later successful publish
+    passes its version, after which the normal window reclaims them."""
     import os as _os
     import shutil as _shutil
 
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
-    try:
-        with open(_os.path.join(table_dir, _MANIFEST), encoding="utf-8") as fh:
-            current = fh.read().strip()
-    except FileNotFoundError:
-        current = None
+    current = _read_manifest_target(table_dir)
     # NUMERIC version order (review r13 pass 3): lexicographic order
     # breaks at the 9th digit (snapshot-100000000 sorts before
     # snapshot-99999999) and would doom the second-newest snapshot
@@ -538,6 +569,11 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
         if f.startswith("._CURRENT.tmp."):
             tail = f[len("._CURRENT.tmp."):]
             if tail.isdigit() and int(tail) <= cur_version:
+                _os.remove(_os.path.join(table_dir, f))
+        elif f.startswith(f".{_MANIFEST_PREFIX}") and f.endswith(".json.tmp"):
+            # a pointer manifest killed mid-tmp-write; same version rule
+            # (unparseable versions return -1 and are SPARED)
+            if 0 <= _version_of(f[1:-len(".tmp")]) <= cur_version:
                 _os.remove(_os.path.join(table_dir, f))
     return doomed
 

@@ -478,7 +478,7 @@ def test_preflight_waives_load5_after_sustained_quiet_load1(monkeypatch):
     """ADVICE r13: load5 carries the bench's OWN previous invocation
     for ~5 minutes, so back-to-back runs on an idle host would burn the
     full max-wait and stamp themselves contended. Six consecutive
-    sub-gate load1 polls (~60 s of sustained quiet) waive the load5
+    sub-gate load1 polls (10 s apart, ~50 s of sustained quiet) waive the load5
     conjunct; a single load1 blip resets the streak."""
     import importlib
     import time as _time

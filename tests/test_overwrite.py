@@ -136,17 +136,18 @@ def test_verified_incremental_write_scopes_audit_to_touched_partitions(
     donor = next(
         os.path.join(stage, f) for f in os.listdir(stage) if f.endswith(".parquet")
     )
-    real = sinks._raise_on_artifacts
+    from etl_upc_syllabus_spark.sources import formats
 
-    def seeded(spark_, scopes, who):
-        pdir = scopes[0][0]
+    real = formats.audit_write_artifact_dirs
+
+    def seeded(spark_, dirs):
         shutil.copy(
             donor,
-            os.path.join(pdir, f"part-00000-{_uuid.uuid4()}.c000.snappy.parquet"),
+            os.path.join(dirs[0], f"part-00000-{_uuid.uuid4()}.c000.snappy.parquet"),
         )
-        real(spark_, scopes, who)
+        return real(spark_, dirs)
 
-    monkeypatch.setattr(sinks, "_raise_on_artifacts", seeded)
+    monkeypatch.setattr(formats, "audit_write_artifact_dirs", seeded)
     with pytest.raises(RuntimeError, match="write-artifact audit found"):
         sinks.write_courses_period_incremental(refresh, base, verify=True)
     assert out.endswith("courses_parquet")
@@ -159,3 +160,38 @@ def test_verified_full_write_passes_clean(spark, tmp_path):
     )
     sinks.write_courses_parquet(df, base, verify=True)
     assert sinks.read_courses(spark, base).count() == 1
+
+
+def test_verified_incremental_write_includes_null_sentinel_partition(
+    spark, tmp_path, monkeypatch
+):
+    """Review r14: a NULL period lands in period=__HIVE_DEFAULT_PARTITION__
+    -- a partition this batch rewrote, so it must be in the verify
+    audit's scope (quarantine_partition_keys passes true NULL through
+    by default, so such batches are legal)."""
+    from etl_upc_syllabus_spark.sources import formats
+
+    base = str(tmp_path)
+    df = spark.createDataFrame(
+        [("C1", "2025-1", "Algebra"), ("C2", None, "Sin periodo")],
+        "id string, period string, name string",
+    )
+    sinks.write_courses_parquet(df, base, on_unsafe="off")
+
+    captured = {}
+    real = formats.audit_write_artifact_dirs
+
+    def capture(spark_, dirs):
+        captured["dirs"] = list(dirs)
+        return real(spark_, dirs)
+
+    monkeypatch.setattr(formats, "audit_write_artifact_dirs", capture)
+    refresh = spark.createDataFrame(
+        [("C3", None, "Sin periodo rev")], "id string, period string, name string"
+    )
+    sinks.write_courses_period_incremental(
+        refresh, base, on_unsafe="off", verify=True
+    )
+    assert [os.path.basename(d) for d in captured["dirs"]] == [
+        "period=__HIVE_DEFAULT_PARTITION__"
+    ]

@@ -260,3 +260,76 @@ def test_vacuum_with_keep_larger_than_history_deletes_nothing(spark, tmp_path):
     publish_snapshot_incremental(_batch(spark, "B", 2), t)
     assert vacuum_snapshots(t, keep=10) == []
     assert read_current_snapshot(spark, t).count() == 4
+
+
+def test_stale_base_publisher_refuses_instead_of_reverting(
+    spark, tmp_path, monkeypatch
+):
+    """Review r14 (the lost-update race): publisher B reads its base
+    map, then publisher A commits a LOWER version while B's data
+    writes. B holds the higher version number, so the rollback check
+    alone would let B flip a manifest composed from the STALE base --
+    silently reverting A's committed pointers. B must refuse loudly
+    and leave its snapshot/manifest as orphans."""
+    import etl_upc_syllabus_spark.sources.layout as layout
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(
+        _batch(spark, "A", 5).union(_batch(spark, "B", 3, 50)), t, "period"
+    )  # v0
+
+    real_claim = layout._claim_version
+    fired = []
+
+    def claim_after_concurrent_commit(table_dir, attempts=16):
+        if not fired:
+            fired.append(True)
+            # A: a full concurrent publish commits (v1) AFTER our base
+            # read (which already happened -- claim runs after it) ...
+            publish_snapshot_incremental(_batch(spark, "A", 9), t)
+        # ... and THEN we claim, getting the higher version v2
+        return real_claim(table_dir, attempts)
+
+    monkeypatch.setattr(layout, "_claim_version", claim_after_concurrent_commit)
+    with pytest.raises(RuntimeError, match="moved _CURRENT"):
+        publish_snapshot_incremental(_batch(spark, "B", 7, 100), t)
+    monkeypatch.setattr(layout, "_claim_version", real_claim)
+
+    # A's committed refresh survives; B's attempt left only orphans
+    out = read_current_snapshot(spark, t)
+    assert out.filter(F.col("period") == "A").count() == 9
+    assert out.filter(F.col("period") == "B").count() == 3
+    # B's orphan manifest sits ABOVE current: vacuum conservatively
+    # treats it as possibly-live (a publisher between manifest-write
+    # and flip looks identical), so it -- and the snapshot it pins --
+    # survive until a later SUCCESSFUL publish passes its version
+    assert vacuum_snapshots(t, keep=1) == []
+    publish_snapshot_incremental(_batch(spark, "B", 7, 100), t)  # v3
+    deleted = vacuum_snapshots(t, keep=1)
+    assert "snapshot-00000002" in deleted  # B's orphan snapshot reclaimed
+    assert not os.path.exists(os.path.join(t, "manifest-00000002.json"))
+
+
+def test_manifest_writes_are_atomic_and_tmp_reclaim_is_versioned(spark, tmp_path):
+    """Review r14: the manifest is written tmp+os.replace, so a publish
+    killed mid-json.dump leaves a .manifest-*.json.tmp, never a
+    truncated manifest that breaks the next vacuum's kept-manifest
+    parse. Vacuum reclaims tmp manifests at versions <= current and
+    spares higher ones (a live publisher's)."""
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 2), t, "period")  # v0
+    publish_snapshot_incremental(_batch(spark, "A", 3), t)  # v1
+    # no stray tmp manifests after healthy publishes
+    assert not [f for f in os.listdir(t) if f.endswith(".json.tmp")]
+
+    dead = os.path.join(t, ".manifest-00000001.json.tmp")  # killed mid-write
+    live = os.path.join(t, ".manifest-00000009.json.tmp")  # concurrent, live
+    with open(dead, "w") as fh:
+        fh.write('{"truncat')  # even truncated JSON is harmless here
+    open(live, "w").close()
+    vacuum_snapshots(t, keep=1)
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)
+    # and vacuum still parsed every KEPT manifest fine (no truncation
+    # ever reaches a real manifest-*.json name)
+    assert read_current_snapshot(spark, t).count() == 3

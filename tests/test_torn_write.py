@@ -189,3 +189,37 @@ def test_submax_groups_stay_orphans_under_a_tie(spark, tmp_path):
         issues.setdefault(r["issue"], []).append(r["file"])
     assert len(issues["ambiguous_writer_uuids"]) == 4  # both tied groups
     assert len(issues["orphan_writer_uuid"]) == 1  # the stray, still certain
+
+
+def test_audit_dirs_pools_census_across_an_explicit_scope(spark, tmp_path):
+    """audit_write_artifact_dirs (review r14): the partitions one
+    dynamic-overwrite batch touched share ONE writer UUID, so pooling
+    the census across the explicit dir list is correct -- an orphan in
+    any of them is a minority against the pooled majority -- and the
+    whole scope costs one distributed job, not one per dir."""
+    d = os.path.join(str(tmp_path), "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], "v int, p string"
+    ).repartition(1).write.partitionBy("p").parquet(d)
+    dirs = [os.path.join(d, "p=a"), os.path.join(d, "p=b")]
+
+    from etl_upc_syllabus_spark.sources.formats import audit_write_artifact_dirs
+
+    assert audit_write_artifact_dirs(spark, dirs).count() == 0  # clean
+
+    # seed an orphan into ONE partition: minority vs the pooled census
+    src = next(
+        os.path.join(dirs[0], f)
+        for f in os.listdir(dirs[0])
+        if f.endswith(".parquet")
+    )
+    shutil.copy(
+        src, os.path.join(dirs[1], f"part-00000-{uuid.uuid4()}.c000.snappy.parquet")
+    )
+    rows = audit_write_artifact_dirs(spark, dirs).collect()
+    assert [(os.path.dirname(r["file"]), r["issue"]) for r in rows] == [
+        (dirs[1], "orphan_writer_uuid")
+    ]
+
+    with pytest.raises(FileNotFoundError, match="write-artifact audit"):
+        audit_write_artifact_dirs(spark, [os.path.join(d, "p=nope")])
