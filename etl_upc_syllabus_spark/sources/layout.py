@@ -132,7 +132,7 @@ def publish_snapshot(df: DataFrame, table_dir: str, *, verify: bool = False) -> 
             "publish_snapshot_incremental, or start a fresh table dir"
         )
     version, snap = _claim_version(table_dir)
-    df.write.mode("overwrite").parquet(_os.path.join(table_dir, snap))
+    df.write.mode("append").parquet(_os.path.join(table_dir, snap))
     if verify:
         _verify_snapshot(df.sparkSession, _os.path.join(table_dir, snap), snap)
     _flip_manifest(table_dir, version, snap)
@@ -144,8 +144,14 @@ def _claim_version(table_dir: str, attempts: int = 16) -> tuple[int, str]:
     snapshot dir (ADVICE r13: EEXIST from a concurrent claimant ->
     retry at a higher version, never share a dir). The claimed dir is
     empty and owned by this publisher alone, so the Spark write into it
-    uses mode("overwrite") safely -- "errorifexists" would trip over
-    our own claim."""
+    uses mode("append") -- the one mode that tolerates the claim dir
+    AND never deletes it: "errorifexists" trips over our own claim, and
+    "overwrite" PRE-DELETES the claimed dir at job start, erasing the
+    mkdir marker for the duration of the delete->recreate window -- a
+    concurrent claimant then mkdirs the SAME version and two jobs
+    commingle staging in one dir (caught live by the r14 publisher-
+    storm test: both jobs' FileOutputCommitter staging collided and
+    the writes died on vanished _temporary attempt dirs)."""
     import os as _os
 
     for _ in range(attempts):
@@ -195,16 +201,25 @@ def _max_version(table_dir: str) -> int:
 
 def _flip_manifest(table_dir: str, version: int, snap: str) -> None:
     """Conditional _CURRENT flip: refuse to flip backwards past a
-    concurrently committed higher version (see publish_snapshot's
-    concurrency contract)."""
+    concurrently COMMITTED higher version (see publish_snapshot's
+    concurrency contract).
+
+    Committed = the version _CURRENT points at, not the highest
+    snapshot dir on disk: a dir is CLAIMED at publish start (mkdir,
+    possibly long before its data commits, possibly an orphan forever),
+    and refusing on claims livelocks concurrent publishers -- the r14
+    storm test measured 5 of 6 threads exhausting 30 attempts because
+    every in-flight claim doomed every other publisher's flip."""
     import os as _os
 
-    newest = _max_version(table_dir)
-    if newest > version:
+    cur = _read_manifest_target(table_dir)
+    committed = _version_of(cur) if cur else -1
+    if committed > version:
         raise RuntimeError(
-            f"concurrent publish won: {_SNAP_PREFIX}{newest:08d} exists, "
-            f"refusing to roll _CURRENT back to {snap}; this publish's "
-            "snapshot is left as a vacuum-reclaimable orphan"
+            f"concurrent publish won: _CURRENT already points at "
+            f"version {committed} ({cur}), refusing to roll it back to "
+            f"{snap}; this publish's snapshot is left as a "
+            "vacuum-reclaimable orphan"
         )
     tmp = _os.path.join(table_dir, f"._CURRENT.tmp.{version:08d}")
     with open(tmp, "w", encoding="utf-8") as fh:
@@ -323,7 +338,9 @@ def publish_snapshot_incremental(
 
     version, snap = _claim_version(table_dir)
     snap_dir = _os.path.join(table_dir, snap)
-    df.write.mode("overwrite").partitionBy(partition_col).parquet(snap_dir)
+    # mode("append") into the exclusively-claimed empty dir: never
+    # pre-deletes the mkdir claim (see _claim_version)
+    df.write.mode("append").partitionBy(partition_col).parquet(snap_dir)
     if verify:
         _verify_snapshot(df.sparkSession, snap_dir, snap)
     # the batch's partitions, straight from the committed layout (raw

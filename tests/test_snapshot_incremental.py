@@ -238,8 +238,10 @@ def test_pointer_flip_refuses_rollback_past_concurrent_winner(spark, tmp_path):
 
     def delayed(table_dir, version, target):
         if version == 1:
-            # the faster concurrent publisher commits v2 first
-            os.makedirs(os.path.join(table_dir, "snapshot-00000002"))
+            # the faster concurrent publisher COMMITS v2 first (flips
+            # _CURRENT -- a bare claimed dir must NOT block, r14 storm
+            # livelock fix: only a committed winner does)
+            real_flip(table_dir, 2, "manifest-00000002.json")
         real_flip(table_dir, version, target)
 
     import pytest as _pytest
@@ -250,8 +252,9 @@ def test_pointer_flip_refuses_rollback_past_concurrent_winner(spark, tmp_path):
             publish_snapshot_incremental(_batch(spark, "A", 9), t)
     finally:
         layout._flip_manifest = real_flip
-    # table unharmed: still v0's rows
-    assert read_current_snapshot(spark, t).count() == 3
+    # the loser never flipped: _CURRENT still carries the winner's commit
+    with open(os.path.join(t, "_CURRENT")) as fh:
+        assert fh.read().strip() == "manifest-00000002.json"
 
 
 def test_vacuum_with_keep_larger_than_history_deletes_nothing(spark, tmp_path):
@@ -333,3 +336,76 @@ def test_manifest_writes_are_atomic_and_tmp_reclaim_is_versioned(spark, tmp_path
     # and vacuum still parsed every KEPT manifest fine (no truncation
     # ever reaches a real manifest-*.json name)
     assert read_current_snapshot(spark, t).count() == 3
+
+
+def test_threaded_publisher_storm_never_corrupts(spark, tmp_path):
+    """Live concurrency pin (r14): 6 REAL threads race incremental
+    publishes against one table, retrying on the loud losses
+    (claim exhaustion / concurrent-winner / stale-base). Afterwards:
+    no snapshot dir holds two writer UUIDs, _CURRENT resolves to a
+    complete manifest, every partition's rows come from exactly one
+    committed batch, and a reader pinned BEFORE the storm still
+    returns its exact rows. The simulated interleavings above pin each
+    race individually; this pins the composition under real timing."""
+    import re
+    import threading
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(
+        _batch(spark, "A", 3).union(_batch(spark, "B", 3, 500)), t, "period"
+    )
+    pinned = read_current_snapshot(spark, t)
+    assert pinned.count() == 6
+
+    errors = []
+    committed = []  # (thread, period, n) of publishes that WON
+
+    def storm(i: int) -> None:
+        period = "A" if i % 2 == 0 else "B"
+        n = 10 + i
+        for attempt in range(60):
+            try:
+                publish_snapshot_incremental(_batch(spark, period, n, i * 1000), t)
+                committed.append((i, period, n))
+                return
+            except RuntimeError:
+                continue  # loud loss: retry on the fresh base
+            except Exception as e:  # noqa: BLE001 -- anything else fails the pin
+                errors.append(e)
+                return
+        errors.append(AssertionError(f"thread {i} never won in 60 attempts"))
+
+    threads = [threading.Thread(target=storm, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert len(committed) == 6  # every thread eventually committed
+
+    # no snapshot dir ever commingles two writer jobs
+    uuid_rx = re.compile(r"part-\d+-([0-9a-f-]{36})")
+    for d in os.listdir(t):
+        if not d.startswith("snapshot-"):
+            continue
+        uuids = set()
+        for root, _, files in os.walk(os.path.join(t, d)):
+            for f in files:
+                m = uuid_rx.match(f)
+                if m:
+                    uuids.add(m.group(1))
+        assert len(uuids) <= 1, (d, uuids)
+
+    # the final table is exactly one winning batch per period
+    out = read_current_snapshot(spark, t)
+    by_period = {
+        r["period"]: r["n"]
+        for r in out.groupBy("period").agg(F.count("*").alias("n")).collect()
+    }
+    a_winners = [n for (i, p, n) in committed if p == "A"]
+    b_winners = [n for (i, p, n) in committed if p == "B"]
+    assert by_period["A"] in a_winners
+    assert by_period["B"] in b_winners
+
+    # the pre-storm pinned reader is untouched by 6 publishes
+    assert pinned.count() == 6
