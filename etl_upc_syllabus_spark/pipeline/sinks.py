@@ -135,11 +135,14 @@ def write_courses_period_incremental(
 
         vals = [r["period"] for r in courses.select("period").distinct().collect()]
         touched = {str(v) for v in vals if v is not None}
-        # a NULL period lands in the Hive null-sentinel dir -- it is a
-        # partition this batch rewrote and MUST be in audit scope
-        # (review r14: dropping None from the touched set silently
-        # excluded exactly the partition both engines already mis-read)
-        has_null = any(v is None for v in vals)
+        # A NULL period -- and the EMPTY STRING, which Spark 3-way-
+        # merges into the same dir (this module's own r12 finding) --
+        # land in the Hive null-sentinel dir: a partition this batch
+        # rewrote, so it MUST be in audit scope (review r14: dropping
+        # None/'' from the touched set silently excluded exactly the
+        # partition both engines already mis-read). Such batches reach
+        # here via on_unsafe='off'; the default gate rejects them.
+        has_null = any(v is None or v == "" for v in vals)
         # resolve dir names by PARSING them (unquote of Hive %XX
         # escaping) rather than re-implementing the escaper
         dirs = []

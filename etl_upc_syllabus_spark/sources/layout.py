@@ -103,14 +103,18 @@ def publish_snapshot(df: DataFrame, table_dir: str, *, verify: bool = False) -> 
     loser retries loudly at a higher version instead of commingling two
     jobs' part files into one snapshot that _CURRENT then double-counts
     (the exact orphan-part class ``audit_write_artifacts`` targets).
-    The flip itself stays CONDITIONAL -- if a HIGHER version exists by
-    flip time (a faster concurrent publisher committed while this one's
-    data wrote), this publish raises instead of rolling the table back
-    to its own older version, and its snapshot dir is left as a
-    vacuum-reclaimable orphan. mkdir-claim + conditional flip close the
-    same-version and rollback shapes on POSIX; for an object store
-    without atomic mkdir/rename use a real metadata service as the
-    manifest (same snapshot layout, conditional-put commit).
+    The flip itself stays CONDITIONAL, and runs its read-check-replace
+    inside an exclusive flock on ``._CURRENT.lock`` (r14) -- if a
+    faster concurrent publisher COMMITTED a higher version while this
+    one's data wrote, this publish raises instead of rolling the table
+    back to its own older version, and its snapshot dir is left as a
+    vacuum-reclaimable orphan. A merely CLAIMED higher dir does not
+    block (claims happen at publish start; refusing on them livelocks,
+    measured in the r14 storm test). mkdir-claim + flock'd conditional
+    flip close the same-version and rollback shapes on a local POSIX
+    mount; for NFS or an object store without atomic mkdir/rename/flock
+    use a real metadata service as the manifest (same snapshot layout,
+    conditional-put commit).
 
     ``verify=True`` runs :func:`~..sources.formats.audit_write_artifacts`
     on the just-written snapshot BEFORE the flip and raises on any
@@ -199,32 +203,62 @@ def _max_version(table_dir: str) -> int:
     )
 
 
-def _flip_manifest(table_dir: str, version: int, snap: str) -> None:
-    """Conditional _CURRENT flip: refuse to flip backwards past a
-    concurrently COMMITTED higher version (see publish_snapshot's
-    concurrency contract).
+_UNCHECKED = object()  # sentinel: _flip_manifest skips the stale-base check
+
+
+def _flip_manifest(
+    table_dir: str, version: int, snap: str, expected_current=_UNCHECKED
+) -> None:
+    """Conditional _CURRENT flip under an exclusive flock: refuse to
+    flip backwards past a concurrently COMMITTED higher version, and
+    (when ``expected_current`` is given) refuse when _CURRENT moved
+    since the caller composed its state from it -- the lost-update
+    shape of the pointer path.
 
     Committed = the version _CURRENT points at, not the highest
     snapshot dir on disk: a dir is CLAIMED at publish start (mkdir,
     possibly long before its data commits, possibly an orphan forever),
     and refusing on claims livelocks concurrent publishers -- the r14
     storm test measured 5 of 6 threads exhausting 30 attempts because
-    every in-flight claim doomed every other publisher's flip."""
+    every in-flight claim doomed every other publisher's flip.
+
+    The read-check-replace runs inside ``flock(LOCK_EX)`` on a
+    persistent ``._CURRENT.lock`` (review r14: a plain read-then-replace
+    reopens a milliseconds TOCTOU where two racing flips roll _CURRENT
+    backwards -- the silent-loss class). flock is advisory and released
+    by the kernel on process death, so a crashed holder never wedges
+    the table. The critical section is microseconds (no Spark work
+    inside). Caveat: flock is only meaningful on a local/POSIX mount --
+    on NFS/object stores use a real metadata service as the manifest,
+    exactly as the concurrency contract says."""
+    import fcntl as _fcntl
     import os as _os
 
-    cur = _read_manifest_target(table_dir)
-    committed = _version_of(cur) if cur else -1
-    if committed > version:
-        raise RuntimeError(
-            f"concurrent publish won: _CURRENT already points at "
-            f"version {committed} ({cur}), refusing to roll it back to "
-            f"{snap}; this publish's snapshot is left as a "
-            "vacuum-reclaimable orphan"
-        )
-    tmp = _os.path.join(table_dir, f"._CURRENT.tmp.{version:08d}")
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(snap + "\n")
-    _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))
+    lock_path = _os.path.join(table_dir, "._CURRENT.lock")
+    with open(lock_path, "a", encoding="utf-8") as lf:
+        _fcntl.flock(lf, _fcntl.LOCK_EX)
+        cur = _read_manifest_target(table_dir)
+        committed = _version_of(cur) if cur else -1
+        if committed > version:
+            raise RuntimeError(
+                f"concurrent publish won: _CURRENT already points at "
+                f"version {committed} ({cur}), refusing to roll it back "
+                f"to {snap}; this publish's snapshot is left as a "
+                "vacuum-reclaimable orphan"
+            )
+        if expected_current is not _UNCHECKED and cur != expected_current:
+            raise RuntimeError(
+                f"concurrent publish moved _CURRENT from "
+                f"{expected_current!r} to {cur!r} while this publish's "
+                f"data wrote; refusing to flip {snap} composed from the "
+                "stale base -- its pointers would silently revert the "
+                "other publish. This snapshot/manifest are left as "
+                "vacuum-reclaimable orphans; retry on the fresh base"
+            )
+        tmp = _os.path.join(table_dir, f"._CURRENT.tmp.{version:08d}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(snap + "\n")
+        _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))
 
 
 # --- incremental snapshot publish: per-partition pointer manifests (r14) ---
@@ -397,22 +431,12 @@ def publish_snapshot_incremental(
     # concurrent publisher that committed a LOWER version after our
     # claim (we hold the higher version number but the STALE base):
     # flipping would silently revert its committed pointers -- the
-    # exact silent-loss class this layer exists to close. Refuse
-    # loudly when _CURRENT moved since entry; our snapshot + manifest
-    # stay vacuum-reclaimable orphans and the caller retries on the
-    # fresh base. (Advisory like the rollback check: the window shrinks
-    # to the replace itself, not to zero -- see the concurrency
-    # contract.)
-    if _read_manifest_target(table_dir) != current:
-        raise RuntimeError(
-            f"concurrent publish moved _CURRENT from {current!r} to "
-            f"{_read_manifest_target(table_dir)!r} while this publish's "
-            f"data wrote; refusing to flip {manifest} composed from the "
-            "stale base -- its pointers would silently revert the other "
-            "publish. This snapshot/manifest are left as vacuum-"
-            "reclaimable orphans; retry on the fresh base"
-        )
-    _flip_manifest(table_dir, version, manifest)
+    # exact silent-loss class this layer exists to close. The flip
+    # therefore verifies _CURRENT still equals our entry base INSIDE
+    # its flock critical section (expected_current); on a move it
+    # raises, our snapshot + manifest stay vacuum-reclaimable orphans,
+    # and the caller retries on the fresh base.
+    _flip_manifest(table_dir, version, manifest, expected_current=current)
     return snap_dir
 
 
@@ -559,7 +583,18 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
         ),
         key=lambda f: int(f[len(_MANIFEST_PREFIX):-len(".json")]),
     )
-    kept_manifests = set(manifests[-keep:])
+    cur_version = _version_of(current) if current else -1
+    # EVERYTHING above the current version is possibly-live (review r14:
+    # a publisher between any two of its steps -- claimed dir mid-data-
+    # write, manifest written but flip pending -- is indistinguishable
+    # from an orphan, and deleting its dir/manifest kills the publish
+    # or, worse, re-opens its claimed version for a second claimant).
+    # The keep window applies only to COMMITTED history (<= current);
+    # above-current artifacts become reclaimable once a later
+    # successful publish moves current past them.
+    committed_manifests = [m for m in manifests if _version_of(m) <= cur_version]
+    kept_manifests = set(committed_manifests[-keep:])
+    kept_manifests |= {m for m in manifests if _version_of(m) > cur_version}
     if current is not None and current.startswith(_MANIFEST_PREFIX):
         kept_manifests.add(current)
     referenced: set[str] = {current} if current else set()
@@ -567,11 +602,14 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
         # a kept manifest that cannot be parsed must FAIL the vacuum:
         # skipping it silently would reclaim the dirs it references
         referenced |= set(_load_manifest(table_dir, m)["partitions"].values())
-    for m in manifests[:-keep]:
+    for m in committed_manifests[:-keep]:
         if m not in kept_manifests:
             _os.remove(_os.path.join(table_dir, m))
 
-    doomed = [s for s in snaps[:-keep] if s not in referenced]
+    committed_snaps = [
+        s for s in snaps if int(s[len(_SNAP_PREFIX):]) <= cur_version
+    ]
+    doomed = [s for s in committed_snaps[:-keep] if s not in referenced]
     for s in doomed:
         _shutil.rmtree(_os.path.join(table_dir, s))
     # Temp manifests: reclaim only those whose embedded version is <=

@@ -236,13 +236,13 @@ def test_pointer_flip_refuses_rollback_past_concurrent_winner(spark, tmp_path):
 
     real_flip = layout._flip_manifest
 
-    def delayed(table_dir, version, target):
+    def delayed(table_dir, version, target, **kw):
         if version == 1:
             # the faster concurrent publisher COMMITS v2 first (flips
             # _CURRENT -- a bare claimed dir must NOT block, r14 storm
             # livelock fix: only a committed winner does)
             real_flip(table_dir, 2, "manifest-00000002.json")
-        real_flip(table_dir, version, target)
+        real_flip(table_dir, version, target)  # rollback guard fires first
 
     import pytest as _pytest
 

@@ -60,9 +60,10 @@ def main() -> int:
 
     old = committed_rows()
     changed = new_rows = 0
-    names = sorted(all_specs())
+    specs = all_specs()
+    names = sorted(specs)
     for name in names:
-        row = audit_row(name, *plan_of(all_specs()[name].fn(spark, sf)))
+        row = audit_row(name, *plan_of(specs[name].fn(spark, sf)))
         new = [str(row[c]) for c in COLS]
         if name not in old:
             print(f"NEW (not in PLANS.md): | {' | '.join(new)} |")
