@@ -536,6 +536,68 @@ def _read_pointer_manifest(
     )
 
 
+def list_snapshot_versions(table_dir: str) -> list[dict]:
+    """Inventory of the table's versions, oldest first: one dict per
+    COMMITTABLE version (a whole-table snapshot dir, or a pointer
+    manifest) with ``version``, ``target`` (dir or manifest name),
+    ``kind`` (``whole`` | ``pointer``), and ``current``. Claimed-but-
+    uncommitted snapshot dirs of a pointer table (no manifest) are
+    omitted -- they were never readable states. Metadata-only."""
+    import os as _os
+
+    current = _read_manifest_target(table_dir)
+    manifests = {
+        _version_of(f): f
+        for f in _os.listdir(table_dir)
+        if f.startswith(_MANIFEST_PREFIX)
+        and f.endswith(".json")
+        and _version_of(f) >= 0
+    }
+    dirs = {
+        _version_of(d): d
+        for d in _os.listdir(table_dir)
+        if d.startswith(_SNAP_PREFIX) and _version_of(d) >= 0
+    }
+    out = []
+    pointer_table = bool(manifests)
+    for v in sorted(manifests if pointer_table else dirs):
+        target = manifests[v] if pointer_table else dirs[v]
+        if not pointer_table and not _os.path.exists(
+            _os.path.join(table_dir, target, "_SUCCESS")
+        ):
+            continue  # killed mid-write: never a readable state
+        out.append(
+            {
+                "version": v,
+                "target": target,
+                "kind": "pointer" if pointer_table else "whole",
+                "current": target == current,
+            }
+        )
+    return out
+
+
+def read_snapshot_version(
+    spark: SparkSession, table_dir: str, version: int
+) -> DataFrame:
+    """Time-travel read: the table exactly as version ``version``
+    published it (whole-table dir or pointer manifest, resolved the
+    same way read_current_snapshot resolves _CURRENT). Loud KeyError
+    when that version never committed or was vacuumed -- the retention
+    contract is vacuum's, not the reader's."""
+    import os as _os
+
+    for entry in list_snapshot_versions(table_dir):
+        if entry["version"] == version:
+            if entry["kind"] == "pointer":
+                return _read_pointer_manifest(spark, table_dir, entry["target"])
+            return spark.read.parquet(_os.path.join(table_dir, entry["target"]))
+    raise KeyError(
+        f"version {version} of {table_dir!r} does not exist (never "
+        "committed, or reclaimed by vacuum_snapshots)"
+    )
+
+
 def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     """Delete all but the newest ``keep`` snapshots, NEVER the one
     _CURRENT points at (it is force-kept even if older than the

@@ -409,3 +409,40 @@ def test_threaded_publisher_storm_never_corrupts(spark, tmp_path):
 
     # the pre-storm pinned reader is untouched by 6 publishes
     assert pinned.count() == 6
+
+
+def test_time_travel_reads_and_version_inventory(spark, tmp_path):
+    """read_snapshot_version returns the table exactly as version N
+    published it, on both layouts; list_snapshot_versions inventories
+    committed versions only (a claimed/killed dir is not a readable
+    state) and flags the current one."""
+    from etl_upc_syllabus_spark.sources.layout import (
+        list_snapshot_versions,
+        read_snapshot_version,
+    )
+
+    # pointer table: v0 = {A:5, B:3}; v1 refreshes B to 7
+    t = str(tmp_path / "ptr")
+    publish_snapshot_incremental(
+        _batch(spark, "A", 5).union(_batch(spark, "B", 3, 50)), t, "period"
+    )
+    publish_snapshot_incremental(_batch(spark, "B", 7, 100), t)
+    inv = list_snapshot_versions(t)
+    assert [(e["version"], e["kind"], e["current"]) for e in inv] == [
+        (0, "pointer", False),
+        (1, "pointer", True),
+    ]
+    assert read_snapshot_version(spark, t, 0).count() == 8
+    assert read_snapshot_version(spark, t, 1).count() == 12
+    with pytest.raises(KeyError, match="does not exist"):
+        read_snapshot_version(spark, t, 7)
+
+    # whole table: killed-mid-write orphan (no _SUCCESS) is not a version
+    w = str(tmp_path / "whole")
+    publish_snapshot(spark.range(4).withColumnRenamed("id", "v"), w)
+    os.makedirs(os.path.join(w, "snapshot-00000001"))  # claimed, never written
+    publish_snapshot(spark.range(2).withColumnRenamed("id", "v"), w)
+    invw = list_snapshot_versions(w)
+    assert [(e["version"], e["current"]) for e in invw] == [(0, False), (2, True)]
+    assert read_snapshot_version(spark, w, 0).count() == 4
+    assert read_snapshot_version(spark, w, 2).count() == 2
