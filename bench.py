@@ -430,6 +430,19 @@ def build_artifact(
             if cpu_cal_mt_sec is not None
             else {}
         ),
+        # cal_contended (r14): the calibration pair's own verdict,
+        # stamped so the artifact self-flags even when the LOAD gate
+        # passed -- measured this round: preflight load1 0.14 (gate
+        # green) while cpu_cal_mt read 0.764 vs 0.196 free (~3.9x,
+        # neighbors stealing cores mid-suite; suite 35 s vs ~12 s
+        # quiet). Threshold 0.35 = ~1.8x the free-host reference;
+        # loadavg is a 1-minute average and can miss a burst the
+        # 2-second calibration sits inside.
+        **(
+            {"cal_contended": cpu_cal_mt_sec > 0.35}
+            if cpu_cal_mt_sec is not None
+            else {}
+        ),
     }
     summary = {
         "metric": "headline_suite_total",

@@ -501,3 +501,32 @@ def test_preflight_waives_load5_after_sustained_quiet_load1(monkeypatch):
     _, contended = bench._preflight_load()
     assert not contended
     assert len(sleeps) == 6
+
+
+def test_cal_contended_self_flags_when_the_load_gate_lied():
+    """r14 measured case: preflight load1 0.14 passed the gate while
+    cpu_cal_mt read 0.764 vs 0.196 free -- the suite was 3x inflated
+    with contended:false. The calibration pair's own verdict is
+    stamped as cal_contended so the artifact self-flags."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    ext_busy, summ = bench.build_artifact(
+        {"q": 1.0}, {"q": [1.0]}, {"q": 1.0}, [0.14, 1.16, 3.23],
+        [0.1, 0.1, 0.1], False, 2, 0.1, {}, {},
+        cpu_cal_sec=0.114, cpu_cal_mt_sec=0.764,
+    )
+    assert ext_busy["cal_contended"] is True
+    assert "cal_contended" not in summ  # summary stays length-capped
+    ext_free, _ = bench.build_artifact(
+        {"q": 1.0}, {"q": [1.0]}, {"q": 1.0}, [0.1, 0.1, 0.1],
+        [0.1, 0.1, 0.1], False, 2, 0.1, {}, {},
+        cpu_cal_sec=0.086, cpu_cal_mt_sec=0.196,
+    )
+    assert ext_free["cal_contended"] is False
+    ext_nocal, _ = bench.build_artifact(
+        {"q": 1.0}, {"q": [1.0]}, {"q": 1.0}, [0.1, 0.1, 0.1],
+        [0.1, 0.1, 0.1], False, 2, 0.1, {}, {},
+    )
+    assert "cal_contended" not in ext_nocal
