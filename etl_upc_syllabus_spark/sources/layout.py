@@ -611,7 +611,14 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     publish) is conservatively treated as possibly-live -- a publisher
     between its manifest-write and its flip looks identical -- so it
     and the snapshots it pins survive until a later successful publish
-    passes its version, after which the normal window reclaims them."""
+    passes its version, after which the normal window reclaims them.
+
+    Safe against concurrent PUBLISHERS (above-current state is never
+    touched, and a racing publish only references dirs the current
+    manifest already protects). Two concurrent VACUUMS of one table
+    can race each other's rmtree and die loudly mid-delete -- run one
+    vacuum at a time (every table format's retention job has the same
+    single-operator contract); a crashed vacuum is safely re-run."""
     import os as _os
     import shutil as _shutil
 
