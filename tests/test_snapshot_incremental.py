@@ -446,3 +446,105 @@ def test_time_travel_reads_and_version_inventory(spark, tmp_path):
     assert [(e["version"], e["current"]) for e in invw] == [(0, False), (2, True)]
     assert read_snapshot_version(spark, w, 0).count() == 4
     assert read_snapshot_version(spark, w, 2).count() == 2
+
+
+def test_whole_table_publisher_storm(spark, tmp_path):
+    """The live-storm pattern on the WHOLE-TABLE path: 5 threads race
+    publish_snapshot (retry on loud loss). Every thread commits, no
+    snapshot dir commingles writer UUIDs, the final table is exactly
+    one thread's complete batch, and a pre-storm pinned reader is
+    untouched."""
+    import re
+    import threading
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot(spark.range(4).withColumnRenamed("id", "v"), t)
+    pinned = read_current_snapshot(spark, t)
+    assert pinned.count() == 4
+
+    errors, committed = [], []
+
+    def storm(i: int) -> None:
+        for _ in range(60):
+            try:
+                publish_snapshot(
+                    spark.range(100 + i).withColumnRenamed("id", "v"), t
+                )
+                committed.append(100 + i)
+                return
+            except RuntimeError:
+                continue
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+        errors.append(AssertionError(f"thread {i} never won"))
+
+    threads = [threading.Thread(target=storm, args=(i,)) for i in range(5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert len(committed) == 5
+
+    uuid_rx = re.compile(r"part-\d+-([0-9a-f-]{36})")
+    for d in os.listdir(t):
+        if d.startswith("snapshot-"):
+            uuids = {
+                m.group(1)
+                for _, _, fs in os.walk(os.path.join(t, d))
+                for f in fs
+                if (m := uuid_rx.match(f))
+            }
+            assert len(uuids) <= 1, (d, uuids)
+    assert read_current_snapshot(spark, t).count() in committed
+    assert pinned.count() == 4
+
+
+def test_vacuum_racing_a_publisher_storm_stays_consistent(spark, tmp_path):
+    """Composition pin: a (single) vacuum loop runs concurrently with
+    3 racing incremental publishers. Vacuum never touches above-current
+    state, so every publisher still commits, the final read is
+    consistent, and the table ends vacuumable to a clean window."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 3), t, "period")
+
+    errors, committed, stop = [], [], threading.Event()
+
+    def publisher(i: int) -> None:
+        for _ in range(60):
+            try:
+                publish_snapshot_incremental(_batch(spark, "A", 20 + i, i * 100), t)
+                committed.append(20 + i)
+                return
+            except RuntimeError:
+                continue
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+        errors.append(AssertionError(f"publisher {i} never won"))
+
+    def vacuumer() -> None:
+        while not stop.is_set():
+            try:
+                vacuum_snapshots(t, keep=2)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=publisher, args=(i,)) for i in range(3)]
+    vt = threading.Thread(target=vacuumer)
+    vt.start()
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    stop.set()
+    vt.join()
+    assert not errors, errors
+    assert len(committed) == 3
+    assert read_current_snapshot(spark, t).count() in committed
+    vacuum_snapshots(t, keep=1)
+    assert read_current_snapshot(spark, t).count() in committed
