@@ -548,3 +548,24 @@ def test_vacuum_racing_a_publisher_storm_stays_consistent(spark, tmp_path):
     assert read_current_snapshot(spark, t).count() in committed
     vacuum_snapshots(t, keep=1)
     assert read_current_snapshot(spark, t).count() in committed
+
+
+def test_pointer_read_prunes_on_the_partition_column(spark, tmp_path):
+    """A filter on the partition column over a pointer read reaches the
+    scan as PartitionFilters -- the explicit per-dir path list does not
+    defeat partition pruning (the explicit schema declares the column
+    as a partition column via basePath, same as a plain parquet read)."""
+    from etl_upc_syllabus_spark.explain import plan_of
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(
+        _batch(spark, "A", 10).union(_batch(spark, "B", 10, 50)), t, "period"
+    )
+    publish_snapshot_incremental(_batch(spark, "B", 5, 100), t)  # 2 snapshots
+    df = read_current_snapshot(spark, t).filter(F.col("period") == "B")
+    _, formatted = plan_of(df)
+    assert "PartitionFilters" in formatted
+    assert "period = B" in formatted or "period" in formatted.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    assert df.count() == 5
