@@ -98,8 +98,14 @@ def read_resilient(
     )
 
 
-def _leaf_data_files(path: str) -> list[str]:
-    """Recursive leaf-data-file lister for a lake table directory.
+def _leaf_data_files_df(spark: SparkSession, path: str) -> DataFrame:
+    """DISTRIBUTED recursive leaf-data-file lister for a lake table:
+    returns a one-column ``file`` DataFrame. The driver lists only the
+    table ROOT (one readdir, width = the partition count); each visible
+    top-level directory becomes one task that walks its own subtree
+    executor-side -- the r14 posture shared with
+    ``audit_write_artifacts``: at millions of files the listing divides
+    by cluster width instead of serializing on the driver.
 
     A real lake table is a TREE, not a flat directory: Hive-style
     partition subdirectories (``key=val/``), nested ``table.parquet/``
@@ -109,11 +115,14 @@ def _leaf_data_files(path: str) -> list[str]:
     every depth, and never probing a directory as if it were a file
     (``open(dir)`` raises, which would report a healthy partition dir
     as corrupt). A single file path returns itself; a path that exists
-    as NEITHER raises FileNotFoundError, so a typo'd table name fails
-    loudly instead of producing a plausible one-'corrupt'-file audit
-    whose error row is just the probe's own ENOENT (ADVICE r9).
+    as NEITHER raises FileNotFoundError (driver-side, eagerly), so a
+    typo'd table name fails loudly instead of producing a plausible
+    one-'corrupt'-file audit whose error row is just the probe's own
+    ENOENT (ADVICE r9).
     """
     import os as _os
+
+    import pandas as _pd
 
     if not _os.path.isdir(path):
         if not _os.path.isfile(path):
@@ -123,16 +132,40 @@ def _leaf_data_files(path: str) -> list[str]:
                 "distinguishable from a corrupt one (raised for "
                 "scan_corrupt_files / scan_schema_drift)"
             )
-        return [path]
-    out: list[str] = []
-    for root, dirnames, filenames in _os.walk(path):
-        dirnames[:] = sorted(d for d in dirnames if not d.startswith(("_", ".")))
-        out.extend(
-            _os.path.join(root, f)
-            for f in filenames
-            if not f.startswith(("_", "."))
-        )
-    return sorted(out)
+        return spark.createDataFrame([(path,)], "file string")
+
+    entries = sorted(_os.listdir(path))
+    seeds: list[tuple[str, bool]] = []
+    for e in entries:
+        if e.startswith(("_", ".")):
+            continue
+        full = _os.path.join(path, e)
+        seeds.append((full, _os.path.isdir(full)))
+    if not seeds:
+        return spark.createDataFrame([], "file string")
+
+    def _ls(batches):
+        for pdf in batches:
+            out: list[str] = []
+            for p, is_dir in zip(pdf["p"], pdf["is_dir"]):
+                if not is_dir:
+                    out.append(p)
+                    continue
+                for root, dirnames, filenames in _os.walk(p):
+                    dirnames[:] = sorted(
+                        d for d in dirnames if not d.startswith(("_", "."))
+                    )
+                    out.extend(
+                        _os.path.join(root, f)
+                        for f in filenames
+                        if not f.startswith(("_", "."))
+                    )
+            yield _pd.DataFrame({"file": out})
+
+    seeds_df = spark.createDataFrame(seeds, "p string, is_dir boolean").repartition(
+        max(1, min(len(seeds), spark.sparkContext.defaultParallelism))
+    )
+    return seeds_df.mapInPandas(_ls, "file string")
 
 
 def scan_corrupt_files(
@@ -140,14 +173,17 @@ def scan_corrupt_files(
 ) -> DataFrame:
     """Distributed corruption audit: (file, ok, error) per data file.
 
-    The driver only LISTS the tree (recursively -- partition
-    subdirectories like ``key=val/`` are audited too, matching what
-    :func:`read_resilient` actually reads); footer/readability probes
-    run on executors via mapInPandas (pyarrow metadata read for
-    parquet -- a few KB per file -- full decode for row formats), so
-    the audit scales with the cluster, not the driver. The result is
-    the skip report a :func:`read_resilient` backfill publishes next
-    to its output.
+    The LISTING is distributed too (r14, via
+    :func:`_leaf_data_files_df`: the driver lists only the table root;
+    one task per top-level dir walks its subtree -- partition
+    subdirectories like ``key=val/`` are audited, matching what
+    :func:`read_resilient` actually reads), then a tiny file-name
+    shuffle spreads the probes across the cluster's full parallelism;
+    footer/readability probes run on executors via mapInPandas
+    (pyarrow metadata read for parquet -- a few KB per file -- full
+    decode for row formats), so neither the listing nor the probing
+    serializes on the driver. The result is the skip report a
+    :func:`read_resilient` backfill publishes next to its output.
 
     ``deep=True`` (parquet) fully decodes every column with page-CRC
     verification (``page_checksum_verification``), because the default
@@ -169,8 +205,12 @@ def scan_corrupt_files(
     """
     import pandas as _pd
 
-    names = _leaf_data_files(path)
-    files = spark.createDataFrame([(n,) for n in names], "file string")
+    # distributed listing (r14) + a tiny file-NAME shuffle so probe
+    # parallelism is the cluster's, not the tree's top-level width (a
+    # flat 10k-file dir would otherwise probe in ONE task)
+    files = _leaf_data_files_df(spark, path).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def probe(batches):
         for pdf in batches:
@@ -241,8 +281,15 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
     """
     import pandas as _pd
 
-    names = _leaf_data_files(path)
-    files = spark.createDataFrame([(n,) for n in names], "file string")
+    # distributed listing (r14). The census needs the all-files total
+    # as a scalar: count() runs the (metadata-only) listing once more
+    # than the probe pass -- two distributed listings still beat one
+    # serial driver walk at millions of files, and the footer PROBE
+    # (the expensive part) runs exactly once.
+    files = _leaf_data_files_df(spark, path).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    n_total = files.count()
 
     def probe(batches):
         for pdf in batches:
@@ -270,7 +317,6 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
     cols = files.mapInPandas(
         probe, "file string, column string, ctype string, is_err boolean"
     )
-    n_total = len(names)
     # is_err is part of the GROUP KEY (ADVICE r12): a real data column
     # literally named '<unreadable>' must never share a group with
     # probe-failure rows -- merged, the whole group would be labeled
