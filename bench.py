@@ -425,21 +425,24 @@ def build_artifact(
         # absolute host-speed reference (see _cpu_calibration): rides
         # the extended line, never the length-capped summary
         **({"cpu_cal_sec": cpu_cal_sec} if cpu_cal_sec is not None else {}),
-        **(
-            {"cpu_cal_mt_sec": cpu_cal_mt_sec}
-            if cpu_cal_mt_sec is not None
-            else {}
-        ),
         # cal_contended (r14): the calibration pair's own verdict,
-        # stamped so the artifact self-flags even when the LOAD gate
-        # passed -- measured this round: preflight load1 0.14 (gate
-        # green) while cpu_cal_mt read 0.764 vs 0.196 free (~3.9x,
-        # neighbors stealing cores mid-suite; suite 35 s vs ~12 s
-        # quiet). Threshold 0.35 = ~1.8x the free-host reference;
-        # loadavg is a 1-minute average and can miss a burst the
-        # 2-second calibration sits inside.
+        # stamped ATOMICALLY with its reading so the artifact
+        # self-flags even when the LOAD gate passed -- measured this
+        # round: preflight load1 0.14 (gate green) while cpu_cal_mt
+        # read 0.764 vs 0.196 free (~3.9x, neighbors stealing cores
+        # mid-suite; suite 35 s vs ~12 s quiet; loadavg is a 1-minute
+        # average and missed the burst the 2-second calibration sat
+        # inside). The threshold is ~1.8x the free reference, SCALED BY
+        # CORE COUNT (review r14: the fixed 2 GB workload's free wall
+        # time is inversely proportional to cores -- 0.196 s on this
+        # 32-thread class; an absolute cutoff would flag every reading
+        # on a smaller host and miss real contention on a bigger one).
         **(
-            {"cal_contended": cpu_cal_mt_sec > 0.35}
+            {
+                "cpu_cal_mt_sec": cpu_cal_mt_sec,
+                "cal_contended": cpu_cal_mt_sec
+                > 0.35 * (32 / (os.cpu_count() or 32)),
+            }
             if cpu_cal_mt_sec is not None
             else {}
         ),

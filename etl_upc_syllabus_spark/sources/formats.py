@@ -281,15 +281,14 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
     """
     import pandas as _pd
 
-    # distributed listing (r14). The census needs the all-files total
-    # as a scalar: count() runs the (metadata-only) listing once more
-    # than the probe pass -- two distributed listings still beat one
-    # serial driver walk at millions of files, and the footer PROBE
-    # (the expensive part) runs exactly once.
+    # distributed listing (r14), single pass: the all-files total is
+    # derived from the probe output itself via a grouping-sets grand
+    # row (review r14: a separate count() job would re-list the tree
+    # AND let the denominator disagree with the file set actually
+    # probed when the table is being written concurrently).
     files = _leaf_data_files_df(spark, path).repartition(
         spark.sparkContext.defaultParallelism
     )
-    n_total = files.count()
 
     def probe(batches):
         for pdf in batches:
@@ -324,7 +323,12 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
     # drift would be hidden. Grouped apart, such a corpus yields two
     # rows for the name: the failure row and the genuine column's row,
     # each with its own drift class. The output schema is unchanged.
-    agg = cols.groupBy("column", "is_err").agg(
+    # GROUPING SETS: the per-(column, is_err) detail rows PLUS one
+    # grand row whose count_distinct(file) is the all-files total
+    # (every file yields >= 1 probe row: its schema rows or its
+    # '<unreadable>' row) and whose _n_err is the distinct unreadable
+    # files -- the census denominators, from the SAME single pass.
+    agg = cols.groupingSets([["column", "is_err"], []], "column", "is_err").agg(
         F.array_join(F.array_sort(F.collect_set("ctype")), ",").alias("types"),
         F.count_distinct("ctype").alias("n_types"),
         F.count_distinct("file").alias("n_files_present"),
@@ -333,6 +337,7 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
         # column that happens to be named '<unreadable>' cannot poison
         # the readable-file denominator (review r12)
         F.count_distinct(F.when(F.col("is_err"), F.col("file"))).alias("_n_err"),
+        F.grouping_id().alias("_gid"),
     )
     # the 'partial' denominator counts READABLE footers only (ADVICE
     # r11): an unreadable file says nothing about which columns it
@@ -344,18 +349,26 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy(F.lit(1))
-    n_readable = (F.lit(n_total) - F.sum("_n_err").over(w)).cast("long")
-    return agg.select(
-        "column",
-        "types",
-        "n_types",
-        "n_files_present",
-        n_readable.alias("n_files_total"),
-        F.when(F.col("_n_err") > 0, "unreadable")
-        .when(F.col("n_types") > 1, "type_conflict")
-        .when(F.col("n_files_present") < n_readable, "partial")
-        .otherwise("stable")
-        .alias("drift"),
+    _grand = F.col("_gid") == 3  # both grouping cols aggregated away
+    n_all = F.max(F.when(_grand, F.col("n_files_present"))).over(w)
+    n_err_all = F.max(F.when(_grand, F.col("_n_err"))).over(w)
+    n_readable = (n_all - n_err_all).cast("long")
+    return (
+        agg.select(
+            "column",
+            "types",
+            "n_types",
+            "n_files_present",
+            n_readable.alias("n_files_total"),
+            F.when(F.col("_n_err") > 0, "unreadable")
+            .when(F.col("n_types") > 1, "type_conflict")
+            .when(F.col("n_files_present") < n_readable, "partial")
+            .otherwise("stable")
+            .alias("drift"),
+            F.col("_gid"),
+        )
+        .filter(F.col("_gid") == 0)
+        .drop("_gid")
     )
 
 

@@ -83,6 +83,7 @@ def compact(spark: SparkSession, path: str, out_path: str, target_files: int) ->
 
 _MANIFEST = "_CURRENT"
 _SNAP_PREFIX = "snapshot-"
+_VERSIONS_JOURNAL = "_VERSIONS"
 
 
 def publish_snapshot(df: DataFrame, table_dir: str, *, verify: bool = False) -> str:
@@ -135,15 +136,20 @@ def publish_snapshot(df: DataFrame, table_dir: str, *, verify: bool = False) -> 
             "with pointer manifests -- keep using "
             "publish_snapshot_incremental, or start a fresh table dir"
         )
-    version, snap = _claim_version(table_dir)
-    df.write.mode("append").parquet(_os.path.join(table_dir, snap))
-    if verify:
-        _verify_snapshot(df.sparkSession, _os.path.join(table_dir, snap), snap)
-    _flip_manifest(table_dir, version, snap)
+    version, snap, claim = _claim_version(table_dir)
+    try:
+        df.write.mode("append").parquet(_os.path.join(table_dir, snap))
+        if verify:
+            _verify_snapshot(
+                df.sparkSession, _os.path.join(table_dir, snap), snap
+            )
+        _flip_manifest(table_dir, version, snap)
+    finally:
+        claim.close()  # releases the liveness flock either way
     return _os.path.join(table_dir, snap)
 
 
-def _claim_version(table_dir: str, attempts: int = 16) -> tuple[int, str]:
+def _claim_version(table_dir: str, attempts: int = 16):
     """Atomically claim the table's next version by mkdir'ing its
     snapshot dir (ADVICE r13: EEXIST from a concurrent claimant ->
     retry at a higher version, never share a dir). The claimed dir is
@@ -155,7 +161,18 @@ def _claim_version(table_dir: str, attempts: int = 16) -> tuple[int, str]:
     concurrent claimant then mkdirs the SAME version and two jobs
     commingle staging in one dir (caught live by the r14 publisher-
     storm test: both jobs' FileOutputCommitter staging collided and
-    the writes died on vanished _temporary attempt dirs)."""
+    the writes died on vanished _temporary attempt dirs).
+
+    Returns ``(version, snap, claim_lock)``: an open, flock-EX'd handle
+    on ``<snap_dir>/.claim`` that the publisher holds for the WHOLE
+    publish (caught live by the r14 vacuum-vs-storm test: a slow
+    publisher's claimed dir drops BELOW current when faster publishers
+    commit past it, at which point no version arithmetic can tell it
+    from a dead orphan -- vacuum rmtree'd it mid-write. A held lock is
+    the one liveness proof that survives any interleaving and dies
+    with the process). Close the handle when the publish ends, either
+    way."""
+    import fcntl as _fcntl
     import os as _os
 
     for _ in range(attempts):
@@ -163,14 +180,40 @@ def _claim_version(table_dir: str, attempts: int = 16) -> tuple[int, str]:
         snap = f"{_SNAP_PREFIX}{version:08d}"
         try:
             _os.mkdir(_os.path.join(table_dir, snap))
-            return version, snap
         except FileExistsError:
             continue  # a concurrent publisher claimed it first; go higher
+        claim = open(
+            _os.path.join(table_dir, snap, ".claim"), "w", encoding="utf-8"
+        )
+        _fcntl.flock(claim, _fcntl.LOCK_EX)  # uncontended: the dir is ours
+        return version, snap, claim
     raise RuntimeError(
         f"could not claim a snapshot version in {table_dir!r} after "
         f"{attempts} attempts -- a publisher storm or a clock-free loop; "
         "back off and retry"
     )
+
+
+def _claim_is_live(table_dir: str, snap: str) -> bool:
+    """True iff a publisher currently HOLDS ``snap``'s claim lock (it
+    is mid-publish); False for dead orphans (the kernel released the
+    lock when the owner died) and for dirs with no claim file."""
+    import fcntl as _fcntl
+    import os as _os
+
+    try:
+        fh = open(_os.path.join(table_dir, snap, ".claim"), encoding="utf-8")
+    except (FileNotFoundError, NotADirectoryError):
+        return False
+    try:
+        try:
+            _fcntl.flock(fh, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
+        except OSError:
+            return True  # held elsewhere: live publisher
+        _fcntl.flock(fh, _fcntl.LOCK_UN)
+        return False
+    finally:
+        fh.close()
 
 
 def _verify_snapshot(spark: SparkSession, snap_dir: str, snap: str) -> None:
@@ -259,6 +302,17 @@ def _flip_manifest(
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(snap + "\n")
         _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))
+        # commit journal (r14 review: an orphan manifest/dir from a
+        # refused or killed publish is indistinguishable on disk from
+        # a version that WAS current once -- so the flip, the only
+        # place commits happen, records each one). Append-only, one
+        # line per flip, written inside the same flock; the inventory
+        # (list_snapshot_versions) intersects it with what still
+        # exists, so vacuumed versions age out naturally.
+        with open(
+            _os.path.join(table_dir, _VERSIONS_JOURNAL), "a", encoding="utf-8"
+        ) as jf:
+            jf.write(snap + "\n")
 
 
 # --- incremental snapshot publish: per-partition pointer manifests (r14) ---
@@ -343,12 +397,10 @@ def publish_snapshot_incremental(
     partition onto one core; salt or range-partition instead when a
     partition is huge).
     """
-    import json as _json
     import os as _os
 
     _os.makedirs(table_dir, exist_ok=True)
     current = _read_manifest_target(table_dir)
-    base: dict[str, str] = {}
     if current is not None:
         if not current.startswith(_MANIFEST_PREFIX):
             raise ValueError(
@@ -357,20 +409,57 @@ def publish_snapshot_incremental(
                 "do not mix with whole-table snapshots -- keep using "
                 "publish_snapshot, or start a fresh table dir"
             )
-        meta = _load_manifest(table_dir, current)
+        try:
+            meta = _load_manifest(table_dir, current)
+        except FileNotFoundError:
+            # retention raced us: the manifest _CURRENT pointed at a
+            # moment ago was vacuumed after a newer commit moved
+            # current past it. A retryable loss, not a corrupt table
+            raise RuntimeError(
+                f"base manifest {current!r} was reclaimed between the "
+                "_CURRENT read and its load (vacuum racing a newer "
+                "commit); retry on the fresh base"
+            ) from None
         if partition_col is not None and partition_col != meta["partition_col"]:
             raise ValueError(
                 f"partition_col {partition_col!r} contradicts the table's "
                 f"manifest ({meta['partition_col']!r})"
             )
         partition_col = meta["partition_col"]
-        base = dict(meta["partitions"])
-    elif partition_col is None:
-        raise ValueError(
-            "first publish on an empty table must name partition_col"
-        )
+    else:
+        meta = {}
+        if partition_col is None:
+            raise ValueError(
+                "first publish on an empty table must name partition_col"
+            )
 
-    version, snap = _claim_version(table_dir)
+    version, snap, claim = _claim_version(table_dir)
+    try:
+        return _publish_incremental_claimed(
+            df, table_dir, partition_col, version, snap, current, meta, verify
+        )
+    finally:
+        claim.close()  # releases the liveness flock either way
+
+
+def _publish_incremental_claimed(
+    df: DataFrame,
+    table_dir: str,
+    partition_col: str,
+    version: int,
+    snap: str,
+    current: str | None,
+    meta: dict,
+    verify: bool,
+) -> str:
+    """The body of publish_snapshot_incremental run while the claim
+    lock is held (see _claim_version). ``meta`` is the base manifest
+    loaded ONCE by the caller -- re-loading here would race retention
+    a second time."""
+    import json as _json
+    import os as _os
+
+    base: dict[str, str] = dict(meta.get("partitions", {}))
     snap_dir = _os.path.join(table_dir, snap)
     # mode("append") into the exclusively-claimed empty dir: never
     # pre-deletes the mkdir claim (see _claim_version)
@@ -424,7 +513,19 @@ def publish_snapshot_incremental(
             indent=1,
             sort_keys=True,
         )
-    _os.replace(tmp, _os.path.join(table_dir, manifest))
+    try:
+        _os.replace(tmp, _os.path.join(table_dir, manifest))
+    except FileNotFoundError:
+        # the tmp manifest is written OUTSIDE the flip's flock, so
+        # vacuum's versioned tmp-reclaim can remove it when a newer
+        # commit passes this version mid-publish (measured in the
+        # vacuum-vs-storm test). The flip's stale-base guard would
+        # refuse this publish anyway -- surface the same retryable loss
+        raise RuntimeError(
+            f"tmp manifest for version {version} was reclaimed by "
+            "vacuum (a newer commit passed this version mid-publish); "
+            "retry on the fresh base"
+        ) from None
     # Lost-update guard (review r14): the pointer map was composed from
     # the manifest read at ENTRY, i.e. before a data write of arbitrary
     # duration. The version-rollback check alone cannot see a
@@ -537,43 +638,49 @@ def _read_pointer_manifest(
 
 
 def list_snapshot_versions(table_dir: str) -> list[dict]:
-    """Inventory of the table's versions, oldest first: one dict per
-    COMMITTABLE version (a whole-table snapshot dir, or a pointer
-    manifest) with ``version``, ``target`` (dir or manifest name),
-    ``kind`` (``whole`` | ``pointer``), and ``current``. Claimed-but-
-    uncommitted snapshot dirs of a pointer table (no manifest) are
-    omitted -- they were never readable states. Metadata-only."""
+    """Inventory of the table's COMMITTED versions, oldest first: one
+    dict per version that was _CURRENT at some point, with ``version``,
+    ``target`` (dir or manifest name), ``kind`` (``whole`` |
+    ``pointer``), and ``current``.
+
+    Committed-ness comes from the ``_VERSIONS`` journal the flip writes
+    (r14 review: an orphan manifest from a REFUSED publish -- stale
+    base, lost race -- is byte-identical on disk to a manifest that was
+    current once, and a whole-table loser's dir even carries _SUCCESS;
+    only the flip knows, so the flip records it). The journal is
+    intersected with what still exists, so vacuumed versions age out.
+    Works regardless of _SUCCESS-marker conventions (the journal, not
+    the marker, proves the commit). Metadata-only."""
     import os as _os
 
     current = _read_manifest_target(table_dir)
-    manifests = {
-        _version_of(f): f
-        for f in _os.listdir(table_dir)
-        if f.startswith(_MANIFEST_PREFIX)
-        and f.endswith(".json")
-        and _version_of(f) >= 0
-    }
-    dirs = {
-        _version_of(d): d
-        for d in _os.listdir(table_dir)
-        if d.startswith(_SNAP_PREFIX) and _version_of(d) >= 0
-    }
+    try:
+        with open(
+            _os.path.join(table_dir, _VERSIONS_JOURNAL), encoding="utf-8"
+        ) as fh:
+            committed = [ln.strip() for ln in fh if ln.strip()]
+    except FileNotFoundError:
+        committed = []
     out = []
-    pointer_table = bool(manifests)
-    for v in sorted(manifests if pointer_table else dirs):
-        target = manifests[v] if pointer_table else dirs[v]
-        if not pointer_table and not _os.path.exists(
-            _os.path.join(table_dir, target, "_SUCCESS")
-        ):
-            continue  # killed mid-write: never a readable state
+    seen: set[str] = set()
+    for target in committed:
+        v = _version_of(target)
+        if target in seen or v < 0:
+            continue
+        seen.add(target)
+        if not _os.path.exists(_os.path.join(table_dir, target)):
+            continue  # vacuumed: aged out of the inventory
         out.append(
             {
                 "version": v,
                 "target": target,
-                "kind": "pointer" if pointer_table else "whole",
+                "kind": "pointer"
+                if target.startswith(_MANIFEST_PREFIX)
+                else "whole",
                 "current": target == current,
             }
         )
+    out.sort(key=lambda e: e["version"])
     return out
 
 
@@ -678,7 +785,16 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     committed_snaps = [
         s for s in snaps if int(s[len(_SNAP_PREFIX):]) <= cur_version
     ]
-    doomed = [s for s in committed_snaps[:-keep] if s not in referenced]
+    # a dir below current can STILL be mid-write (r14 vacuum-vs-storm
+    # test: a slow publisher's claim drops below current when faster
+    # publishers commit past it -- no version arithmetic can tell it
+    # from a dead orphan). The claim lock the publisher holds for the
+    # whole publish is the liveness proof; locked dirs are skipped.
+    doomed = [
+        s
+        for s in committed_snaps[:-keep]
+        if s not in referenced and not _claim_is_live(table_dir, s)
+    ]
     for s in doomed:
         _shutil.rmtree(_os.path.join(table_dir, s))
     # Temp manifests: reclaim only those whose embedded version is <=
@@ -689,16 +805,26 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     # flip would refuse anyway; a tmp at a higher version may belong to
     # a live concurrent publisher and is left alone).
     cur_version = _version_of(current) if current else -1
+
+    def _reclaim_tmp(name: str) -> None:
+        # the OWNER can os.replace its tmp away between our listdir
+        # and this remove (vacuum-vs-storm test); a vanished tmp is
+        # exactly the state we wanted
+        try:
+            _os.remove(_os.path.join(table_dir, name))
+        except FileNotFoundError:
+            pass
+
     for f in _os.listdir(table_dir):
         if f.startswith("._CURRENT.tmp."):
             tail = f[len("._CURRENT.tmp."):]
             if tail.isdigit() and int(tail) <= cur_version:
-                _os.remove(_os.path.join(table_dir, f))
+                _reclaim_tmp(f)
         elif f.startswith(f".{_MANIFEST_PREFIX}") and f.endswith(".json.tmp"):
             # a pointer manifest killed mid-tmp-write; same version rule
             # (unparseable versions return -1 and are SPARED)
             if 0 <= _version_of(f[1:-len(".tmp")]) <= cur_version:
-                _os.remove(_os.path.join(table_dir, f))
+                _reclaim_tmp(f)
     return doomed
 
 

@@ -370,8 +370,10 @@ def test_threaded_publisher_storm_never_corrupts(spark, tmp_path):
                 return
             except RuntimeError:
                 continue  # loud loss: retry on the fresh base
-            except Exception as e:  # noqa: BLE001 -- anything else fails the pin
-                errors.append(e)
+            except Exception:  # noqa: BLE001 -- anything else fails the pin
+                import traceback
+
+                errors.append(traceback.format_exc())
                 return
         errors.append(AssertionError(f"thread {i} never won in 60 attempts"))
 
@@ -474,8 +476,10 @@ def test_whole_table_publisher_storm(spark, tmp_path):
                 return
             except RuntimeError:
                 continue
-            except Exception as e:  # noqa: BLE001
-                errors.append(e)
+            except Exception:  # noqa: BLE001
+                import traceback
+
+                errors.append(traceback.format_exc())
                 return
         errors.append(AssertionError(f"thread {i} never won"))
 
@@ -521,8 +525,10 @@ def test_vacuum_racing_a_publisher_storm_stays_consistent(spark, tmp_path):
                 return
             except RuntimeError:
                 continue
-            except Exception as e:  # noqa: BLE001
-                errors.append(e)
+            except Exception:  # noqa: BLE001
+                import traceback
+
+                errors.append(traceback.format_exc())
                 return
         errors.append(AssertionError(f"publisher {i} never won"))
 
@@ -530,8 +536,10 @@ def test_vacuum_racing_a_publisher_storm_stays_consistent(spark, tmp_path):
         while not stop.is_set():
             try:
                 vacuum_snapshots(t, keep=2)
-            except Exception as e:  # noqa: BLE001
-                errors.append(e)
+            except Exception:  # noqa: BLE001
+                import traceback
+
+                errors.append(traceback.format_exc())
                 return
 
     threads = [threading.Thread(target=publisher, args=(i,)) for i in range(3)]
@@ -562,10 +570,12 @@ def test_pointer_read_prunes_on_the_partition_column(spark, tmp_path):
         _batch(spark, "A", 10).union(_batch(spark, "B", 10, 50)), t, "period"
     )
     publish_snapshot_incremental(_batch(spark, "B", 5, 100), t)  # 2 snapshots
+    import re
+
     df = read_current_snapshot(spark, t).filter(F.col("period") == "B")
     _, formatted = plan_of(df)
-    assert "PartitionFilters" in formatted
-    assert "period = B" in formatted or "period" in formatted.split(
-        "PartitionFilters", 1
-    )[1][:200]
+    # assert on the BRACKET CONTENT (review r14: 'PartitionFilters'
+    # prints on every partitioned scan even when empty, and a loose
+    # substring match passes exactly when pruning is defeated)
+    assert re.search(r"PartitionFilters: \[[^\]]*period", formatted), formatted
     assert df.count() == 5
