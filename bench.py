@@ -392,6 +392,20 @@ def _probe_invocation(repo: str, name: str, sf_dir: str) -> dict | None:
         return None
 
 
+def _effective_cal_cores() -> int:
+    """Cores available to the mt calibration, for the cal_contended
+    threshold: the PROCESS AFFINITY (cgroup/taskset pins beat
+    os.cpu_count, review r14), capped at 32 because the workload runs
+    exactly 32 tasks -- its free wall time stops shrinking past 32
+    cores, so the threshold must stop shrinking there too (an uncapped
+    scale would flag every reading on a quiet 64-core host)."""
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        cores = os.cpu_count() or 32
+    return max(1, min(32, cores))
+
+
 def build_artifact(
     timings: dict[str, float],
     samples: dict[str, list[float]],
@@ -441,7 +455,7 @@ def build_artifact(
             {
                 "cpu_cal_mt_sec": cpu_cal_mt_sec,
                 "cal_contended": cpu_cal_mt_sec
-                > 0.35 * (32 / (os.cpu_count() or 32)),
+                > 0.35 * (32 / _effective_cal_cores()),
             }
             if cpu_cal_mt_sec is not None
             else {}

@@ -304,6 +304,18 @@ def scan_schema_drift(spark: SparkSession, path: str) -> DataFrame:
                     out_t.append(f"{type(e).__name__}: {str(e)[:120]}")
                     out_e.append(True)
                     continue
+                if not len(sch):
+                    # a readable footer with ZERO schema fields (review
+                    # r14): without a row the file would vanish from
+                    # the grand-row denominator, silently hiding both
+                    # itself and the 'partial' drift it implies for
+                    # every real column. Reserved name, like
+                    # '<unreadable>' -- and itself a drift signal
+                    out_f.append(f)
+                    out_c.append("<no_columns>")
+                    out_t.append("")
+                    out_e.append(False)
+                    continue
                 for field in sch:
                     out_f.append(f)
                     out_c.append(field.name)

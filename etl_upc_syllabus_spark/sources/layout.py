@@ -175,17 +175,63 @@ def _claim_version(table_dir: str, attempts: int = 16):
     import fcntl as _fcntl
     import os as _os
 
+    import shutil as _shutil
+
     for _ in range(attempts):
         version = _max_version(table_dir) + 1
         snap = f"{_SNAP_PREFIX}{version:08d}"
-        try:
-            _os.mkdir(_os.path.join(table_dir, snap))
-        except FileExistsError:
-            continue  # a concurrent publisher claimed it first; go higher
-        claim = open(
-            _os.path.join(table_dir, snap, ".claim"), "w", encoding="utf-8"
+        # STAGE the claim: lock .claim inside a hidden staging dir,
+        # then atomically rename it to the snapshot name (review r14:
+        # a bare mkdir followed by the .claim open left a gap in which
+        # the dir was visible WITHOUT its liveness lock, and a racing
+        # vacuum -- after faster commits passed this version -- could
+        # rmtree it as a dead orphan mid-claim). Post-rename the
+        # visible dir is never without a held lock. A rename onto an
+        # existing NON-EMPTY dir fails (the only kind the protocol
+        # produces: every claimed dir contains at least .claim), so
+        # concurrent claimants of the same version still cannot share.
+        staging = _os.path.join(
+            table_dir, f".claiming-{version:08d}-{_os.getpid()}"
         )
-        _fcntl.flock(claim, _fcntl.LOCK_EX)  # uncontended: the dir is ours
+        try:
+            _os.mkdir(staging)
+        except FileExistsError:
+            continue  # our own crashed leftover at this name; go higher
+        try:
+            claim = open(_os.path.join(staging, ".claim"), "w", encoding="utf-8")
+        except FileNotFoundError:
+            # a racing vacuum reclaimed the still-lockless staging dir
+            # (it cannot tell it from a crashed claimant's leftover).
+            # Staging holds no data yet, so this is a free retry; once
+            # .claim exists and is flocked, liveness is provable and
+            # the same vacuum skips us. A reclaim in the open->flock
+            # microsecond gap surfaces at the rename (ENOENT -> same
+            # retry path below)
+            continue
+        _fcntl.flock(claim, _fcntl.LOCK_EX)  # uncontended: staging is ours
+        try:
+            _os.rename(staging, _os.path.join(table_dir, snap))
+        except OSError:
+            # a concurrent publisher claimed this version first
+            claim.close()
+            _shutil.rmtree(staging, ignore_errors=True)
+            continue
+        if _os.fstat(claim.fileno()).st_nlink == 0:
+            # forensic chain from the storm's rarest flake: a vacuum
+            # judged the staging dead in our open->flock gap and its
+            # rmtree UNLINKED .claim before our rename raced past its
+            # final rmdir -- leaving the renamed dir visible but empty,
+            # its liveness forever unprovable (the locked inode is off
+            # the filesystem). One fstat closes it: nlink==0 means the
+            # claim is compromised, abandon before any data is written.
+            # After this check passes, the on-path .claim IS our locked
+            # inode and every later liveness probe sees the lock.
+            claim.close()
+            try:
+                _os.rmdir(_os.path.join(table_dir, snap))  # empty: ours
+            except OSError:
+                pass
+            continue
         return version, snap, claim
     raise RuntimeError(
         f"could not claim a snapshot version in {table_dir!r} after "
@@ -298,21 +344,53 @@ def _flip_manifest(
                 "other publish. This snapshot/manifest are left as "
                 "vacuum-reclaimable orphans; retry on the fresh base"
             )
+        # commit journal (r14 review: an orphan manifest/dir from a
+        # refused or killed publish is indistinguishable on disk from
+        # a version that WAS current once -- so the flip, the only
+        # place commits happen, records each one). Maintained INSIDE
+        # the flock, updated BEFORE the _CURRENT replace, and REWRITTEN
+        # atomically each flip rather than appended: the rewrite drops
+        # torn fragments and any tail above the committed version (a
+        # previous flip that crashed between its journal write and its
+        # replace), so a crashed flip can never resurface as phantom
+        # history once later commits pass its version. The reverse
+        # order (replace first) would be worse: a crash would leave
+        # the LIVE current version missing from history forever.
+        entries = [
+            t
+            for t in _read_journal(table_dir)
+            if 0 <= _version_of(t) <= committed
+        ]
+        entries.append(snap)
+        _rewrite_journal(table_dir, entries)
         tmp = _os.path.join(table_dir, f"._CURRENT.tmp.{version:08d}")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(snap + "\n")
         _os.replace(tmp, _os.path.join(table_dir, _MANIFEST))
-        # commit journal (r14 review: an orphan manifest/dir from a
-        # refused or killed publish is indistinguishable on disk from
-        # a version that WAS current once -- so the flip, the only
-        # place commits happen, records each one). Append-only, one
-        # line per flip, written inside the same flock; the inventory
-        # (list_snapshot_versions) intersects it with what still
-        # exists, so vacuumed versions age out naturally.
+
+
+def _read_journal(table_dir: str) -> list[str]:
+    import os as _os
+
+    try:
         with open(
-            _os.path.join(table_dir, _VERSIONS_JOURNAL), "a", encoding="utf-8"
-        ) as jf:
-            jf.write(snap + "\n")
+            _os.path.join(table_dir, _VERSIONS_JOURNAL), encoding="utf-8"
+        ) as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+    except FileNotFoundError:
+        return []
+
+
+def _rewrite_journal(table_dir: str, entries: list[str]) -> None:
+    """Atomic journal rewrite (tmp + os.replace). Callers must hold the
+    _CURRENT flock -- the journal has the same single-writer-at-a-time
+    contract as _CURRENT itself."""
+    import os as _os
+
+    tmp = _os.path.join(table_dir, "._VERSIONS.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("\n".join(entries) + ("\n" if entries else ""))
+    _os.replace(tmp, _os.path.join(table_dir, _VERSIONS_JOURNAL))
 
 
 # --- incremental snapshot publish: per-partition pointer manifests (r14) ---
@@ -648,24 +726,26 @@ def list_snapshot_versions(table_dir: str) -> list[dict]:
     base, lost race -- is byte-identical on disk to a manifest that was
     current once, and a whole-table loser's dir even carries _SUCCESS;
     only the flip knows, so the flip records it). The journal is
-    intersected with what still exists, so vacuumed versions age out.
-    Works regardless of _SUCCESS-marker conventions (the journal, not
-    the marker, proves the commit). Metadata-only."""
+    intersected with what still exists (vacuumed versions age out) and
+    capped at the current version (a journal tail above it is a flip
+    that crashed between its journal append and its _CURRENT replace
+    -- never readable). Works regardless of _SUCCESS-marker
+    conventions (the journal, not the marker, proves the commit).
+    A journal-less table (written by a pre-journal build) falls back
+    to the on-disk heuristic -- every manifest, or every _SUCCESS-
+    bearing dir -- which CANNOT distinguish a refused publish's orphan
+    from a real version; re-publish once to start the journal.
+    Metadata-only."""
     import os as _os
 
     current = _read_manifest_target(table_dir)
-    try:
-        with open(
-            _os.path.join(table_dir, _VERSIONS_JOURNAL), encoding="utf-8"
-        ) as fh:
-            committed = [ln.strip() for ln in fh if ln.strip()]
-    except FileNotFoundError:
-        committed = []
+    cur_version = _version_of(current) if current else -1
+    committed = _read_journal(table_dir) or _legacy_version_targets(table_dir)
     out = []
     seen: set[str] = set()
     for target in committed:
         v = _version_of(target)
-        if target in seen or v < 0:
+        if target in seen or v < 0 or v > cur_version:
             continue
         seen.add(target)
         if not _os.path.exists(_os.path.join(table_dir, target)):
@@ -682,6 +762,32 @@ def list_snapshot_versions(table_dir: str) -> list[dict]:
         )
     out.sort(key=lambda e: e["version"])
     return out
+
+
+def _legacy_version_targets(table_dir: str) -> list[str]:
+    """Inventory fallback for tables written before the _VERSIONS
+    journal existed: every pointer manifest, or (whole-table layout)
+    every _SUCCESS-bearing snapshot dir. Cannot tell a refused
+    publish's orphan from a committed version -- documented caveat."""
+    import os as _os
+
+    entries = _os.listdir(table_dir)
+    manifests = [
+        f
+        for f in entries
+        if f.startswith(_MANIFEST_PREFIX)
+        and f.endswith(".json")
+        and _version_of(f) >= 0
+    ]
+    if manifests:
+        return manifests
+    return [
+        d
+        for d in entries
+        if d.startswith(_SNAP_PREFIX)
+        and _version_of(d) >= 0
+        and _os.path.exists(_os.path.join(table_dir, d, "_SUCCESS"))
+    ]
 
 
 def read_snapshot_version(
@@ -825,6 +931,30 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
             # (unparseable versions return -1 and are SPARED)
             if 0 <= _version_of(f[1:-len(".tmp")]) <= cur_version:
                 _reclaim_tmp(f)
+        elif f.startswith(".claiming-"):
+            # a claim staging dir (see _claim_version): dead when its
+            # .claim lock is no longer held (live ones are mid-rename)
+            full = _os.path.join(table_dir, f)
+            if _os.path.isdir(full) and not _claim_is_live(table_dir, f):
+                _shutil.rmtree(full, ignore_errors=True)
+
+    # journal compaction (r14 review: without it the inventory's cost
+    # grows with all-time commit count): drop entries whose target this
+    # vacuum (or a prior one) deleted. Under the flip flock -- the
+    # journal shares _CURRENT's single-writer contract.
+    if _os.path.exists(_os.path.join(table_dir, _VERSIONS_JOURNAL)):
+        import fcntl as _fcntl
+
+        with open(
+            _os.path.join(table_dir, "._CURRENT.lock"), "a", encoding="utf-8"
+        ) as lf:
+            _fcntl.flock(lf, _fcntl.LOCK_EX)
+            entries = _read_journal(table_dir)
+            live = [
+                t for t in entries if _os.path.exists(_os.path.join(table_dir, t))
+            ]
+            if live != entries:
+                _rewrite_journal(table_dir, live)
     return doomed
 
 

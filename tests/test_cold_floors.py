@@ -503,7 +503,7 @@ def test_preflight_waives_load5_after_sustained_quiet_load1(monkeypatch):
     assert len(sleeps) == 6
 
 
-def test_cal_contended_self_flags_when_the_load_gate_lied():
+def test_cal_contended_self_flags_when_the_load_gate_lied(monkeypatch):
     """r14 measured case: preflight load1 0.14 passed the gate while
     cpu_cal_mt read 0.764 vs 0.196 free -- the suite was 3x inflated
     with contended:false. The calibration pair's own verdict is
@@ -512,6 +512,10 @@ def test_cal_contended_self_flags_when_the_load_gate_lied():
 
     bench = importlib.import_module("bench")
 
+    # pin the host class the recorded readings came from (review r14:
+    # the threshold scales with effective cores, so the 32-thread-host
+    # readings below only mean what they meant on 32 cores)
+    monkeypatch.setattr(bench, "_effective_cal_cores", lambda: 32)
     ext_busy, summ = bench.build_artifact(
         {"q": 1.0}, {"q": [1.0]}, {"q": 1.0}, [0.14, 1.16, 3.23],
         [0.1, 0.1, 0.1], False, 2, 0.1, {}, {},

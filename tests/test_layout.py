@@ -219,13 +219,15 @@ def test_concurrent_claims_never_share_a_snapshot_dir(spark, tmp_path):
 
     t = str(tmp_path / "tbl")
     publish_snapshot(spark.range(5).withColumnRenamed("id", "v"), t)  # v0
-    # a concurrent publisher has claimed v1 (mkdir done, data mid-write)
+    # a concurrent publisher has claimed v1 (under the r14 staging
+    # protocol a visible claimed dir always carries its .claim file)
     os.makedirs(os.path.join(t, "snapshot-00000001"))
+    open(os.path.join(t, "snapshot-00000001", ".claim"), "w").close()
     p = publish_snapshot(spark.range(9).withColumnRenamed("id", "v"), t)
     assert p.endswith("snapshot-00000002")  # went around, never shared
     assert read_current_snapshot(spark, t).count() == 9
-    # the concurrent claimant's dir is untouched (still empty)
-    assert os.listdir(os.path.join(t, "snapshot-00000001")) == []
+    # the concurrent claimant's dir is untouched
+    assert os.listdir(os.path.join(t, "snapshot-00000001")) == [".claim"]
 
 
 def test_claim_version_gives_up_loudly_after_a_storm(tmp_path):

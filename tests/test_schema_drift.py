@@ -138,3 +138,28 @@ def test_type_conflict_posture_flips_with_listing_order(spark, tmp_path):
     # ...until the column is read
     with pytest.raises(Exception, match="DATA_TYPE_MISMATCH|FAILED_READ_FILE"):
         rev.agg(F.sum(F.col("event_id").cast("long"))).collect()
+
+
+def test_zero_field_schema_file_stays_in_the_denominator(spark, tmp_path):
+    """Review r14 pass 4: a readable parquet footer with ZERO schema
+    fields must still count toward n_files_total (it emits the
+    reserved '<no_columns>' row), so every real column correctly
+    classifies 'partial' against it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_upc_syllabus_spark.sources.formats import scan_schema_drift
+
+    d = tmp_path / "t"
+    d.mkdir()
+    spark.createDataFrame([(1, "a")], "v long, s string").coalesce(
+        1
+    ).write.mode("append").parquet(str(d))
+    pq.write_table(pa.table({}), str(d / "empty_schema.parquet"))
+
+    rows = {r["column"]: r for r in scan_schema_drift(spark, str(d)).collect()}
+    assert rows["<no_columns>"]["n_files_present"] == 1
+    # denominator counts BOTH readable files; real columns are partial
+    assert rows["v"]["n_files_total"] == 2
+    assert rows["v"]["drift"] == "partial"
+    assert rows["s"]["drift"] == "partial"

@@ -579,3 +579,55 @@ def test_pointer_read_prunes_on_the_partition_column(spark, tmp_path):
     # substring match passes exactly when pruning is defeated)
     assert re.search(r"PartitionFilters: \[[^\]]*period", formatted), formatted
     assert df.count() == 5
+
+
+def test_journal_tail_heals_and_legacy_tables_fall_back(spark, tmp_path):
+    """Review r14 pass 4: (a) a flip that crashed between its journal
+    write and its _CURRENT replace leaves a journal tail above current
+    -- filtered from the inventory immediately and REWRITTEN AWAY by
+    the next successful flip, so it can never resurface as phantom
+    history once later commits pass its version; (b) a journal-less
+    table from a pre-journal build inventories via the on-disk
+    fallback instead of reporting zero versions; (c) vacuum compacts
+    the journal to live targets."""
+    from etl_upc_syllabus_spark.sources.layout import list_snapshot_versions
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 3), t, "period")  # v0
+    # simulate the crashed flip: claimed dir + manifest + journal line
+    # all written, _CURRENT still v0 (the real crash leaves all three)
+    os.makedirs(os.path.join(t, "snapshot-00000001"))
+    open(os.path.join(t, "snapshot-00000001", ".claim"), "w").close()
+    with open(os.path.join(t, "_VERSIONS"), "a") as fh:
+        fh.write("manifest-00000001.json\n")
+    with open(os.path.join(t, "manifest-00000001.json"), "w") as fh:
+        json.dump(
+            {
+                "format": "partition-pointers-v1",
+                "version": 1,
+                "partition_col": "period",
+                "partitions": {"period=A": "snapshot-00000000"},
+                "schemas": {},
+            },
+            fh,
+        )
+    assert [e["version"] for e in list_snapshot_versions(t)] == [0]
+    # a later commit passes version 1; the healed journal still
+    # excludes the phantom
+    publish_snapshot_incremental(_batch(spark, "A", 5), t)  # claims v2
+    assert [e["version"] for e in list_snapshot_versions(t)] == [0, 2]
+    journal = open(os.path.join(t, "_VERSIONS")).read()
+    assert "manifest-00000001.json" not in journal  # rewritten away
+
+    # (c) vacuum compaction: journal drops vacuumed targets
+    publish_snapshot_incremental(_batch(spark, "A", 7), t)  # v3
+    vacuum_snapshots(t, keep=1)
+    journal = open(os.path.join(t, "_VERSIONS")).read().split()
+    assert all(os.path.exists(os.path.join(t, x)) for x in journal)
+
+    # (b) legacy table: no journal
+    t2 = str(tmp_path / "legacy")
+    publish_snapshot_incremental(_batch(spark, "B", 2), t2, "period")
+    os.remove(os.path.join(t2, "_VERSIONS"))
+    inv = list_snapshot_versions(t2)
+    assert [(e["version"], e["current"]) for e in inv] == [(0, True)]
