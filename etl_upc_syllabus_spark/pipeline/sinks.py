@@ -114,14 +114,32 @@ def write_courses_period_incremental(
     committed job's output, so the per-dir writer-UUID census is the
     right scope (a whole-table audit on an incrementally-built table
     would flag every older refresh's UUID as an orphan, the documented
-    append-table caveat). Costs one distinct() over the batch's periods
-    plus one metadata-only audit per touched partition; raises with the
+    append-table caveat). The touched set is derived from the write
+    itself -- partition dirs whose mtime changed across it -- never
+    from re-executing the input plan (ADVICE r14: a nondeterministic
+    or concurrently-changed source could yield a different period set
+    than the one actually written, silently shrinking the audit
+    scope). Costs two shallow listings of the table root plus one
+    metadata-only audit over the touched partitions; raises with the
     findings. Same in-place semantics note as write_courses_parquet:
     detection, not un-promotion -- for atomic versions use
     ``sources.layout.publish_snapshot_incremental(..., verify=True)``.
     """
     out = os.path.join(base_path, COURSES_DIRNAME)
     courses = _gate_period_keys(courses, base_path, on_unsafe)
+    # Audit scope is captured from the WRITE itself, not from the plan
+    # (ADVICE r14: re-executing the lazy plan's select('period') AFTER
+    # the write can disagree with what was actually written -- a
+    # nondeterministic source or a concurrently-changed input then
+    # silently excludes rewritten partition dirs from the audit). The
+    # dirs whose mtime changes across the write -- including brand-new
+    # ones, and the Hive null-sentinel dir for NULL/'' periods (the r12
+    # 3-way-merge finding) -- ARE the touched set, by construction.
+    before: dict[str, int] = {}
+    if verify and os.path.isdir(out):
+        for d in os.listdir(out):
+            if d.startswith("period="):
+                before[d] = os.stat(os.path.join(out, d)).st_mtime_ns
     (
         courses.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -129,30 +147,13 @@ def write_courses_period_incremental(
         .parquet(out)
     )
     if verify:
-        from urllib.parse import unquote
-
         from ..sources.formats import audit_write_artifact_dirs
 
-        vals = [r["period"] for r in courses.select("period").distinct().collect()]
-        touched = {str(v) for v in vals if v is not None}
-        # A NULL period -- and the EMPTY STRING, which Spark 3-way-
-        # merges into the same dir (this module's own r12 finding) --
-        # land in the Hive null-sentinel dir: a partition this batch
-        # rewrote, so it MUST be in audit scope (review r14: dropping
-        # None/'' from the touched set silently excluded exactly the
-        # partition both engines already mis-read). Such batches reach
-        # here via on_unsafe='off'; the default gate rejects them.
-        has_null = any(v is None or v == "" for v in vals)
-        # resolve dir names by PARSING them (unquote of Hive %XX
-        # escaping) rather than re-implementing the escaper
         dirs = []
         for d in sorted(os.listdir(out)):
             if not d.startswith("period="):
                 continue
-            raw = d.split("=", 1)[1]
-            if unquote(raw) in touched or (
-                has_null and raw == "__HIVE_DEFAULT_PARTITION__"
-            ):
+            if before.get(d) != os.stat(os.path.join(out, d)).st_mtime_ns:
                 dirs.append(os.path.join(out, d))
         if dirs:
             # ONE distributed job over all touched dirs (review r14: a

@@ -86,7 +86,7 @@ _SNAP_PREFIX = "snapshot-"
 _VERSIONS_JOURNAL = "_VERSIONS"
 
 
-def publish_snapshot(df: DataFrame, table_dir: str, *, verify: bool = False) -> str:
+def publish_snapshot(df: DataFrame, table_dir: str, *, verify: bool = True) -> str:
     """Write ``df`` as the table's next snapshot and atomically flip
     the manifest. Returns the published snapshot directory.
 
@@ -122,8 +122,13 @@ def publish_snapshot(df: DataFrame, table_dir: str, *, verify: bool = False) -> 
     finding -- a torn/polluted snapshot then never becomes _CURRENT
     (it stays a vacuum-reclaimable orphan), which makes the documented
     "audit before promoting" composition executable instead of
-    advisory. Costs one metadata-only distributed listing of the new
-    snapshot; default off.
+    advisory. DEFAULT ON since r15 (VERDICT r14 item 5): small
+    snapshots audit driver-side in milliseconds
+    (``audit_write_artifacts``'s ``max_driver_files`` short-circuit),
+    and against a real batch publish the distributed listing is noise
+    -- on this layer a failed audit means the version simply never
+    goes live, which is the whole point. Opt out per-publish for
+    write-hot tiny-batch paths that measure the audit as overhead.
     """
     import os as _os
 
@@ -177,7 +182,7 @@ def _claim_version(table_dir: str, attempts: int = 16):
 
     import shutil as _shutil
 
-    for _ in range(attempts):
+    for attempt in range(attempts):
         version = _max_version(table_dir) + 1
         snap = f"{_SNAP_PREFIX}{version:08d}"
         # STAGE the claim: lock .claim inside a hidden staging dir,
@@ -191,12 +196,20 @@ def _claim_version(table_dir: str, attempts: int = 16):
         # produces: every claimed dir contains at least .claim), so
         # concurrent claimants of the same version still cannot share.
         staging = _os.path.join(
-            table_dir, f".claiming-{version:08d}-{_os.getpid()}"
+            table_dir,
+            f".claiming-{version:08d}-{_os.getpid()}-{attempt}",
         )
         try:
             _os.mkdir(staging)
         except FileExistsError:
-            continue  # our own crashed leftover at this name; go higher
+            # a crashed leftover at this exact name (same version, same
+            # recycled pid). The ATTEMPT counter in the staging name
+            # guarantees the next loop iteration picks a different path
+            # even when _max_version has not advanced (ADVICE r14:
+            # without it all 16 attempts collided on the identical
+            # staging path and the publish failed spuriously); the
+            # leftover itself is vacuum's to reclaim.
+            continue
         try:
             claim = open(_os.path.join(staging, ".claim"), "w", encoding="utf-8")
         except FileNotFoundError:
@@ -265,12 +278,14 @@ def _claim_is_live(table_dir: str, snap: str) -> bool:
 def _verify_snapshot(spark: SparkSession, snap_dir: str, snap: str) -> None:
     """Pre-flip write audit (VERDICT r13 item 6): any artifact finding
     aborts the publish loudly; the unflipped snapshot stays invisible
-    to readers and vacuum-reclaimable."""
-    from .formats import audit_write_artifacts
+    to readers and vacuum-reclaimable. Uses the COLLECTED audit form
+    (r15): a small snapshot verifies in one driver-side walk, zero
+    Spark jobs -- cheap enough that verify defaults on."""
+    from .formats import collect_write_artifacts
 
-    findings = audit_write_artifacts(spark, snap_dir).collect()
+    findings = collect_write_artifacts(spark, snap_dir)
     if findings:
-        detail = ", ".join(f"{r['issue']}: {r['file']}" for r in findings[:5])
+        detail = ", ".join(f"{iss}: {f}" for f, iss in findings[:5])
         raise RuntimeError(
             f"verify=True: write-artifact audit found {len(findings)} "
             f"issue(s) in {snap} -- refusing to flip _CURRENT onto a "
@@ -328,6 +343,24 @@ def _flip_manifest(
         _fcntl.flock(lf, _fcntl.LOCK_EX)
         cur = _read_manifest_target(table_dir)
         committed = _version_of(cur) if cur else -1
+        if cur is not None and cur.startswith(_MANIFEST_PREFIX) != snap.startswith(
+            _MANIFEST_PREFIX
+        ):
+            # layout-mix guard, re-checked INSIDE the critical section
+            # (ADVICE r14): the entry-time guard races the OTHER
+            # layout's first commit -- a whole-table publish that
+            # passed the guard while _CURRENT was still absent must not
+            # flip a pointer table into a whole-table one (its readers
+            # would silently lose every pointer-carried partition), and
+            # vice versa. Same orphan disposition as the other refusals.
+            raise RuntimeError(
+                f"concurrent publish established the other layout: "
+                f"_CURRENT -> {cur!r} but this publish composed "
+                f"{snap!r}; refusing to convert the table's layout -- "
+                "this publish's artifacts are left as vacuum-"
+                "reclaimable orphans (the two layouts do not mix; "
+                "start a fresh table dir)"
+            )
         if committed > version:
             raise RuntimeError(
                 f"concurrent publish won: _CURRENT already points at "
@@ -417,7 +450,7 @@ def publish_snapshot_incremental(
     table_dir: str,
     partition_col: str | None = None,
     *,
-    verify: bool = False,
+    verify: bool = True,
 ) -> str:
     """Publish ``df`` as the table's next version, writing ONLY the
     partitions present in ``df`` -- untouched partitions are carried
@@ -437,8 +470,10 @@ def publish_snapshot_incremental(
        absent from the batch keeps its old pointer; dropping partitions
        is an explicit non-goal -- publish a full :func:`publish_snapshot`
        or filter at read time);
-    4. optionally audits the new snapshot (``verify=True``, pre-flip,
-       same semantics as :func:`publish_snapshot`);
+    4. audits the new snapshot (``verify=True``, ON by default since
+       r15, pre-flip, same semantics as :func:`publish_snapshot` --
+       a 1-partition refresh's audit runs driver-side in
+       milliseconds);
     5. writes ``manifest-NNNNNNNN.json`` (unique name, never racing)
        and atomically flips ``_CURRENT`` to it, with the same
        conditional no-rollback check.
@@ -619,6 +654,65 @@ def _publish_incremental_claimed(
     return snap_dir
 
 
+def rebase_pointer_table(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    repartition: bool = True,
+    verify: bool = True,
+    vacuum_keep: int | None = None,
+) -> str:
+    """Re-base a pointer-manifest table: publish the FULL current
+    table as one new version, so every partition pointer lands on one
+    fresh snapshot and every older snapshot drops out of the reference
+    set -- the pointer layer's compaction analog (VERDICT r14 item 4:
+    this was a docstring recipe; now it is a function). Returns the new
+    snapshot directory.
+
+    Why: a table refreshed partition-at-a-time accumulates LIVE
+    snapshots -- each partition pins the version that last wrote it,
+    and the reader unions one branch per live snapshot. The read cost
+    of that union grows with the live-snapshot count (measured curve in
+    BASELINE.md: tools/snapshot_probe.py --rebase receipt); past a few
+    dozen live snapshots, re-base. The helper is ordinary publish
+    machinery end to end, so every concurrency property carries over:
+    readers pinned to older versions keep their exact files, a
+    concurrent incremental publish either lands before the re-base's
+    base read (its refresh is included) or collides with the
+    stale-base/rollback guards (one side retries loudly, nothing is
+    silently lost), and a killed re-base leaves only vacuum-reclaimable
+    orphans.
+
+    ``repartition=True`` (default) applies the documented wide-batch
+    layout recipe -- ``df.repartition(partition_col)``, one file per
+    partition instead of tasks x partitions tiny files (the measured
+    64k-files anti-pattern) -- which for a FULL-table rewrite is almost
+    always right. Set it False when a hot partition would concentrate
+    on one core (the skew caveat) and lay the frame out yourself before
+    calling.
+
+    ``vacuum_keep``: when set, runs :func:`vacuum_snapshots` with that
+    ``keep`` after the flip -- the usual re-base epilogue. Leave None
+    (default) while readers may still be pinned to pre-re-base
+    versions; vacuum later under the normal retention contract.
+    """
+    current = _read_manifest_target(table_dir)
+    if current is None or not current.startswith(_MANIFEST_PREFIX):
+        raise ValueError(
+            f"{table_dir!r} is not a pointer-manifest table "
+            f"(_CURRENT -> {current!r}); re-base only applies to "
+            "partition-pointer tables"
+        )
+    pcol = _load_manifest(table_dir, current)["partition_col"]
+    df = read_current_snapshot(spark, table_dir)
+    if repartition:
+        df = df.repartition(pcol)
+    snap_dir = publish_snapshot_incremental(df, table_dir, pcol, verify=verify)
+    if vacuum_keep is not None:
+        vacuum_snapshots(table_dir, keep=vacuum_keep)
+    return snap_dir
+
+
 def _read_manifest_target(table_dir: str) -> str | None:
     import os as _os
 
@@ -651,16 +745,32 @@ def read_current_snapshot(spark: SparkSession, table_dir: str) -> DataFrame:
     mid-first-publish)."""
     import os as _os
 
-    snap = _read_manifest_target(table_dir)
-    if snap is None:
-        raise FileNotFoundError(
-            f"snapshot table {table_dir!r} has no {_MANIFEST} manifest: "
-            "never published (or a first publish is mid-flight); refusing "
-            "to guess a snapshot"
-        )
-    if snap.startswith(_MANIFEST_PREFIX):
-        return _read_pointer_manifest(spark, table_dir, snap)
-    return spark.read.parquet(_os.path.join(table_dir, snap))
+    for attempt in range(2):
+        snap = _read_manifest_target(table_dir)
+        if snap is None:
+            raise FileNotFoundError(
+                f"snapshot table {table_dir!r} has no {_MANIFEST} manifest: "
+                "never published (or a first publish is mid-flight); "
+                "refusing to guess a snapshot"
+            )
+        if not snap.startswith(_MANIFEST_PREFIX):
+            return spark.read.parquet(_os.path.join(table_dir, snap))
+        try:
+            return _read_pointer_manifest(spark, table_dir, snap)
+        except FileNotFoundError:
+            # retention raced us: the manifest _CURRENT pointed at was
+            # vacuumed after a newer commit moved current past it --
+            # the same race the PUBLISHER path wraps retryably (ADVICE
+            # r14: symmetry). One fresh _CURRENT re-read resolves the
+            # common shape (current already moved); a second loss in a
+            # row surfaces as the retryable error, not a raw crash.
+            if attempt == 0:
+                continue
+            raise RuntimeError(
+                f"manifest {snap!r} was reclaimed between the _CURRENT "
+                "read and its load twice in a row (vacuum racing newer "
+                "commits); retry the read"
+            ) from None
 
 
 def _read_pointer_manifest(
@@ -824,7 +934,23 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     publish) is conservatively treated as possibly-live -- a publisher
     between its manifest-write and its flip looks identical -- so it
     and the snapshots it pins survive until a later successful publish
-    passes its version, after which the normal window reclaims them.
+    passes its version, after which it is reclaimed.
+
+    Committed-ness is decided by the ``_VERSIONS`` journal when one
+    exists (ADVICE r14, the single-commit-authority rule shared with
+    :func:`list_snapshot_versions`): only journaled targets count as
+    committed history, so an orphan manifest/dir whose version the
+    current one has passed can never occupy a ``keep`` slot -- before
+    this, with keep=N, each such orphan displaced one genuinely
+    committed version from the newest-N window and could get its
+    manifest removed and snapshot dirs reclaimed INSIDE the documented
+    retention window. Orphans at or below the current version (never
+    journaled, claim lock not held) are provably dead -- their flip
+    already refused or will refuse on the moved base -- and are
+    reclaimed outright instead of aging through the window. Journal-
+    less tables (pre-journal builds) fall back to the on-disk
+    heuristic, exactly as the inventory does; the two commit oracles
+    can never disagree.
 
     Safe against concurrent PUBLISHERS (above-current state is never
     touched, and a racing publish only references dirs the current
@@ -874,7 +1000,26 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     # The keep window applies only to COMMITTED history (<= current);
     # above-current artifacts become reclaimable once a later
     # successful publish moves current past them.
-    committed_manifests = [m for m in manifests if _version_of(m) <= cur_version]
+    #
+    # Committed-ness (ADVICE r14): the _VERSIONS journal, when present,
+    # is the single commit authority -- the same rule the inventory
+    # applies -- so a refused publish's orphan at or below current can
+    # neither occupy a keep slot nor pin its snapshots (safety: such an
+    # orphan's flip provably refuses -- the same version cannot be
+    # claimed twice, so current passing it means the base moved).
+    journal = set(_read_journal(table_dir))
+    j_manifests = {t for t in journal if t.startswith(_MANIFEST_PREFIX)}
+    committed_manifests = [
+        m
+        for m in manifests
+        if _version_of(m) <= cur_version
+        and (m in j_manifests or not journal or m == current)
+    ]
+    orphan_manifests = [
+        m
+        for m in manifests
+        if _version_of(m) <= cur_version and m not in committed_manifests
+    ]
     kept_manifests = set(committed_manifests[-keep:])
     kept_manifests |= {m for m in manifests if _version_of(m) > cur_version}
     if current is not None and current.startswith(_MANIFEST_PREFIX):
@@ -887,10 +1032,39 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     for m in committed_manifests[:-keep]:
         if m not in kept_manifests:
             _os.remove(_os.path.join(table_dir, m))
+    for m in orphan_manifests:
+        _os.remove(_os.path.join(table_dir, m))
 
-    committed_snaps = [
-        s for s in snaps if int(s[len(_SNAP_PREFIX):]) <= cur_version
-    ]
+    if current is not None and current.startswith(_MANIFEST_PREFIX):
+        # pointer table: the keep window lives on MANIFESTS; for dirs
+        # the referenced set (everything any kept manifest still points
+        # at) is the whole retention authority. Any dir at/below current
+        # that no kept manifest references is reclaimable -- including a
+        # refused publish's orphan the moment current passes it.
+        reclaimable = [
+            s for s in snaps if int(s[len(_SNAP_PREFIX):]) <= cur_version
+        ]
+    else:
+        # whole-table: the journal (snapshot dir names) decides which
+        # dirs are committed history subject to the keep window; non-
+        # journaled dirs at/below current are refused-publish orphans,
+        # reclaimable outright so they never displace a committed
+        # version from the window. Journal-less legacy tables fall back
+        # to version arithmetic, as everywhere.
+        j_snaps = {t for t in journal if t.startswith(_SNAP_PREFIX)}
+        committed_snaps = [
+            s
+            for s in snaps
+            if int(s[len(_SNAP_PREFIX):]) <= cur_version
+            and (s in j_snaps or not journal or s == current)
+        ]
+        orphan_snaps = [
+            s
+            for s in snaps
+            if int(s[len(_SNAP_PREFIX):]) <= cur_version
+            and s not in committed_snaps
+        ]
+        reclaimable = committed_snaps[:-keep] + orphan_snaps
     # a dir below current can STILL be mid-write (r14 vacuum-vs-storm
     # test: a slow publisher's claim drops below current when faster
     # publishers commit past it -- no version arithmetic can tell it
@@ -898,7 +1072,7 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     # whole publish is the liveness proof; locked dirs are skipped.
     doomed = [
         s
-        for s in committed_snaps[:-keep]
+        for s in reclaimable
         if s not in referenced and not _claim_is_live(table_dir, s)
     ]
     for s in doomed:
@@ -910,8 +1084,6 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     # A tmp at version <= current is provably dead -- its conditional
     # flip would refuse anyway; a tmp at a higher version may belong to
     # a live concurrent publisher and is left alone).
-    cur_version = _version_of(current) if current else -1
-
     def _reclaim_tmp(name: str) -> None:
         # the OWNER can os.replace its tmp away between our listdir
         # and this remove (vacuum-vs-storm test); a vanished tmp is

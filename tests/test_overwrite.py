@@ -195,3 +195,43 @@ def test_verified_incremental_write_includes_null_sentinel_partition(
     assert [os.path.basename(d) for d in captured["dirs"]] == [
         "period=__HIVE_DEFAULT_PARTITION__"
     ]
+
+
+def test_verify_scope_comes_from_the_write_not_a_plan_reexecution(
+    spark, tmp_path
+):
+    """ADVICE r14: verify=True used to derive the touched-partition set
+    by re-executing the lazy input plan AFTER the write -- a
+    nondeterministic or concurrently-changed source then silently
+    excluded rewritten dirs from the audit scope. The scope now comes
+    from the write itself (partition-dir mtime diff), so the input plan
+    executes exactly ONCE, for the write."""
+    base = str(tmp_path)
+    df = spark.createDataFrame(
+        [("C1", "2025-1", "Algebra"), ("C2", "2025-2", "Física I")],
+        "id string, period string, name string",
+    )
+    sinks.write_courses_parquet(df, base)
+
+    ledger = str(tmp_path / "executions.log")
+
+    def tally(batches):
+        with open(ledger, "a") as fh:
+            fh.write("x\n")
+        yield from batches
+
+    refresh = (
+        spark.createDataFrame(
+            [("C3", "2025-2", "Química")],
+            "id string, period string, name string",
+        )
+        .repartition(1)
+        .mapInPandas(tally, "id string, period string, name string")
+    )
+    # on_unsafe="off" isolates the verify path (the default "error"
+    # gate legitimately costs one documented validation pass)
+    sinks.write_courses_period_incremental(
+        refresh, base, on_unsafe="off", verify=True
+    )
+    with open(ledger) as fh:
+        assert fh.read().count("x") == 1  # the write; never the audit scope

@@ -631,3 +631,227 @@ def test_journal_tail_heals_and_legacy_tables_fall_back(spark, tmp_path):
     os.remove(os.path.join(t2, "_VERSIONS"))
     inv = list_snapshot_versions(t2)
     assert [(e["version"], e["current"]) for e in inv] == [(0, True)]
+
+
+def test_orphan_manifest_never_displaces_committed_versions(spark, tmp_path):
+    """ADVICE r14 (medium): vacuum's committed set must come from the
+    _VERSIONS journal, not version arithmetic. A refused publish's
+    orphan manifest at a version current has PASSED used to count as
+    committed history, occupy a keep slot, and displace a genuinely
+    committed version inside the documented retention window -- its
+    manifest removed, its uniquely-referenced snapshot rmtree'd,
+    time-travel broken earlier than the window promises."""
+    from etl_upc_syllabus_spark.sources.layout import (
+        list_snapshot_versions,
+        read_snapshot_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):  # committed v0..v2
+        publish_snapshot_incremental(_batch(spark, "A", i + 1), t, "period")
+    # a refused/killed publish's orphan at v3: claimed dir with data +
+    # manifest written, flip never happened (exact storm shape)
+    os.makedirs(os.path.join(t, "snapshot-00000003"))
+    _batch(spark, "Z", 4).write.mode("append").partitionBy("period").parquet(
+        os.path.join(t, "snapshot-00000003")
+    )
+    with open(os.path.join(t, "manifest-00000003.json"), "w") as fh:
+        json.dump(
+            {
+                "format": "partition-pointers-v1",
+                "version": 3,
+                "partition_col": "period",
+                "partitions": {"period=Z": "snapshot-00000003"},
+            },
+            fh,
+        )
+    publish_snapshot_incremental(_batch(spark, "A", 5), t)  # v4 passes it
+
+    deleted = vacuum_snapshots(t, keep=3)
+    # the orphan is reclaimed outright -- manifest AND pinned dir --
+    assert not os.path.exists(os.path.join(t, "manifest-00000003.json"))
+    assert "snapshot-00000003" in deleted
+    # -- and the newest-3 COMMITTED versions all survive it: v1, v2, v4
+    # stay readable (pre-fix the orphan displaced v1 from the window)
+    assert read_snapshot_version(spark, t, 1).count() == 2
+    assert read_snapshot_version(spark, t, 2).count() == 3
+    assert read_current_snapshot(spark, t).count() == 5
+    assert [e["version"] for e in list_snapshot_versions(t)] == [1, 2, 4]
+
+
+def test_orphan_whole_table_snapshot_never_displaces_committed(spark, tmp_path):
+    """The whole-table twin of the displacement fix: a refused
+    whole-table publish leaves a _SUCCESS-bearing orphan dir that
+    version arithmetic cannot tell from history; journal-driven vacuum
+    reclaims it without costing a committed version its keep slot."""
+    from etl_upc_syllabus_spark.sources.layout import read_snapshot_version
+
+    def _df(n):
+        return spark.range(n).withColumnRenamed("id", "v")
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):  # committed v0..v2
+        publish_snapshot(_df(i + 1), t)
+    # orphan at v3 (refused publish: full data + _SUCCESS, no flip)
+    _df(9).write.parquet(os.path.join(t, "snapshot-00000003"))
+    publish_snapshot(_df(5), t)  # v4 passes it
+
+    deleted = vacuum_snapshots(t, keep=3)
+    assert "snapshot-00000003" in deleted  # orphan reclaimed outright
+    # newest-3 committed versions survive (pre-fix v1 was rmtree'd)
+    assert read_snapshot_version(spark, t, 1).count() == 2
+    assert read_snapshot_version(spark, t, 2).count() == 3
+    assert read_current_snapshot(spark, t).count() == 5
+
+
+def test_flip_refuses_layout_conversion_inside_the_lock(spark, tmp_path):
+    """ADVICE r14: the entry-time layout-mix guard races the OTHER
+    layout's first commit -- a whole-table publish that passes the
+    guard while _CURRENT is still absent must not flip a pointer
+    table into a whole-table one. The flip re-checks the target kind
+    inside its flock critical section."""
+    import etl_upc_syllabus_spark.sources.layout as layout
+
+    t = str(tmp_path / "tbl")
+    real_claim = layout._claim_version
+    fired = []
+
+    def pointer_commits_first(table_dir, attempts=16):
+        if not fired:
+            fired.append(True)
+            # the pointer table's FIRST commit lands after the whole-
+            # table publish already passed its entry guard (no _CURRENT)
+            publish_snapshot_incremental(_batch(spark, "A", 3), t, "period")
+        return real_claim(table_dir, attempts)
+
+    try:
+        layout._claim_version = pointer_commits_first
+        with pytest.raises(RuntimeError, match="other layout"):
+            publish_snapshot(spark.range(2).withColumnRenamed("id", "v"), t)
+    finally:
+        layout._claim_version = real_claim
+    # the pointer commit survives untouched; the loser left only orphans
+    assert read_current_snapshot(spark, t).count() == 3
+    publish_snapshot_incremental(_batch(spark, "B", 2), t)  # passes orphan
+    vacuum_snapshots(t, keep=2)
+    assert read_current_snapshot(spark, t).count() == 5
+
+
+def test_reader_racing_vacuum_retries_instead_of_crashing(spark, tmp_path):
+    """ADVICE r14 (reader symmetry): a reader whose manifest is
+    vacuumed between the _CURRENT read and its load re-reads _CURRENT
+    once; a second loss in a row raises the same retryable RuntimeError
+    the publisher path uses, never a raw FileNotFoundError."""
+    import etl_upc_syllabus_spark.sources.layout as layout
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 4), t, "period")
+
+    real_load = layout._load_manifest
+    fails = {"n": 1}
+
+    def load_flaky(table_dir, manifest_name):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise FileNotFoundError(manifest_name)
+        return real_load(table_dir, manifest_name)
+
+    try:
+        layout._load_manifest = load_flaky
+        assert read_current_snapshot(spark, t).count() == 4  # one retry wins
+        fails["n"] = 2  # persistent loss: loud AND retryable
+        with pytest.raises(RuntimeError, match="retry the read"):
+            read_current_snapshot(spark, t)
+    finally:
+        layout._load_manifest = real_load
+
+
+def test_crashed_staging_leftover_does_not_exhaust_claim_attempts(
+    spark, tmp_path
+):
+    """ADVICE r14: the claim staging name is (version, pid, ATTEMPT) --
+    a crashed leftover at the same (version, pid) collides once, not
+    sixteen times, when _max_version has not advanced."""
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 2), t, "period")  # v0
+    # a crashed claimant's leftover for v1 under OUR pid, attempt 0
+    os.makedirs(os.path.join(t, f".claiming-00000001-{os.getpid()}-0"))
+    publish_snapshot_incremental(_batch(spark, "A", 6), t)  # must not wedge
+    assert read_current_snapshot(spark, t).count() == 6
+    vacuum_snapshots(t, keep=2)  # and vacuum reclaims the dead staging
+    assert not [d for d in os.listdir(t) if d.startswith(".claiming-")]
+
+
+def test_rebase_pointer_table_collapses_live_snapshots(spark, tmp_path):
+    """VERDICT r14 item 4: the re-base recipe is a function. After many
+    single-partition refreshes the reader unions one branch per live
+    snapshot; re-base re-points every partition at ONE fresh snapshot,
+    then vacuum reclaims the rest."""
+    from etl_upc_syllabus_spark.sources.layout import rebase_pointer_table
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(
+        _batch(spark, "A", 5).union(_batch(spark, "B", 3, 50)), t, "period"
+    )
+    for i in range(4):  # B-only refreshes: A stays pinned to snapshot 0
+        publish_snapshot_incremental(_batch(spark, "B", i + 2, 100 * i), t)
+    before = json.load(
+        open(os.path.join(t, "manifest-00000004.json"))
+    )["partitions"]
+    assert len(set(before.values())) == 2  # two live snapshots pre-re-base
+
+    snap_dir = rebase_pointer_table(spark, t, vacuum_keep=1)
+    after = json.load(open(os.path.join(t, "manifest-00000005.json")))
+    assert set(after["partitions"].values()) == {os.path.basename(snap_dir)}
+    out = read_current_snapshot(spark, t)
+    assert out.filter(F.col("period") == "A").count() == 5
+    assert out.filter(F.col("period") == "B").count() == 5
+    # vacuum_keep=1 reclaimed everything the re-based manifest dropped
+    live_dirs = {d for d in os.listdir(t) if d.startswith("snapshot-")}
+    assert live_dirs == {os.path.basename(snap_dir)}
+    # layout recipe applied: one file per partition dir, not tasks x parts
+    for d in os.listdir(snap_dir):
+        if d.startswith("period="):
+            n_parts = [
+                f
+                for f in os.listdir(os.path.join(snap_dir, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(n_parts) == 1
+
+
+def test_rebase_refuses_non_pointer_tables(spark, tmp_path):
+    from etl_upc_syllabus_spark.sources.layout import rebase_pointer_table
+
+    t = str(tmp_path / "whole")
+    publish_snapshot(spark.range(3).withColumnRenamed("id", "v"), t)
+    with pytest.raises(ValueError, match="not a pointer-manifest table"):
+        rebase_pointer_table(spark, t)
+    with pytest.raises(ValueError, match="not a pointer-manifest table"):
+        rebase_pointer_table(spark, str(tmp_path / "missing"))
+
+
+def test_reader_pinned_across_a_racing_rebase(spark, tmp_path):
+    """The racing-reader property VERDICT r14 item 4 asks pinned on the
+    re-base specifically: a reader resolved BEFORE the re-base keeps
+    its exact rows after the re-base lands (its files are untouched
+    until vacuum), and a vacuum honoring the retention contract
+    (keep >= the pinned version's distance) keeps it readable."""
+    from etl_upc_syllabus_spark.sources.layout import rebase_pointer_table
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(
+        _batch(spark, "A", 4).union(_batch(spark, "B", 2, 50)), t, "period"
+    )
+    publish_snapshot_incremental(_batch(spark, "B", 9, 100), t)  # v1
+    pinned = read_current_snapshot(spark, t)  # resolves v1's manifest NOW
+    assert pinned.count() == 13
+
+    rebase_pointer_table(spark, t)  # v2: full rewrite, no vacuum
+    publish_snapshot_incremental(_batch(spark, "B", 1, 200), t)  # v3
+    # the pinned plan still reads v1's exact files
+    assert pinned.count() == 13
+    assert pinned.filter(F.col("period") == "B").count() == 9
+    # retention honored: keep=3 covers v1, so the pinned read survives
+    vacuum_snapshots(t, keep=3)
+    assert pinned.count() == 13

@@ -223,3 +223,47 @@ def test_audit_dirs_pools_census_across_an_explicit_scope(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="write-artifact audit"):
         audit_write_artifact_dirs(spark, [os.path.join(d, "p=nope")])
+
+
+def test_driver_and_distributed_paths_agree(spark, tmp_path):
+    """r15 (VERDICT r14 item 5): scopes at/under max_driver_files audit
+    driver-side with zero Spark jobs; the findings must be IDENTICAL to
+    the distributed path's on every issue class, including the global
+    majority/tie logic. The four-classes fixture is exactly that."""
+    d = build_polluted(spark, str(tmp_path))
+    fast = {(r["file"], r["issue"]) for r in audit_write_artifacts(spark, d).collect()}
+    slow = {
+        (r["file"], r["issue"])
+        for r in audit_write_artifacts(spark, d, max_driver_files=0).collect()
+    }
+    assert fast == slow and fast  # same findings, and there are findings
+
+    # the explicit-dirs entry point agrees with itself the same way
+    from etl_upc_syllabus_spark.sources.formats import audit_write_artifact_dirs
+
+    sub = [d]  # the polluted root as one explicit-dirs scope
+    if sub:
+        fast2 = {
+            (r["file"], r["issue"])
+            for r in audit_write_artifact_dirs(spark, sub).collect()
+        }
+        slow2 = {
+            (r["file"], r["issue"])
+            for r in audit_write_artifact_dirs(
+                spark, sub, max_driver_files=0
+            ).collect()
+        }
+        assert fast2 == slow2
+
+
+def test_big_scopes_still_distribute(spark, tmp_path):
+    """The cap is a short-circuit, not a semantics change: a scope over
+    max_driver_files takes the distributed walk and returns the same
+    clean verdict."""
+    d = str(tmp_path / "wide")
+    spark.range(5000).selectExpr("id", "id % 50 as k").repartition(
+        8
+    ).write.partitionBy("k").parquet(d)
+    # 50 partitions x 8 tasks = up to 400 files > cap of 16
+    report = audit_write_artifacts(spark, d, max_driver_files=16)
+    assert report.count() == 0

@@ -166,6 +166,53 @@ def pointer_width_receipt(spark, work: str, n_parts: int = 2000) -> dict:
     }
 
 
+def rebase_receipt(spark, work: str, n_parts: int = 50) -> dict:
+    """r15 (VERDICT r14 item 4): the read-cost curve vs LIVE snapshot
+    count, and what rebase_pointer_table buys back. A table refreshed
+    partition-at-a-time converges on one live snapshot PER partition;
+    the reader unions one branch per live snapshot, so read cost grows
+    with that count. sf1-shaped: 50 partitions x 100k rows."""
+    from etl_upc_syllabus_spark.sources.layout import rebase_pointer_table
+
+    t = os.path.join(work, "tbl_rebase")
+    df = (
+        spark.range(n_parts * 100_000)
+        .select(
+            (F.col("id") % n_parts).cast("string").alias("pk"),
+            F.col("id").alias("v"),
+        )
+        .repartition(F.col("pk"))
+    )
+    publish_snapshot_incremental(df, t, "pk")
+
+    def read_sec() -> float:
+        t0 = time.perf_counter()
+        read_current_snapshot(spark, t).count()
+        return round(time.perf_counter() - t0, 3)
+
+    curve = {1: read_sec()}
+    # refresh partitions one at a time; each refreshed partition pins
+    # its own snapshot -> live count = refreshed + 1
+    for i in range(n_parts - 1):
+        publish_snapshot_incremental(
+            df.filter(F.col("pk") == str(i)).repartition(1), t
+        )
+        if i + 2 in (10, 25, n_parts):
+            curve[i + 2] = read_sec()
+
+    t0 = time.perf_counter()
+    rebase_pointer_table(spark, t, vacuum_keep=1)
+    rebase_sec = round(time.perf_counter() - t0, 3)
+    curve["1_post_rebase"] = read_sec()
+    return {
+        "receipt": "rebase_read_cost_vs_live_snapshots",
+        "n_partitions": n_parts,
+        "rows": n_parts * 100_000,
+        "read_sec_by_live_snapshots": {str(k): v for k, v in curve.items()},
+        "rebase_sec": rebase_sec,
+    }
+
+
 def main() -> None:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale_data/sf1"
     spark = (
@@ -180,6 +227,7 @@ def main() -> None:
     try:
         print(json.dumps(audit_receipt(spark, work)))
         print(json.dumps(pointer_width_receipt(spark, work)))
+        print(json.dumps(rebase_receipt(spark, work)))
         if os.path.isdir(sf1):
             print(json.dumps(snapshot_receipt(spark, sf1, work)))
         else:
