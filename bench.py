@@ -96,7 +96,8 @@ def _preflight_load() -> tuple[list[float], bool]:
     and stamp themselves contended (probe children got exactly this
     exemption for the same reason). The load5 conjunct is therefore
     waived once load1 has held below its gate for 6 CONSECUTIVE polls
-    (10 s apart: ~50 s of sustained quiet): sustained-quiet load1 is direct evidence the load5
+    (10 s apart: ~60 s of sustained quiet, the BASELINE.md receipt's
+    6-poll streak): sustained-quiet load1 is direct evidence the load5
     residue is history (ours or a finished neighbor), whereas the
     between-bursts failure mode r13 root-caused shows as load1 dipping
     for an instant, not holding for a minute.
