@@ -82,6 +82,10 @@ def compact(spark: SparkSession, path: str, out_path: str, target_files: int) ->
 #   vacuum, and auditable with audit_write_artifacts before the flip.
 
 _MANIFEST = "_CURRENT"
+# how long a .claiming- staging dir must sit untouched before vacuum may
+# reclaim it (see the grace-window comment in vacuum_snapshots; a live
+# claimant's staging phase is microseconds, so 30 s is ~6 decades of margin)
+_STAGING_GRACE_SEC = 30.0
 _SNAP_PREFIX = "snapshot-"
 _VERSIONS_JOURNAL = "_VERSIONS"
 
@@ -229,21 +233,36 @@ def _claim_version(table_dir: str, attempts: int = 16):
             claim.close()
             _shutil.rmtree(staging, ignore_errors=True)
             continue
-        if _os.fstat(claim.fileno()).st_nlink == 0:
-            # forensic chain from the storm's rarest flake: a vacuum
-            # judged the staging dead in our open->flock gap and its
-            # rmtree UNLINKED .claim before our rename raced past its
-            # final rmdir -- leaving the renamed dir visible but empty,
-            # its liveness forever unprovable (the locked inode is off
-            # the filesystem). One fstat closes it: nlink==0 means the
-            # claim is compromised, abandon before any data is written.
-            # After this check passes, the on-path .claim IS our locked
-            # inode and every later liveness probe sees the lock.
+        try:
+            on_path = _os.stat(_os.path.join(table_dir, snap, ".claim"))
+            compromised = (
+                _os.fstat(claim.fileno()).st_nlink == 0
+                or on_path.st_ino != _os.fstat(claim.fileno()).st_ino
+            )
+        except FileNotFoundError:
+            compromised = True
+        if compromised:
+            # forensic chain from the storm's rarest flake (r14, root-
+            # caused fully in r15): a vacuum judged the staging dead in
+            # our open->flock gap and began an fd-based rmtree, which
+            # follows the INODE -- so it survives our rename and unlinks
+            # .claim inside the already-renamed snapshot dir (its final
+            # path-based rmdir ENOENTs harmlessly). The dir is then
+            # visible but its liveness forever unprovable (the locked
+            # inode is off the filesystem), and a later vacuum dooms it
+            # MID-WRITE -- caught live by the rebase-vs-vacuum storm.
+            # The on-path stat vs locked-fd fstat inode comparison
+            # catches every interleaving where the unlink lands before
+            # this check; the vacuum-side staging GRACE WINDOW (see
+            # vacuum_snapshots) prevents the reclaim from starting in
+            # the microseconds-wide gap at all. Abandon before any data
+            # is written. After this check passes, the on-path .claim
+            # IS our locked inode and every later liveness probe sees
+            # the lock.
             claim.close()
-            try:
-                _os.rmdir(_os.path.join(table_dir, snap))  # empty: ours
-            except OSError:
-                pass
+            _shutil.rmtree(
+                _os.path.join(table_dir, snap), ignore_errors=True
+            )  # ours, holds at most the orphaned .claim
             continue
         return version, snap, claim
     raise RuntimeError(
@@ -280,10 +299,22 @@ def _verify_snapshot(spark: SparkSession, snap_dir: str, snap: str) -> None:
     aborts the publish loudly; the unflipped snapshot stays invisible
     to readers and vacuum-reclaimable. Uses the COLLECTED audit form
     (r15): a small snapshot verifies in one driver-side walk, zero
-    Spark jobs -- cheap enough that verify defaults on."""
+    Spark jobs -- cheap enough that verify defaults on. The _SUCCESS
+    expectation follows the session's own committer config (r15 review
+    pass 1: with marksuccessfuljobs=false the marker legitimately never
+    exists, and a default-on verify must not fail every publish over
+    its own writer's convention)."""
     from .formats import collect_write_artifacts
 
-    findings = collect_write_artifacts(spark, snap_dir)
+    marks = (
+        spark.sparkContext._jsc.hadoopConfiguration().get(
+            "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+        )
+        or "true"
+    )
+    findings = collect_write_artifacts(
+        spark, snap_dir, expect_success=marks.lower() != "false"
+    )
     if findings:
         detail = ", ".join(f"{iss}: {f}" for f, iss in findings[:5])
         raise RuntimeError(
@@ -451,6 +482,7 @@ def publish_snapshot_incremental(
     partition_col: str | None = None,
     *,
     verify: bool = True,
+    expected_base: str | None = None,
 ) -> str:
     """Publish ``df`` as the table's next version, writing ONLY the
     partitions present in ``df`` -- untouched partitions are carried
@@ -509,11 +541,31 @@ def publish_snapshot_incremental(
     decision (one task per partition value concentrates a hot
     partition onto one core; salt or range-partition instead when a
     partition is huge).
+
+    ``expected_base`` (r15 review pass 1): optimistic-concurrency CAS
+    for callers whose BATCH was composed from a specific version --
+    pass the manifest name ``df`` was derived from, and the publish
+    refuses (retryable RuntimeError) if _CURRENT differs at entry,
+    closing the read-compose-publish window the entry-time re-read
+    alone cannot see. Found on :func:`rebase_pointer_table`: its df
+    carries EVERY partition, so a concurrent refresh committing
+    between the re-base's base read and this entry would be silently
+    reverted -- the publish's own entry read would adopt the NEWER
+    manifest as base and the flip's expected_current check would pass.
+    Ordinary additive batches (recomputed from source, not from a
+    table read) don't need it; leave None.
     """
     import os as _os
 
     _os.makedirs(table_dir, exist_ok=True)
     current = _read_manifest_target(table_dir)
+    if expected_base is not None and current != expected_base:
+        raise RuntimeError(
+            f"expected_base {expected_base!r} is stale: _CURRENT is "
+            f"{current!r}; the batch was composed from a version that "
+            "is no longer current -- recompose and retry on the fresh "
+            "base"
+        )
     if current is not None:
         if not current.startswith(_MANIFEST_PREFIX):
             raise ValueError(
@@ -679,9 +731,11 @@ def rebase_pointer_table(
     readers pinned to older versions keep their exact files, a
     concurrent incremental publish either lands before the re-base's
     base read (its refresh is included) or collides with the
-    stale-base/rollback guards (one side retries loudly, nothing is
-    silently lost), and a killed re-base leaves only vacuum-reclaimable
-    orphans.
+    stale-base/rollback guards -- the re-base publishes with
+    ``expected_base`` pinned to the manifest it read, so a refresh
+    landing anywhere in its read-compose-publish window makes the
+    re-base refuse retryably; nothing is silently lost -- and a killed
+    re-base leaves only vacuum-reclaimable orphans.
 
     ``repartition=True`` (default) applies the documented wide-batch
     layout recipe -- ``df.repartition(partition_col)``, one file per
@@ -703,11 +757,30 @@ def rebase_pointer_table(
             f"(_CURRENT -> {current!r}); re-base only applies to "
             "partition-pointer tables"
         )
-    pcol = _load_manifest(table_dir, current)["partition_col"]
-    df = read_current_snapshot(spark, table_dir)
+    try:
+        pcol = _load_manifest(table_dir, current)["partition_col"]
+        # read the EXACT manifest just resolved (not _CURRENT again) and
+        # publish with expected_base=that manifest: the re-based df
+        # carries every partition, so a concurrent refresh landing
+        # between this read and the publish would be silently reverted
+        # without the CAS (r15 review pass 1 -- the publish's own entry
+        # re-read would adopt the newer manifest as base and the flip
+        # guard would pass). On the retryable refusal, re-run the
+        # re-base: it recomposes from fresh.
+        df = _read_pointer_manifest(spark, table_dir, current)
+    except FileNotFoundError:
+        # same race, same retryable wrapper as the reader/publisher
+        # paths: vacuum reclaimed the base manifest after a newer commit
+        raise RuntimeError(
+            f"base manifest {current!r} was reclaimed between the "
+            "_CURRENT read and its load (vacuum racing a newer commit); "
+            "retry the re-base on the fresh base"
+        ) from None
     if repartition:
         df = df.repartition(pcol)
-    snap_dir = publish_snapshot_incremental(df, table_dir, pcol, verify=verify)
+    snap_dir = publish_snapshot_incremental(
+        df, table_dir, pcol, verify=verify, expected_base=current
+    )
     if vacuum_keep is not None:
         vacuum_snapshots(table_dir, keep=vacuum_keep)
     return snap_dir
@@ -960,6 +1033,7 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     single-operator contract); a crashed vacuum is safely re-run."""
     import os as _os
     import shutil as _shutil
+    import time as _time
 
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
@@ -1106,8 +1180,30 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
         elif f.startswith(".claiming-"):
             # a claim staging dir (see _claim_version): dead when its
             # .claim lock is no longer held (live ones are mid-rename)
+            # -- AND old enough to be dead for sure. The grace window
+            # closes the fd-rmtree-survives-rename race root-caused by
+            # the r15 rebase-vs-vacuum storm: a live claimant's staging
+            # phase (mkdir -> open -> flock -> rename, no Spark work
+            # inside) lasts microseconds, but a probe landing in the
+            # open->flock gap CAN acquire the lock and verdict "dead";
+            # the fd-based rmtree it starts then follows the INODE
+            # through the claimant's rename and strips .claim out of
+            # the live snapshot dir, whose next liveness probe dooms it
+            # MID-WRITE. A staging dir younger than the window is never
+            # touched (a racing claimant is in-gap at most for
+            # microseconds); one older than the window with a free lock
+            # is a crashed claimant for sure (the kernel released its
+            # lock at death, and no live claimant stages for 30 s).
             full = _os.path.join(table_dir, f)
-            if _os.path.isdir(full) and not _claim_is_live(table_dir, f):
+            try:
+                age = _time.time() - _os.stat(full).st_mtime
+            except OSError:
+                continue  # vanished: renamed or already reclaimed
+            if (
+                age > _STAGING_GRACE_SEC
+                and _os.path.isdir(full)
+                and not _claim_is_live(table_dir, f)
+            ):
                 _shutil.rmtree(full, ignore_errors=True)
 
     # journal compaction (r14 review: without it the inventory's cost
