@@ -516,7 +516,8 @@ def collect_write_artifacts(
 ) -> list[tuple[str, str]]:
     """The audit as COLLECTED ``(file, issue)`` tuples -- for callers
     that immediately raise on findings (the snapshot layer's pre-flip
-    ``verify=`` and the sink verify paths). On a scope under
+    ``verify=``; the in-place sink paths keep the DataFrame form,
+    whose report is their documented injection seam). On a scope under
     ``max_driver_files`` this runs ZERO Spark jobs: even an empty
     local-relation report costs a ~0.3 s job scheduling (measured,
     BASELINE.md r15 receipt), which was most of what remained of
