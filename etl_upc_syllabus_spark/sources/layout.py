@@ -980,14 +980,32 @@ def read_snapshot_version(
     published it (whole-table dir or pointer manifest, resolved the
     same way read_current_snapshot resolves _CURRENT). Loud KeyError
     when that version never committed or was vacuumed -- the retention
-    contract is vacuum's, not the reader's."""
+    contract is vacuum's, not the reader's. A vacuum racing the read
+    (target reclaimed between the inventory's existence check and the
+    manifest load) surfaces as the same KeyError, never a raw
+    FileNotFoundError (r15: the symmetry rule ADVICE r14 set for
+    read_current_snapshot, applied to the time-travel path too)."""
     import os as _os
+
+    from pyspark.errors import AnalysisException
 
     for entry in list_snapshot_versions(table_dir):
         if entry["version"] == version:
-            if entry["kind"] == "pointer":
-                return _read_pointer_manifest(spark, table_dir, entry["target"])
-            return spark.read.parquet(_os.path.join(table_dir, entry["target"]))
+            try:
+                if entry["kind"] == "pointer":
+                    return _read_pointer_manifest(
+                        spark, table_dir, entry["target"]
+                    )
+                if not _os.path.isdir(_os.path.join(table_dir, entry["target"])):
+                    break  # dir reclaimed since the inventory listed it
+                return spark.read.parquet(
+                    _os.path.join(table_dir, entry["target"])
+                )
+            except (FileNotFoundError, AnalysisException):
+                # pointer manifest / snapshot dir reclaimed mid-read:
+                # the vacuumed KeyError below (whole-table reads surface
+                # a vanished dir as AnalysisException, not OSError)
+                break
     raise KeyError(
         f"version {version} of {table_dir!r} does not exist (never "
         "committed, or reclaimed by vacuum_snapshots)"

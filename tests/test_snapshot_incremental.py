@@ -1062,3 +1062,31 @@ def test_rebase_and_readers_racing_a_publisher_storm(spark, tmp_path):
         r["period"]: r["n"]
         for r in out.groupBy("period").agg(F.count("*").alias("n")).collect()
     } == last_committed
+
+
+def test_time_travel_racing_vacuum_raises_keyerror_not_fnf(spark, tmp_path):
+    """r15 symmetry sweep: a time-travel read whose target is vacuumed
+    between the inventory's existence check and the manifest load gets
+    the documented KeyError (the retention contract's error), never a
+    raw FileNotFoundError."""
+    import etl_upc_syllabus_spark.sources.layout as layout
+    from etl_upc_syllabus_spark.sources.layout import read_snapshot_version
+
+    t = str(tmp_path / "tbl")
+    publish_snapshot_incremental(_batch(spark, "A", 2), t, "period")  # v0
+    publish_snapshot_incremental(_batch(spark, "A", 3), t)  # v1
+
+    real_load = layout._load_manifest
+
+    def load_vacuumed(table_dir, manifest_name):
+        if manifest_name == "manifest-00000000.json":
+            raise FileNotFoundError(manifest_name)  # vacuum won the race
+        return real_load(table_dir, manifest_name)
+
+    try:
+        layout._load_manifest = load_vacuumed
+        with pytest.raises(KeyError, match="reclaimed by vacuum"):
+            read_snapshot_version(spark, t, 0)
+    finally:
+        layout._load_manifest = real_load
+    assert read_snapshot_version(spark, t, 1).count() == 3
