@@ -1090,3 +1090,34 @@ def test_time_travel_racing_vacuum_raises_keyerror_not_fnf(spark, tmp_path):
     finally:
         layout._load_manifest = real_load
     assert read_snapshot_version(spark, t, 1).count() == 3
+
+
+def test_rebase_roundtrips_hostile_partition_values(spark, tmp_path):
+    """r15 review pass 4: re-base is the one operation that DECODES
+    partition values from dir names (the pinned-string read) and
+    RE-ENCODES them through a fresh partitionBy -- a roundtrip ordinary
+    refreshes never perform (their pointer keys are the raw dir names).
+    NULL, the %XX-escaped class, spaces, and '=' must survive it
+    byte-identically."""
+    from etl_upc_syllabus_spark.sources.layout import rebase_pointer_table
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, None), (2, "a/b"), (3, "a b"), (4, "k=v"), (5, "ok")],
+        "v long, period string",
+    )
+    publish_snapshot_incremental(df, t, "period")
+    before = json.load(open(os.path.join(t, "manifest-00000000.json")))
+
+    rebase_pointer_table(spark, t, vacuum_keep=1)
+    after_name = sorted(
+        f for f in os.listdir(t) if f.startswith("manifest-")
+    )[-1]
+    after = json.load(open(os.path.join(t, after_name)))
+    # identical raw dir-name keys, all re-pointed at the new snapshot
+    assert set(after["partitions"]) == set(before["partitions"])
+    assert len(set(after["partitions"].values())) == 1
+    back = {
+        r["v"]: r["period"] for r in read_current_snapshot(spark, t).collect()
+    }
+    assert back == {1: None, 2: "a/b", 3: "a b", 4: "k=v", 5: "ok"}
