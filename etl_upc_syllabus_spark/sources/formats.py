@@ -524,7 +524,13 @@ def collect_write_artifacts(
     verify='s fixed overhead once the listing went driver-side.
     ``path`` may be a table root (``_SUCCESS`` semantics of
     :func:`audit_write_artifacts`) or an explicit list of partition
-    dirs (semantics of :func:`audit_write_artifact_dirs`)."""
+    dirs (semantics of :func:`audit_write_artifact_dirs`). A PLAIN
+    FILE path returns ``[]`` (a single file has no directory layout to
+    audit -- no staging leftovers, no marker conventions), matching
+    the DataFrame twin's empty report for the same input; only a path
+    that exists as NEITHER file nor directory raises, the loud-on-typo
+    asymmetry being deliberate: silence means "audited, clean", never
+    "target absent"."""
     import os as _os
 
     if isinstance(path, list):

@@ -420,11 +420,31 @@ def _flip_manifest(
         # history once later commits pass its version. The reverse
         # order (replace first) would be worse: a crash would leave
         # the LIVE current version missing from history forever.
-        entries = [
-            t
-            for t in _read_journal(table_dir)
-            if 0 <= _version_of(t) <= committed
-        ]
+        prior = _read_journal(table_dir)
+        if not prior and cur is not None:
+            # journal backfill (ADVICE r15, medium): the FIRST flip of a
+            # pre-journal table must not start the journal with only its
+            # own commit -- once a journal exists it is the sole commit
+            # authority, so every genuinely committed legacy version
+            # would classify as a refused-publish orphan and be
+            # reclaimed OUTRIGHT by the next vacuum, inside the
+            # documented keep window. Seed the journal from the same
+            # on-disk heuristic the inventory's journal-less fallback
+            # uses, capped at the committed version, plus _CURRENT's own
+            # target (which the heuristic can miss when the table was
+            # written without _SUCCESS markers). Pre-journal committed
+            # history stays committed; the heuristic's documented
+            # cannot-tell-orphans-apart caveat is inherited once, at
+            # upgrade time, instead of silently converting history to
+            # orphans.
+            legacy = {
+                t
+                for t in _legacy_version_targets(table_dir)
+                if 0 <= _version_of(t) <= committed
+            }
+            legacy.add(cur)
+            prior = sorted(legacy, key=_version_of)
+        entries = [t for t in prior if 0 <= _version_of(t) <= committed]
         entries.append(snap)
         _rewrite_journal(table_dir, entries)
         tmp = _os.path.join(table_dir, f"._CURRENT.tmp.{version:08d}")
@@ -923,7 +943,20 @@ def list_snapshot_versions(table_dir: str) -> list[dict]:
 
     current = _read_manifest_target(table_dir)
     cur_version = _version_of(current) if current else -1
-    committed = _read_journal(table_dir) or _legacy_version_targets(table_dir)
+    journal = _read_journal(table_dir)
+    if journal:
+        # half-journaled defense (ADVICE r15): a table whose journal was
+        # started WITHOUT the flip-time backfill (older build) covers
+        # only versions >= its minimum entry; committed pre-journal
+        # history below that range stays visible via the legacy
+        # heuristic instead of vanishing from the inventory (and from
+        # time travel) the moment the journal exists.
+        committed = (
+            sorted(_legacy_below_journal(table_dir, journal), key=_version_of)
+            + journal
+        )
+    else:
+        committed = _legacy_version_targets(table_dir)
     out = []
     seen: set[str] = set()
     for target in committed:
@@ -971,6 +1004,34 @@ def _legacy_version_targets(table_dir: str) -> list[str]:
         and _version_of(d) >= 0
         and _os.path.exists(_os.path.join(table_dir, d, "_SUCCESS"))
     ]
+
+
+def _legacy_below_journal(table_dir: str, journal: list[str]) -> set[str]:
+    """Committed pre-journal targets a half-started journal does not
+    cover (ADVICE r15, medium): a journal begun by an older build (no
+    flip-time backfill) contains only post-upgrade commits, so its
+    minimum version bounds what it can testify about. Targets BELOW
+    that range that the legacy heuristic deems committed are
+    pre-journal history, not refused-publish orphans -- orphans can
+    only interleave WITHIN the committed range (claims are issued above
+    the then-current version, so a refusal's version always sits
+    between two commits the journal records, never below its minimum;
+    below-minimum non-journaled survivors of compaction would have been
+    reclaimed or claim-live-skipped by a prior vacuum). Returns empty
+    for an empty journal (the caller's full legacy fallback applies)
+    and when the journal already covers version 0."""
+    if not journal:
+        return set()
+    jmin = min(
+        (v for v in (_version_of(t) for t in journal) if v >= 0), default=-1
+    )
+    if jmin <= 0:
+        return set()
+    return {
+        t
+        for t in _legacy_version_targets(table_dir)
+        if 0 <= _version_of(t) < jmin
+    }
 
 
 def read_snapshot_version(
@@ -1040,21 +1101,49 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     already refused or will refuse on the moved base -- and are
     reclaimed outright instead of aging through the window. Journal-
     less tables (pre-journal builds) fall back to the on-disk
-    heuristic, exactly as the inventory does; the two commit oracles
-    can never disagree.
+    heuristic, exactly as the inventory does, and a HALF-journaled
+    table (journal started by an older build without the flip-time
+    backfill) keeps its pre-journal committed history: non-journaled
+    targets below the journal's minimum version classify as committed
+    via the legacy heuristic, never as orphans (ADVICE r15; see
+    :func:`_legacy_below_journal` for why orphans cannot live there).
+    The two commit oracles can never disagree.
 
     Safe against concurrent PUBLISHERS (above-current state is never
     touched, and a racing publish only references dirs the current
-    manifest already protects). Two concurrent VACUUMS of one table
-    can race each other's rmtree and die loudly mid-delete -- run one
-    vacuum at a time (every table format's retention job has the same
-    single-operator contract); a crashed vacuum is safely re-run."""
+    manifest already protects). The single-operator contract is
+    ENFORCED (VERDICT r15 item 4): a non-blocking flock on
+    ``.vacuum.lock`` is held for the whole run, and a second vacuum
+    refuses loudly instead of racing the first's rmtree -- same
+    advisory-flock caveats as the flip lock (local/POSIX only; the
+    kernel releases a crashed holder's lock, so a crashed vacuum never
+    wedges the table and is safely re-run)."""
+    import fcntl as _fcntl
+    import os as _os
+
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    with open(
+        _os.path.join(table_dir, ".vacuum.lock"), "a", encoding="utf-8"
+    ) as lock_fh:
+        try:
+            _fcntl.flock(lock_fh, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
+        except BlockingIOError:
+            raise RuntimeError(
+                f"another vacuum is already running on {table_dir!r}; "
+                "refusing to race its rmtree (single-operator "
+                "contract). Re-run when it finishes -- a crashed "
+                "vacuum releases the lock and is safely re-run."
+            ) from None
+        return _vacuum_snapshots_locked(table_dir, keep)
+
+
+def _vacuum_snapshots_locked(table_dir: str, keep: int) -> list[str]:
+    """vacuum_snapshots' body, called with the .vacuum.lock flock held."""
     import os as _os
     import shutil as _shutil
     import time as _time
 
-    if keep < 1:
-        raise ValueError(f"keep must be >= 1, got {keep}")
     current = _read_manifest_target(table_dir)
     # NUMERIC version order (review r13 pass 3): lexicographic order
     # breaks at the 9th digit (snapshot-100000000 sorts before
@@ -1099,13 +1188,22 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
     # neither occupy a keep slot nor pin its snapshots (safety: such an
     # orphan's flip provably refuses -- the same version cannot be
     # claimed twice, so current passing it means the base moved).
-    journal = set(_read_journal(table_dir))
-    j_manifests = {t for t in journal if t.startswith(_MANIFEST_PREFIX)}
+    # Augmented (ADVICE r15) with pre-journal committed targets below a
+    # half-started journal's minimum version (_legacy_below_journal).
+    # This journal read is deliberately OUTSIDE the flip flock taken
+    # later for compaction, and that is safe: journal rewrites are
+    # atomic tmp+replace under the flock, so this read sees a complete
+    # journal from some instant; a flip landing after it only APPENDS a
+    # commit above the current version this vacuum already snapshotted,
+    # and every above-current target is unconditionally kept, so a
+    # stale read can never doom a newly committed version.
+    journal = _read_journal(table_dir)
+    committed_set = set(journal) | _legacy_below_journal(table_dir, journal)
     committed_manifests = [
         m
         for m in manifests
         if _version_of(m) <= cur_version
-        and (m in j_manifests or not journal or m == current)
+        and (m in committed_set or not journal or m == current)
     ]
     orphan_manifests = [
         m
@@ -1143,12 +1241,11 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
         # reclaimable outright so they never displace a committed
         # version from the window. Journal-less legacy tables fall back
         # to version arithmetic, as everywhere.
-        j_snaps = {t for t in journal if t.startswith(_SNAP_PREFIX)}
         committed_snaps = [
             s
             for s in snaps
             if int(s[len(_SNAP_PREFIX):]) <= cur_version
-            and (s in j_snaps or not journal or s == current)
+            and (s in committed_set or not journal or s == current)
         ]
         orphan_snaps = [
             s

@@ -1121,3 +1121,124 @@ def test_rebase_roundtrips_hostile_partition_values(spark, tmp_path):
         r["v"]: r["period"] for r in read_current_snapshot(spark, t).collect()
     }
     assert back == {1: None, 2: "a/b", 3: "a b", 4: "k=v", 5: "ok"}
+
+
+def test_first_flip_of_pre_journal_table_backfills_journal(spark, tmp_path):
+    """ADVICE r15 (medium): the first flip of a journal-less table must
+    seed the journal with the table's committed legacy history -- not
+    just its own commit. Without the backfill, every pre-journal
+    committed version classifies as a refused-publish orphan the
+    moment the journal exists, and the next vacuum reclaims it
+    OUTRIGHT, inside the documented keep window: the exact
+    retention-contract violation the single-commit-authority rule was
+    meant to prevent. Pinned for BOTH layouts."""
+    from etl_upc_syllabus_spark.sources.layout import (
+        list_snapshot_versions,
+        read_snapshot_version,
+    )
+
+    # pointer layout: three committed versions from a "pre-journal
+    # build" (journal removed), then one post-upgrade publish
+    t = str(tmp_path / "ptr")
+    for i in range(3):
+        publish_snapshot_incremental(_batch(spark, "A", 2 + i), t, "period")
+    os.remove(os.path.join(t, "_VERSIONS"))
+    publish_snapshot_incremental(_batch(spark, "B", 9), t)  # v3 starts journal
+    journal = open(os.path.join(t, "_VERSIONS")).read().split()
+    assert journal == [f"manifest-{v:08d}.json" for v in range(4)]
+    # the keep window now protects legacy history exactly as if the
+    # journal had existed all along
+    deleted = vacuum_snapshots(t, keep=4)
+    assert deleted == []
+    assert [e["version"] for e in list_snapshot_versions(t)] == [0, 1, 2, 3]
+    assert read_snapshot_version(spark, t, 0).count() == 2  # time travel intact
+
+    # whole-table layout: same upgrade path
+    t2 = str(tmp_path / "whole")
+    for i in range(3):
+        publish_snapshot(_batch(spark, "A", 4 + i), t2)
+    os.remove(os.path.join(t2, "_VERSIONS"))
+    publish_snapshot(_batch(spark, "B", 8), t2)  # v3 starts the journal
+    journal2 = open(os.path.join(t2, "_VERSIONS")).read().split()
+    assert journal2 == [f"snapshot-{v:08d}" for v in range(4)]
+    deleted2 = vacuum_snapshots(t2, keep=4)
+    assert deleted2 == []
+    assert read_snapshot_version(spark, t2, 1).count() == 5
+
+
+def test_half_journaled_table_keeps_pre_journal_history(spark, tmp_path):
+    """ADVICE r15 defense-in-depth: a table whose journal was started
+    by an OLDER build (only the latest commit journaled -- the half
+    state the backfill now prevents) must still keep its pre-journal
+    committed history: vacuum classifies non-journaled targets below
+    the journal's minimum version as committed (legacy heuristic),
+    never as orphans, and the inventory / time travel see them."""
+    from etl_upc_syllabus_spark.sources.layout import (
+        list_snapshot_versions,
+        read_snapshot_version,
+    )
+
+    t = str(tmp_path / "half")
+    for i in range(3):
+        publish_snapshot_incremental(_batch(spark, "A", 3 + i), t, "period")
+    # simulate the older build's half state: journal covers ONLY v2
+    with open(os.path.join(t, "_VERSIONS"), "w") as fh:
+        fh.write("manifest-00000002.json\n")
+    assert [e["version"] for e in list_snapshot_versions(t)] == [0, 1, 2]
+    assert vacuum_snapshots(t, keep=3) == []
+    assert [e["version"] for e in list_snapshot_versions(t)] == [0, 1, 2]
+    assert read_snapshot_version(spark, t, 0).count() == 3
+    # the window still ages legacy history out normally (oldest first)
+    vacuum_snapshots(t, keep=2)
+    assert [e["version"] for e in list_snapshot_versions(t)] == [1, 2]
+
+
+def test_vacuum_refuses_while_another_vacuum_holds_the_lock(spark, tmp_path):
+    """VERDICT r15 item 4: the single-operator contract is code, not
+    prose. A vacuum entering while another holds .vacuum.lock refuses
+    loudly (never races the first's rmtree); after release it runs."""
+    import fcntl
+
+    t = str(tmp_path / "tbl")
+    for i in range(3):
+        publish_snapshot_incremental(_batch(spark, "A", 2 + i), t, "period")
+    with open(os.path.join(t, ".vacuum.lock"), "a") as holder:
+        fcntl.flock(holder, fcntl.LOCK_EX)
+        with pytest.raises(RuntimeError, match="another vacuum"):
+            vacuum_snapshots(t, keep=1)
+        # refusal touched nothing
+        assert os.path.exists(os.path.join(t, "manifest-00000000.json"))
+    vacuum_snapshots(t, keep=1)  # lock released: runs normally
+    assert not os.path.exists(os.path.join(t, "manifest-00000000.json"))
+
+
+def test_two_racing_vacuums_one_wins_table_intact(spark, tmp_path):
+    """Storm pin for the vacuum lock: two vacuums launched together --
+    either one refuses with the single-operator RuntimeError or they
+    serialize (first finished before the second's flock attempt);
+    never both mid-flight. Either way the table ends consistent."""
+    import threading
+
+    from etl_upc_syllabus_spark.sources.layout import list_snapshot_versions
+
+    t = str(tmp_path / "tbl")
+    for i in range(6):
+        publish_snapshot_incremental(_batch(spark, "A", 2 + i), t, "period")
+    results: list[object] = [None, None]
+
+    def run(slot):
+        try:
+            results[slot] = vacuum_snapshots(t, keep=2)
+        except RuntimeError as e:
+            results[slot] = e
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    refusals = [r for r in results if isinstance(r, RuntimeError)]
+    assert all("another vacuum" in str(r) for r in refusals)
+    assert len(refusals) <= 1  # at least one vacuum completed
+    assert [e["version"] for e in list_snapshot_versions(t)] == [4, 5]
+    assert read_current_snapshot(spark, t).count() == 7
