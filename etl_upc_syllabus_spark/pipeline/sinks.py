@@ -132,14 +132,25 @@ def write_courses_period_incremental(
     # the write can disagree with what was actually written -- a
     # nondeterministic source or a concurrently-changed input then
     # silently excludes rewritten partition dirs from the audit). The
-    # dirs whose mtime changes across the write -- including brand-new
-    # ones, and the Hive null-sentinel dir for NULL/'' periods (the r12
-    # 3-way-merge finding) -- ARE the touched set, by construction.
-    before: dict[str, int] = {}
+    # dirs whose fingerprint changes across the write -- including
+    # brand-new ones, and the Hive null-sentinel dir for NULL/''
+    # periods (the r12 3-way-merge finding) -- ARE the touched set, by
+    # construction. The fingerprint is the dir's mtime PLUS its file
+    # listing (names, per-file mtime_ns, sizes): dir mtime alone is
+    # ambiguous on coarse-timestamp filesystems (1 s ext3, 2 s
+    # FAT/SMB), where two back-to-back refreshes of one small
+    # partition can land in a single tick and a genuinely rewritten
+    # dir would silently drop out of the audit -- the same shrinking-
+    # scope failure class this derivation exists to prevent (ADVICE
+    # r15). The rewrite always changes file names (each job's part
+    # files carry a fresh writer UUID), so the listing disambiguates
+    # even when no timestamp moves; over-auditing an untouched dir is
+    # cheap, under-auditing defeats verify.
+    before: dict[str, tuple] = {}
     if verify and os.path.isdir(out):
         for d in os.listdir(out):
             if d.startswith("period="):
-                before[d] = os.stat(os.path.join(out, d)).st_mtime_ns
+                before[d] = _partition_fingerprint(os.path.join(out, d))
     (
         courses.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -153,7 +164,7 @@ def write_courses_period_incremental(
         for d in sorted(os.listdir(out)):
             if not d.startswith("period="):
                 continue
-            if before.get(d) != os.stat(os.path.join(out, d)).st_mtime_ns:
+            if before.get(d) != _partition_fingerprint(os.path.join(out, d)):
                 dirs.append(os.path.join(out, d))
         if dirs:
             # ONE distributed job over all touched dirs (review r14: a
@@ -165,6 +176,27 @@ def write_courses_period_incremental(
                 "write_courses_period_incremental",
             )
     return out
+
+
+def _partition_fingerprint(path: str) -> tuple:
+    """Write-detection fingerprint of one partition dir: (dir mtime_ns,
+    sorted (name, mtime_ns, size) of its entries). A file vanishing
+    between listdir and stat (concurrent writer mid-swap) records a
+    sentinel rather than raising -- the fingerprint still differs from
+    any stable 'before', which errs toward auditing, never away."""
+    try:
+        st_ns = os.stat(path).st_mtime_ns
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return ()
+    entries = []
+    for f in names:
+        try:
+            fst = os.stat(os.path.join(path, f))
+            entries.append((f, fst.st_mtime_ns, fst.st_size))
+        except FileNotFoundError:
+            entries.append((f, -1, -1))
+    return (st_ns, tuple(sorted(entries)))
 
 
 def _raise_on_artifacts(report: DataFrame, who: str) -> None:

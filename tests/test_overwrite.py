@@ -235,3 +235,79 @@ def test_verify_scope_comes_from_the_write_not_a_plan_reexecution(
     )
     with open(ledger) as fh:
         assert fh.read().count("x") == 1  # the write; never the audit scope
+
+
+def test_rewrite_within_one_mtime_tick_stays_in_audit_scope(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15 (low): on coarse-timestamp filesystems (1 s ext3,
+    2 s FAT/SMB) two back-to-back refreshes of one small partition can
+    land in a single dir-mtime tick; a fingerprint of dir mtime alone
+    would then classify the genuinely rewritten partition as untouched
+    and silently skip its audit. The fingerprint now includes the file
+    listing, so the rewrite (fresh writer-UUID part names) is detected
+    even when NO timestamp moves.
+
+    (a) unit: a same-tick rewrite (all timestamps pinned identical via
+    utime) still changes the fingerprint; (b) e2e: with timestamps
+    degenerate (coarsened to a constant -- the FAT worst case), a
+    seeded orphan in a re-refreshed partition still fails verify."""
+    # (a) same-tick rewrite changes the fingerprint
+    d = tmp_path / "period=X"
+    d.mkdir()
+    f1 = d / "part-00000-aaaa.parquet"
+    f1.write_bytes(b"old")
+    os.utime(f1, ns=(1_000_000_000, 1_000_000_000))
+    os.utime(d, ns=(1_000_000_000, 1_000_000_000))
+    fp_before = sinks._partition_fingerprint(str(d))
+    f1.unlink()
+    f2 = d / "part-00000-bbbb.parquet"
+    f2.write_bytes(b"new")  # same size, new name
+    os.utime(f2, ns=(1_000_000_000, 1_000_000_000))
+    os.utime(d, ns=(1_000_000_000, 1_000_000_000))
+    assert sinks._partition_fingerprint(str(d)) != fp_before
+
+    # (b) e2e with all timestamps coarsened to a constant
+    import shutil
+    import uuid as _uuid
+
+    real_fp = sinks._partition_fingerprint
+
+    def degenerate_clock(path):
+        fp = real_fp(path)
+        if not fp:
+            return fp
+        _, entries = fp
+        return (0, tuple((n, 0, s) for n, s in ((e[0], e[2]) for e in entries)))
+
+    monkeypatch.setattr(sinks, "_partition_fingerprint", degenerate_clock)
+    base = str(tmp_path / "tbl")
+    refresh = spark.createDataFrame(
+        [("C1", "2025-1", "Algebra")], "id string, period string, name string"
+    )
+    sinks.write_courses_period_incremental(refresh, base, verify=True)
+
+    stage = str(tmp_path / "stage")
+    refresh.write.parquet(stage)
+    donor = next(
+        os.path.join(stage, f)
+        for f in os.listdir(stage)
+        if f.endswith(".parquet")
+    )
+    from etl_upc_syllabus_spark.sources import formats
+
+    real_audit = formats.audit_write_artifact_dirs
+
+    def seeded(spark_, dirs):
+        assert dirs, "rewritten partition dropped from audit scope"
+        shutil.copy(
+            donor,
+            os.path.join(
+                dirs[0], f"part-00000-{_uuid.uuid4()}.c000.snappy.parquet"
+            ),
+        )
+        return real_audit(spark_, dirs)
+
+    monkeypatch.setattr(formats, "audit_write_artifact_dirs", seeded)
+    with pytest.raises(RuntimeError, match="write-artifact audit found"):
+        sinks.write_courses_period_incremental(refresh, base, verify=True)
