@@ -34,12 +34,19 @@ trustworthiness two ways:
 - **pre-flight gate**: before any Spark work (when loadavg still
   reflects only OTHER tenants -- our own 32-thread run inflates it
   afterwards), wait up to $SPARK_GRAFT_BENCH_MAX_WAIT seconds
-  (default 180) for load1 to drop below $SPARK_GRAFT_BENCH_LOAD_GATE
+  (default 600) for load1 to drop below $SPARK_GRAFT_BENCH_LOAD_GATE
   (default 1.0);
 - **adaptive repeats**: min-of-2 per query on a quiet host, min-of-3
   when the gate timed out with the host still contended. All samples
   plus the pre-flight and post-run loadavg are emitted so cross-round
-  comparisons can separate plan regressions from host contention.
+  comparisons can separate plan regressions from host contention;
+- **contended retry** (VERDICT r15 item 3): if the gate timed out,
+  the full suite runs a SECOND attempt behind a fresh bounded wait;
+  the quieter attempt (uncontended beats contended, then lower suite
+  total) becomes the artifact and the discarded attempt's summary
+  rides the extended line (``attempts``/``discarded_attempt``), so
+  the artifact of record carries its own two-attempt audit trail.
+  Opt out with SPARK_GRAFT_BENCH_CONTENDED_RETRY=0.
 """
 
 from __future__ import annotations
@@ -104,7 +111,14 @@ def _preflight_load() -> tuple[list[float], bool]:
     """
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1.0"))
     gate5 = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD5_GATE", "1.0"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "180"))
+    # default raised 180 -> 600 (VERDICT r15 item 3: two rounds running
+    # the artifact of record stamped itself contended while quiet
+    # windows demonstrably existed within the hour; the official run
+    # should spend minutes waiting rather than ship a contended
+    # number). Child invocations are unaffected -- wobble probes pass
+    # SPARK_GRAFT_BENCH_MAX_WAIT=60 explicitly and run_cold sessions
+    # run in-process with no preflight of their own.
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "600"))
     deadline = time.monotonic() + max_wait
     quiet_streak = 0
     while True:
@@ -498,7 +512,6 @@ def main() -> None:
     loadavg_preflight, contended = _preflight_load()
     cpu_cal = _cpu_calibration()
     cpu_cal_mt = _cpu_calibration_mt()
-    n_runs = 3 if contended else 2
     specs = all_specs()
     # SPARK_GRAFT_BENCH_QUERIES overrides the headline list (comma-
     # separated registry names) -- used by the scale-up smoke to time
@@ -535,11 +548,62 @@ def main() -> None:
         )
         return
 
+    extended, summary, contended = _suite_attempt(
+        names, specs, sf, sf_dir, override, loadavg_preflight, contended,
+        cpu_cal, cpu_cal_mt,
+    )
+    # Contended-retry (VERDICT r15 item 3): when the preflight gate
+    # timed out, the artifact of record should not settle for a
+    # contended reading if one more bounded wait finds the quiet
+    # window. One full re-attempt (fresh preflight wait, fresh warm +
+    # cold suites); the quieter attempt becomes the artifact and the
+    # discarded one rides the extended line so the two-attempt trail
+    # stays auditable. Opt out with SPARK_GRAFT_BENCH_CONTENDED_RETRY=0
+    # (probe children never retry: they pass an override query list).
+    retry_on = (
+        not override
+        and os.environ.get("SPARK_GRAFT_BENCH_CONTENDED_RETRY", "1") != "0"
+    )
+    if contended and retry_on:
+        loadavg_pre2, contended2 = _preflight_load()
+        cpu_cal2 = _cpu_calibration()
+        cpu_cal_mt2 = _cpu_calibration_mt()
+        extended2, summary2, contended2 = _suite_attempt(
+            names, specs, sf, sf_dir, override, loadavg_pre2, contended2,
+            cpu_cal2, cpu_cal_mt2,
+        )
+        keep_second = (not contended2 and contended) or (
+            contended2 == contended and summary2["value"] < summary["value"]
+        )
+        if keep_second:
+            discarded, (extended, summary) = summary, (extended2, summary2)
+        else:
+            discarded = summary2
+        extended["discarded_attempt"] = {
+            "value": discarded["value"],
+            "contended": discarded.get("contended"),
+            "loadavg_preflight": discarded.get("loadavg_preflight"),
+        }
+        extended["attempts"] = 2
+    print(json.dumps(extended))
+    print(json.dumps(summary))
+
+
+def _suite_attempt(
+    names, specs, sf, sf_dir, override, loadavg_preflight, contended,
+    cpu_cal, cpu_cal_mt,
+):
+    """One full warm+cold suite execution -> (extended, summary,
+    contended). Factored out of main() so the contended-retry protocol
+    can run it twice with independent preflights (VERDICT r15 item 3);
+    the JVM is fully stopped before returning, so two attempts never
+    share JIT/cache state."""
     spark = get_spark("bench")
 
     # Best-of-N per query (see module docstring): min across runs is a
     # far better estimate of the plan's actual cost than one arbitrary
     # sample on a shared host.
+    n_runs = 3 if contended else 2
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     warmups: dict[str, float] = {}
@@ -593,8 +657,7 @@ def main() -> None:
         contended, n_runs, sf, cold_timings, wobble, cpu_cal_sec=cpu_cal,
         cpu_cal_mt_sec=cpu_cal_mt,
     )
-    print(json.dumps(extended))
-    print(json.dumps(summary))
+    return extended, summary, contended
 
 
 if __name__ == "__main__":
