@@ -802,7 +802,15 @@ def rebase_pointer_table(
         df, table_dir, pcol, verify=verify, expected_base=current
     )
     if vacuum_keep is not None:
-        vacuum_snapshots(table_dir, keep=vacuum_keep)
+        try:
+            vacuum_snapshots(table_dir, keep=vacuum_keep)
+        except VacuumInProgress:
+            # the re-base COMMITTED above; a concurrent vacuum holding
+            # the single-operator lock is already doing retention work,
+            # and raising here would make the committed re-base look
+            # failed (a retrying caller would redo the whole rewrite).
+            # The requested keep window is applied by the next vacuum.
+            pass
     return snap_dir
 
 
@@ -1017,9 +1025,15 @@ def _legacy_below_journal(table_dir: str, journal: list[str]) -> set[str]:
     the then-current version, so a refusal's version always sits
     between two commits the journal records, never below its minimum;
     below-minimum non-journaled survivors of compaction would have been
-    reclaimed or claim-live-skipped by a prior vacuum). Returns empty
-    for an empty journal (the caller's full legacy fallback applies)
-    and when the journal already covers version 0."""
+    reclaimed or claim-live-skipped by a prior vacuum). Within this
+    below-minimum range the legacy heuristic's documented caveat is
+    inherited: it cannot tell a very-stale publisher's never-flipped
+    manifest from real pre-journal history (the same ambiguity a fully
+    journal-less table lives with), and it resolves it the same
+    conservative way -- treat as committed, age out through the keep
+    window. Returns empty for an empty journal (the caller's full
+    legacy fallback applies) and when the journal already covers
+    version 0."""
     if not journal:
         return set()
     jmin = min(
@@ -1129,13 +1143,22 @@ def vacuum_snapshots(table_dir: str, keep: int = 2) -> list[str]:
         try:
             _fcntl.flock(lock_fh, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
         except BlockingIOError:
-            raise RuntimeError(
+            raise VacuumInProgress(
                 f"another vacuum is already running on {table_dir!r}; "
                 "refusing to race its rmtree (single-operator "
                 "contract). Re-run when it finishes -- a crashed "
                 "vacuum releases the lock and is safely re-run."
             ) from None
         return _vacuum_snapshots_locked(table_dir, keep)
+
+
+class VacuumInProgress(RuntimeError):
+    """Another vacuum holds this table's .vacuum.lock. A distinct type
+    (still a RuntimeError, so every existing retry-on-RuntimeError
+    caller treats it as the retryable loss it is) because ONE caller
+    must tell it apart: ``rebase_pointer_table(vacuum_keep=...)``'s
+    trailing vacuum runs AFTER its publish committed -- propagating
+    this refusal there would make a committed re-base look failed."""
 
 
 def _vacuum_snapshots_locked(table_dir: str, keep: int) -> list[str]:
