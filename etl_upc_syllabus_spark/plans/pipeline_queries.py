@@ -61,11 +61,34 @@ def _raw_docs(spark: SparkSession) -> DataFrame:
             [],
         ),
     ]
-    # createDataFrame spreads 4 rows over defaultParallelism partitions;
-    # a mostly-empty mapInPandas stage then launches one Python worker
-    # per partition. Coalesce to the row count — a real corpus read from
-    # storage gets its partitioning from the source instead.
-    return spark.createDataFrame(rows, RAW_DOC_SCHEMA).coalesce(len(rows))
+    # Built as a pure-JVM literal relation, NOT createDataFrame: a
+    # python-list createDataFrame is backed by a pickled-row RDD, so
+    # EVERY action re-runs Python deserialization tasks -- measured
+    # (r16) at ~1.2 s per run for these 4 rows once coalesce(4) chained
+    # 8 parallelize slices behind each of 4 Python-evaluated tasks,
+    # ~75% of syllabus_calendar's whole runtime. Literal structs
+    # exploded from one-partition range(1) stay JVM-side (zero Python
+    # tasks before the parse stage) and give the mapInPandas stage ONE
+    # partition for 4 tiny documents -- same rows, same values
+    # (r16 probe: 1.71 s -> 0.54 s; a real corpus read from storage
+    # gets its partitioning from the source instead). ``.to(schema)``
+    # restores RAW_DOC_SCHEMA's declared nullability, which literals
+    # (all non-null here) would otherwise narrow.
+    doc_structs = [
+        F.struct(
+            F.lit(fn).alias("filename"),
+            F.lit(pages).cast("array<string>").alias("pages"),
+            F.lit(units).cast("array<array<string>>").alias("units_table"),
+            F.lit(assess).cast("array<array<string>>").alias("assessments_table"),
+        )
+        for (fn, pages, units, assess) in rows
+    ]
+    return (
+        spark.range(0, 1, 1, 1)
+        .select(F.explode(F.array(*doc_structs)).alias("d"))
+        .select("d.*")
+        .to(RAW_DOC_SCHEMA)
+    )
 
 
 @query(

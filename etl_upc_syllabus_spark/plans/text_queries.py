@@ -208,13 +208,19 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
     surv = survivors(d, "doc_id", "text")
-    m = ta.quality_metrics("text")
-    scored = surv.select(
+    # fused let-bound metric struct (r16): one norm_text pass and one
+    # split per row; composing the single-metric builders re-evaluated
+    # those subtrees per consumer reference inside the lang_id CASE
+    # chain, where conditional branches block codegen subexpression
+    # elimination (measured 1.17x, value-identical -- see
+    # textanalysis.curation_metrics)
+    m = ta.curation_metrics("text")
+    scored = surv.select("source", m.alias("m")).select(
         "source",
-        ta.token_count("text").alias("n_tokens"),
-        ta.bpe_token_count("text").alias("n_bpe"),
-        m["quality_score"].alias("q"),
-        ta.lang_id("text").alias("plang"),
+        F.col("m.n_tokens").alias("n_tokens"),
+        F.col("m.n_bpe").alias("n_bpe"),
+        F.col("m.quality_score").alias("q"),
+        F.col("m.predicted_lang").alias("plang"),
     )
     return (
         scored.filter((F.col("plang") == "en") & (F.col("q") >= 0.5))
