@@ -744,16 +744,38 @@ def embedding_cosine_pairs_scaled(
     cand = embedding_lsh_candidate_pairs(
         emb, id_col, vec_col, dim, bands, planes_per_band, target_bucket, n
     )
+    # per-ROW norms + a let-bound cosine (r16): the former per-pair
+    # expression folded both 64-element norms per pair AND evaluated
+    # the whole dot+norm tree TWICE (once under round(), once under the
+    # threshold compare). Norms now fold once per row, and the cosine
+    # double is bound once per pair with both consumers referencing the
+    # bound value -- bit-identical outputs, ~6x fewer array folds per
+    # candidate pair.
+    from .textanalysis import let_bind
+
     vecs = emb.filter(indexable(vec_col)).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        _norm(vec_col).alias("_nrm"),
     )
     pairs = cand.join(
-        vecs.withColumnRenamed("_id", "a").withColumnRenamed("_v", "va"), "a"
-    ).join(vecs.withColumnRenamed("_id", "b").withColumnRenamed("_v", "vb"), "b")
-    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
-    return pairs.select(
+        vecs.withColumnRenamed("_id", "a")
+        .withColumnRenamed("_v", "va")
+        .withColumnRenamed("_nrm", "_a_nrm"),
         "a",
+    ).join(
+        vecs.withColumnRenamed("_id", "b")
+        .withColumnRenamed("_v", "vb")
+        .withColumnRenamed("_nrm", "_b_nrm"),
         "b",
-        F.round(cos, 6).alias("cosine"),
-        (cos >= threshold).alias("is_dup"),
+    )
+    cos = _dot("va", "vb") / (F.col("_a_nrm") * F.col("_b_nrm"))
+    scored = let_bind(
+        cos,
+        lambda cv: F.struct(
+            F.round(cv, 6).alias("cosine"), (cv >= threshold).alias("is_dup")
+        ),
+    )
+    return pairs.select("a", "b", scored.alias("_s")).select(
+        "a", "b", F.col("_s.cosine").alias("cosine"), F.col("_s.is_dup").alias("is_dup")
     )

@@ -167,13 +167,24 @@ def cosine_topk_bruteforce(
     # nor be retrieved: without the filters their NULL cosines would
     # still occupy ranked output rows (and an element-NULL vector's dot
     # product null-propagates where SQL SUM would skip -- divergent)
+    # norms are computed ONCE PER ROW on each join input (r16): the
+    # former per-pair sim expression re-folded both 64-element norm
+    # aggregates for every candidate pair -- 3 array folds per pair
+    # where 1 suffices. Same fold on the same vector value, so the
+    # double (and the rounded cosine) is bit-identical; per-pair work
+    # drops to the dot product alone, and the saving grows with pair
+    # fan-out (|queries| x |corpus| here).
     q = emb.filter(query_pred & indexable(vec_col)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        _norm(vec_col).alias("_q_nrm"),
     )
     c = emb.filter(indexable(vec_col)).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_emb")
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_emb"),
+        _norm(vec_col).alias("_c_nrm"),
     )
-    sim = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    sim = F.round(_dot("q_emb", "c_emb") / (F.col("_q_nrm") * F.col("_c_nrm")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
@@ -442,18 +453,29 @@ def cosine_topk_ivf(
     # Non-indexable query vectors are excluded: their all-NULL probe
     # distances sort FIRST in struct ordering, so without the filter
     # they would probe arbitrary lists and emit NULL-cosine ranked rows.
+    # per-ROW norms before the probe explode / cluster join (r16): the
+    # per-pair form re-folded both norms for every candidate pair
+    # (see cosine_topk_bruteforce) -- bit-identical, strictly less work
     q = emb.filter(query_pred & indexable(vec_col)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_emb"),
+        _norm(vec_col).alias("_q_nrm"),
     )
     probes = q.select(
-        "query_id", "q_emb", _nearest_clusters("q_emb", codebook, nprobe).alias("cluster")
+        "query_id", "q_emb", "_q_nrm",
+        _nearest_clusters("q_emb", codebook, nprobe).alias("cluster"),
     ).withColumn("cluster", F.explode("cluster"))
 
     cand = probes.join(
-        assigned.select(F.col("id").alias("cand_id"), F.col("v").alias("c_emb2"), "cluster"),
+        assigned.select(
+            F.col("id").alias("cand_id"),
+            F.col("v").alias("c_emb2"),
+            _norm("v").alias("_c_nrm"),
+            "cluster",
+        ),
         "cluster",
     ).filter(F.col("query_id") != F.col("cand_id"))
-    sim = F.round(_dot("q_emb", "c_emb2") / (_norm("q_emb") * _norm("c_emb2")), 6)
+    sim = F.round(_dot("q_emb", "c_emb2") / (F.col("_q_nrm") * F.col("_c_nrm")), 6)
     wr = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         cand.select("query_id", "cand_id", sim.alias("cosine"))
@@ -481,16 +503,28 @@ def cosine_topk_lsh(
     # null-propagated) projection falls through when(proj > 0)'s
     # otherwise-branch to bit '0', silently colliding corrupt vectors
     # into the all-zeros bucket while the oracle's dims CTE drops them
+    # per-ROW norm computed alongside the bucket signature (r16): the
+    # per-pair form re-folded both norms for every in-bucket pair
+    # (see cosine_topk_bruteforce) -- bit-identical, strictly less work
     bucketed = emb.filter(indexable(vec_col)).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        _norm(vec_col).alias("_nrm"),
         hyperplane_bucket(vec_col, dim).alias("bucket"),
     )
     q = bucketed.filter(query_pred).select(
-        F.col("id").alias("query_id"), F.col("v").alias("q_emb"), "bucket"
+        F.col("id").alias("query_id"),
+        F.col("v").alias("q_emb"),
+        F.col("_nrm").alias("_q_nrm"),
+        "bucket",
     )
-    c = bucketed.select(F.col("id").alias("cand_id"), F.col("v").alias("c_emb"), "bucket")
-    sim = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    c = bucketed.select(
+        F.col("id").alias("cand_id"),
+        F.col("v").alias("c_emb"),
+        F.col("_nrm").alias("_c_nrm"),
+        "bucket",
+    )
+    sim = F.round(_dot("q_emb", "c_emb") / (F.col("_q_nrm") * F.col("_c_nrm")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         q.join(c, "bucket")
@@ -1045,16 +1079,30 @@ def ivf_pq_rerank_topk(
         cents=cents,
         warn_wide_dim=False,  # this IS the wide-dim remedy
     ).select("query_id", "cand_id")
-    vecs = emb.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    # per-ROW norm on the vector side of the re-rank joins (r16): the
+    # per-pair form re-folded both norms per shortlist pair
+    # (see cosine_topk_bruteforce) -- bit-identical, strictly less work
+    vecs = emb.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        _norm(vec_col).alias("_nrm"),
+    )
     pairs = (
         F.broadcast(adc)
-        .join(vecs.withColumnRenamed("_vid", "cand_id").withColumnRenamed("_v", "c_emb"), "cand_id")
         .join(
-            vecs.withColumnRenamed("_vid", "query_id").withColumnRenamed("_v", "q_emb"),
+            vecs.withColumnRenamed("_vid", "cand_id")
+            .withColumnRenamed("_v", "c_emb")
+            .withColumnRenamed("_nrm", "_c_nrm"),
+            "cand_id",
+        )
+        .join(
+            vecs.withColumnRenamed("_vid", "query_id")
+            .withColumnRenamed("_v", "q_emb")
+            .withColumnRenamed("_nrm", "_q_nrm"),
             "query_id",
         )
     )
-    sim_col = F.round(_dot("q_emb", "c_emb") / (_norm("q_emb") * _norm("c_emb")), 6)
+    sim_col = F.round(_dot("q_emb", "c_emb") / (F.col("_q_nrm") * F.col("_c_nrm")), 6)
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return (
         pairs.select("query_id", "cand_id", sim_col.alias("cosine"))

@@ -38,7 +38,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "exact"),
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+    # deliberately NOT _docs (r16): exact dedup's only per-row work
+    # before its hash-groupBy exchange is one norm+md5 pass, so the
+    # fan_out round-robin pre-shuffle of the raw text cost more than
+    # the single-scan-task hashing it parallelized -- paired-sample
+    # probe measured the fan_out-free form 1.85x. The shingle/minhash
+    # pipelines below keep _docs: their pre-shuffle work (tokenize +
+    # K-permutation hashing) dominates their plans.
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(

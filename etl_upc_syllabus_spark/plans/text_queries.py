@@ -206,7 +206,13 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import survivors
 
-    d = fan_out(load_table(spark, sf_dir, "documents"))
+    # no fan_out here (r16): the survivors window re-shuffles by text
+    # hash immediately, so a round-robin pre-shuffle of the raw text
+    # only parallelized the pre-window md5 while paying a full extra
+    # exchange of the corpus -- paired-sample probe measured the
+    # fan_out-free form 1.15x (the heavy metric projection below runs
+    # AFTER the window exchange, on full parallelism either way)
+    d = load_table(spark, sf_dir, "documents")
     surv = survivors(d, "doc_id", "text")
     # fused let-bound metric struct (r16): one norm_text pass and one
     # split per row; composing the single-metric builders re-evaluated

@@ -182,7 +182,12 @@ SHUFFLE_BUDGETS = {
     # single-agg queries: exactly one exchange
     "q1_pricing_summary": 1,
     "window_topk_per_group": 1,
-    "agg_rollup": 1,
+    # two-level rollup (r16): exchange 1 carries per-(flag,status)
+    # partial aggregates (|groups| rows), exchange 2 the rolled-up
+    # grouping sets of those few rows -- neither is a full-data pass;
+    # the win is that the 3x grouping-set Expand no longer multiplies
+    # the fact table (paired probe 2.07x, value-identical)
+    "agg_rollup": 2,
     "dedup_exact": 1,
     "text_quality_score": 0,
     "similarity_topk_bruteforce": 1,

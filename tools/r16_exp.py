@@ -37,6 +37,30 @@ def timeit(df_fn, runs: int = 3) -> float:
     return round(best, 3)
 
 
+def paired(base_fn, var_fn, pairs: int = 6) -> tuple[float, float, float]:
+    """Interleave base/variant single runs and compare PAIRED samples:
+    adjacent-in-time pairs cancel the host's slow load drift, which a
+    sequential best-of-N comparison on this shared box does not
+    (observed: the same A/B flipping between 1.3x and 0.7x minutes
+    apart). Returns (median base, median variant, median per-pair
+    ratio)."""
+    base_fn().write.format("noop").mode("overwrite").save()
+    var_fn().write.format("noop").mode("overwrite").save()
+    bs, vs, ratios = [], [], []
+    for _ in range(pairs):
+        t0 = time.perf_counter()
+        base_fn().write.format("noop").mode("overwrite").save()
+        b = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        var_fn().write.format("noop").mode("overwrite").save()
+        v = time.perf_counter() - t0
+        bs.append(b)
+        vs.append(v)
+        ratios.append(b / v)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    return round(med(bs), 3), round(med(vs), 3), round(med(ratios), 2)
+
+
 def rows_equal(a: DataFrame, b: DataFrame) -> bool:
     ra = sorted(map(repr, a.collect()))
     rb = sorted(map(repr, b.collect()))
@@ -312,7 +336,177 @@ def _bruteforce_norms_variant(spark: SparkSession) -> DataFrame:
     )
 
 
+def _q5_dims_variant(spark: SparkSession) -> DataFrame:
+    """q5 with the supplier->nation->region snowflake collapsed FIRST
+    into one 1000-row broadcast dim, so lineitem probes one hash table
+    instead of three and two broadcast builds disappear."""
+    from etl_upc_syllabus_spark.plans.relational import _dec, _dsum
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    sup = load_table(spark, SF_DIR, "supplier")
+    nat = F.broadcast(load_table(spark, SF_DIR, "nation"))
+    reg = F.broadcast(load_table(spark, SF_DIR, "region"))
+    sup_dim = F.broadcast(
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        li.join(sup_dim, li.l_suppkey == sup_dim.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def _flagship_preagg_variant(spark: SparkSession) -> DataFrame:
+    """flagship with lineitem pre-aggregated by orderkey before the
+    join: the countDistinct two-phase agg over item rows becomes a
+    plain count over unique orderkeys."""
+    from etl_upc_syllabus_spark.plans.relational import _dec
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders").filter(F.year("o_orderdate") == 1997)
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_items"), F.sum(revenue).alias("_rev")
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .groupBy(F.weekofyear("o_orderdate").cast("long").alias("week"))
+        .agg(
+            F.sum("_n_items").alias("n_items"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_rev").cast("double").alias("revenue"),
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities"),
+        )
+        .orderBy("week")
+    )
+
+
+def _dedup_exact_nofan_variant(spark: SparkSession) -> DataFrame:
+    from etl_upc_syllabus_spark.operators import dedup as dd
+
+    return dd.exact_dedup(load_table(spark, SF_DIR, "documents"), "doc_id", "text")
+
+
+def _q5_dims_nohint_variant(spark: SparkSession) -> DataFrame:
+    """q5 snowflake collapse WITHOUT a forced broadcast on the enriched
+    supplier dim: the planner (or AQE at runtime) picks broadcast at
+    gate SFs and falls back to a shuffled join at a scale where a
+    SF-proportional supplier no longer fits -- a forced hint would not."""
+    from etl_upc_syllabus_spark.plans.relational import _dec, _dsum
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    sup = load_table(spark, SF_DIR, "supplier")
+    nat = F.broadcast(load_table(spark, SF_DIR, "nation"))
+    reg = F.broadcast(load_table(spark, SF_DIR, "region"))
+    sup_dim = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    return (
+        li.join(sup_dim, li.l_suppkey == sup_dim.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(_dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def _curation_nofan_variant(spark: SparkSession) -> DataFrame:
+    """corpus_curation_pipeline (fused metrics, as shipped) minus the
+    fan_out round-robin pre-shuffle: the survivors window re-shuffles
+    by text-hash anyway, so the RR exchange only parallelizes the
+    pre-window md5."""
+    from etl_upc_syllabus_spark.operators import textanalysis as ta
+    from etl_upc_syllabus_spark.operators.dedup import survivors
+
+    d = load_table(spark, SF_DIR, "documents")
+    surv = survivors(d, "doc_id", "text")
+    m = ta.curation_metrics("text")
+    scored = surv.select("source", m.alias("m")).select(
+        "source",
+        F.col("m.n_tokens").alias("n_tokens"),
+        F.col("m.n_bpe").alias("n_bpe"),
+        F.col("m.quality_score").alias("q"),
+        F.col("m.predicted_lang").alias("plang"),
+    )
+    return (
+        scored.filter((F.col("plang") == "en") & (F.col("q") >= 0.5))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+        )
+    )
+
+
+def _rollup_preagg_variant(spark: SparkSession) -> DataFrame:
+    """agg_rollup computed as a 2-key groupBy first, then rollup over
+    the tiny per-(flag,status) aggregate: sum/count are decomposable,
+    so the 3x Expand multiplication runs over |groups| rows instead of
+    the whole fact table."""
+    from etl_upc_syllabus_spark.plans.relational import _dec
+
+    base = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        base.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("_s").cast("double").alias("sum_qty"), F.sum("_n").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def _leftjoin_preagg_variant(spark: SparkSession) -> DataFrame:
+    """join_left_groupby with orders pre-aggregated by custkey before
+    the join (aggregate before you shuffle the join): the outer join
+    then matches 15k aggregate rows instead of 150k order rows."""
+    from etl_upc_syllabus_spark.plans.relational import _dec
+
+    cust = load_table(spark, SF_DIR, "customer")
+    per_cust = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("o_orderkey").alias("_n"),
+            F.sum(_dec("o_totalprice")).alias("_s"),
+        )
+    )
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("_n", F.lit(0)).alias("n_orders"),
+        F.coalesce("_s", F.lit(0)).cast("double").alias("spend"),
+    )
+
+
 EXPERIMENTS = {
+    "q5_dims": ("q5_region_revenue", _q5_dims_variant),
+    "q5_dims_nohint": ("q5_region_revenue", _q5_dims_nohint_variant),
+    "curation_nofan": ("corpus_curation_pipeline", _curation_nofan_variant),
+    "rollup_preagg": ("agg_rollup", _rollup_preagg_variant),
+    "leftjoin_preagg": ("join_left_groupby", _leftjoin_preagg_variant),
+    "flagship_preagg": ("flagship_weekly_calendar", _flagship_preagg_variant),
+    "dedup_exact_nofan": ("dedup_exact", _dedup_exact_nofan_variant),
     "q1_fanout": ("q1_pricing_summary", _q1_variant),
     "rollup_fanout": ("agg_rollup", _rollup_variant),
     "flagship_fanout": ("flagship_weekly_calendar", _flagship_variant),
@@ -339,12 +533,13 @@ def main() -> int:
     for exp in names:
         base_name, variant = EXPERIMENTS[exp]
         base_fn = specs[base_name].fn
-        t_base = timeit(lambda: base_fn(spark, SF_DIR), runs)
-        t_var = timeit(lambda: variant(spark), runs)
+        t_base, t_var, ratio = paired(
+            lambda: base_fn(spark, SF_DIR), lambda: variant(spark), runs
+        )
         same = rows_equal(base_fn(spark, SF_DIR), variant(spark))
         print(
-            f"{exp:24s} base={t_base:7.3f}  variant={t_var:7.3f}  "
-            f"speedup={t_base / t_var:5.2f}x  rows_equal={same}",
+            f"{exp:24s} base_med={t_base:7.3f}  var_med={t_var:7.3f}  "
+            f"paired_speedup={ratio:5.2f}x  rows_equal={same}",
             flush=True,
         )
     spark.stop()
