@@ -295,12 +295,22 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("bigint").alias("hr"),
         "value",
     )
+    # two-level rollup (r16, same rewrite as agg_rollup): partial
+    # groupBy(day, hr) first, so the grouping-set Expand multiplies
+    # ~|day x hr| aggregate rows instead of every event; sum/count are
+    # decomposable and the decimal re-sum is exact, so values are
+    # bit-identical (the grand-total count coalesces to 0 on empty
+    # input, matching count(*)'s empty-rollup behavior)
+    base = ev.groupBy("day", "hr").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("_s"),
+    )
     return (
-        ev.rollup("day", "hr")
+        base.rollup("day", "hr")
         .agg(
             F.grouping_id().cast("bigint").alias("lvl"),
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
+            F.sum("_s").cast("double").alias("total_value"),
         )
         .select(
             F.coalesce("day", F.lit("(all)")).alias("day"),

@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from ..sources.tables import load_table, register_views
+from ..sources.tables import fan_out, load_table, register_views
 from .registry import query
 
 
@@ -87,7 +87,21 @@ def _dsum(expr: Column) -> Column:
     tags=("agg", "filter"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # fan_out (r16): the driver fixture is one parquet row group, so
+    # the scan -- and with it the 8-decimal partial aggregation, the
+    # measured bulk of this query (~0.7 s of ~0.95 s single-core) --
+    # runs as ONE task. The metadata-gated round-robin pre-shuffle
+    # spreads the partial agg across cores for the price of shuffling
+    # the filtered 7-column rows once (filter + pruning still reach
+    # the scan; paired probe 1.08-1.13x, value-identical -- decimal
+    # sums are order-independent). No-op at scale (real sources have
+    # more splits than cores). The other single-agg fact queries keep
+    # the plain scan: for q3/q5/flagship the same experiment measured
+    # 0.7-0.9x (their per-row work is lighter, so the extra exchange
+    # plus AQE stage barrier costs more than the parallelism buys).
+    li = fan_out(_t(spark, sf_dir, "lineitem")).filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02")
+    )
     disc = F.col("l_discount").cast("decimal(4,2)")
     tax = F.col("l_tax").cast("decimal(4,2)")
     disc_price = _dec("l_extendedprice") * (F.lit(1) - disc)
@@ -185,10 +199,20 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "cube"),
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    # two-level cube (r16, same rewrite as agg_rollup): the 4-set
+    # Expand multiplies |status x priority| aggregate rows, not the
+    # orders table; decomposable sums keep values bit-identical
+    base = (
         _t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), _dsum(_dec("o_totalprice")).alias("total"))
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(_dec("o_totalprice")).alias("_s"))
+    )
+    return (
+        base.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
+            F.sum("_s").cast("double").alias("total"),
+        )
         .select(
             F.coalesce("o_orderstatus", F.lit("(all)")).alias("orderstatus"),
             F.coalesce("o_orderpriority", F.lit("(all)")).alias("orderpriority"),

@@ -211,7 +211,13 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    base = tempfile.mkdtemp(prefix="etl_upc_incr_")
+    # ephemeral demo dirs on the fastest local storage (r16, same
+    # rationale as run_stream_to_table's checkpoint): the two
+    # incremental_run passes fsync offsets/commits + write the sink
+    # parquet here, and everything is torn down with the query; a real
+    # deployment keeps src/sink/ckpt on durable storage
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    base = tempfile.mkdtemp(prefix="etl_upc_incr_", dir=shm)
     src = os.path.join(base, "in")
     sink = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
