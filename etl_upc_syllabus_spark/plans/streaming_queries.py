@@ -218,6 +218,13 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deployment keeps src/sink/ckpt on durable storage
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     base = tempfile.mkdtemp(prefix="etl_upc_incr_", dir=shm)
+    # the returned DataFrame lazily reads the sink, so the dir must
+    # outlive this function; reclaim it at interpreter exit instead of
+    # leaking it (the old /tmp form leaked the same way, but tmpfs
+    # leaks RAM, which is dearer than disk)
+    import atexit
+
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     src = os.path.join(base, "in")
     sink = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
