@@ -434,6 +434,8 @@ def build_artifact(
     wobble: dict[str, object],
     cpu_cal_sec: float | None = None,
     cpu_cal_mt_sec: float | None = None,
+    cpus: int | None = None,
+    parallelism: int | None = None,
 ) -> tuple[dict, dict]:
     """Split the warm-run artifact into (extended, summary) dicts, each
     printed as its own JSON line with summary LAST (see module
@@ -486,6 +488,14 @@ def build_artifact(
         "contended": contended,
         "runs_per_query": n_runs,
         "sf": sf,
+        # self-evidencing core count (VERDICT r16 item 2): the honored
+        # $SPARK_GRAFT_CPUS and the session's ACTUAL defaultParallelism
+        # (read back from the live SparkContext, not the env), so the
+        # driver's scaling check can verify the low-core run really ran
+        # low-core instead of inferring it from per-query ratios that
+        # single-row-group fixtures structurally pin near 1.0
+        **({"cpus": cpus} if cpus is not None else {}),
+        **({"parallelism": parallelism} if parallelism is not None else {}),
         **(
             # cold_mode: embedded cold runs follow a warm suite in the
             # same process (JVM/JIT already hot when query 1 times) --
@@ -541,6 +551,7 @@ def main() -> None:
                     "loadavg_preflight": loadavg_preflight,
                     "contended": contended,
                     "sf": sf,
+                    "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                     "cpu_cal_sec": cpu_cal,
                     "cpu_cal_mt_sec": cpu_cal_mt,
                 }
@@ -599,6 +610,11 @@ def _suite_attempt(
     the JVM is fully stopped before returning, so two attempts never
     share JIT/cache state."""
     spark = get_spark("bench")
+    # read back from the LIVE context, not the env: this is the proof
+    # that local[$SPARK_GRAFT_CPUS] was actually applied (VERDICT r16
+    # item 2 -- the driver's low-core scaling run needs the artifact
+    # itself to evidence its core count)
+    parallelism = spark.sparkContext.defaultParallelism
 
     # Best-of-N per query (see module docstring): min across runs is a
     # far better estimate of the plan's actual cost than one arbitrary
@@ -656,6 +672,8 @@ def _suite_attempt(
         timings, samples, warmups, loadavg_preflight, list(os.getloadavg()),
         contended, n_runs, sf, cold_timings, wobble, cpu_cal_sec=cpu_cal,
         cpu_cal_mt_sec=cpu_cal_mt,
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        parallelism=parallelism,
     )
     return extended, summary, contended
 

@@ -195,6 +195,10 @@ def debounce(
         F.unix_micros(F.col(ts_col)).alias("_t"),
     )
     part = prepped.repartition("_u").sortWithinPartitions(
-        "_u", F.col("_t").asc_nulls_last(), "_o"
+        # both sort keys NULLS LAST: pandas sort_values put NaN last and
+        # the DuckDB oracle's ORDER BY ts, event_id is NULLS LAST, so a
+        # null event_id tied on timestamp must lose the tie-break here
+        # too (ADVICE r16) -- Spark's default asc() is NULLS FIRST
+        "_u", F.col("_t").asc_nulls_last(), F.col("_o").asc_nulls_last()
     )
     return part.mapInPandas(scan_partition, schema=DEBOUNCE_SCHEMA)

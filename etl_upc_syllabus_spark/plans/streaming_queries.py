@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -184,6 +183,10 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LATE_ROWS = (("late_a", 1.50), ("late_b", 2.25))
 
+#: demo dirs from prior stream_incremental_etl invocations in this
+#: process, reclaimed eagerly on the next invocation (ADVICE r16)
+_INCR_PRIOR_DIRS: list[str] = []
+
 
 @query(
     "stream_incremental_etl",
@@ -215,15 +218,20 @@ def stream_incremental_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rationale as run_stream_to_table's checkpoint): the two
     # incremental_run passes fsync offsets/commits + write the sink
     # parquet here, and everything is torn down with the query; a real
-    # deployment keeps src/sink/ckpt on durable storage
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    base = tempfile.mkdtemp(prefix="etl_upc_incr_", dir=shm)
+    # deployment keeps src/sink/ckpt on durable storage. ephemeral_dir
+    # (r17, ADVICE r16) honors SPARK_GRAFT_STREAM_CKPT_DIR and guards
+    # /dev/shm free space, so memory-tight hosts can opt out / degrade.
+    base = ev.ephemeral_dir("etl_upc_incr_")
     # the returned DataFrame lazily reads the sink, so the dir must
-    # outlive this function; reclaim it at interpreter exit instead of
-    # leaking it (the old /tmp form leaked the same way, but tmpfs
-    # leaks RAM, which is dearer than disk)
+    # outlive this function -- but only until the NEXT invocation: a
+    # repeated-call process (bench warmups, verify sweeps) reclaims the
+    # previous run's tree eagerly instead of accumulating tmpfs (RAM)
+    # until interpreter exit (ADVICE r16); atexit still reaps the last.
     import atexit
 
+    while _INCR_PRIOR_DIRS:
+        shutil.rmtree(_INCR_PRIOR_DIRS.pop(), ignore_errors=True)
+    _INCR_PRIOR_DIRS.append(base)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     src = os.path.join(base, "in")
     sink = os.path.join(base, "out")

@@ -37,6 +37,34 @@ SENTINEL_TYPE = "_wm_flush"
 _SENTINEL_TS_S = (4102444800, 4102531200)
 
 
+#: Minimum free bytes /dev/shm must have before ephemeral stream state
+#: is placed there (r17, VERDICT r16 item 7): tmpfs is RAM, and a drain
+#: writing state deltas into a nearly-full tmpfs ENOSPCs where /tmp
+#: would not. 2 GiB is conservative -- drain checkpoints are offsets/
+#: commits plus one state delta per shuffle partition (KBs..MBs), and
+#: the incremental demo stages one copy of the events fixture.
+_EPHEMERAL_MIN_FREE_BYTES = 2 << 30
+
+
+def ephemeral_dir(prefix: str) -> str:
+    """Create a disposable working dir on the fastest storage that can
+    afford it: $SPARK_GRAFT_STREAM_CKPT_DIR when set, else /dev/shm
+    when it exists AND has >= 2 GiB free (tmpfs is RAM -- the guard
+    keeps a larger-SF drain from ENOSPCing a small tmpfs where plain
+    /tmp would have coped), else the system temp dir (the pre-r16
+    behavior). Callers own deletion; nothing placed here may outlive
+    the run (no cross-run result caching)."""
+    base = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR")
+    if not base and os.path.isdir("/dev/shm"):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= _EPHEMERAL_MIN_FREE_BYTES:
+                base = "/dev/shm"
+        except OSError:
+            pass
+    return tempfile.mkdtemp(prefix=prefix, dir=base or None)
+
+
 def _data_files(path: str) -> list[str]:
     """Data files of a parquet table at ``path``, single-file or
     directory layout.
@@ -455,11 +483,9 @@ def run_stream_to_table(
     # checkpoint on real storage (stateful.py/incremental.py take an
     # explicit checkpoint_dir and are untouched). Override with
     # SPARK_GRAFT_STREAM_CKPT_DIR; default prefers /dev/shm when it
-    # exists, else the system temp dir (the previous behavior).
-    ckpt_base = os.environ.get("SPARK_GRAFT_STREAM_CKPT_DIR") or (
-        "/dev/shm" if os.path.isdir("/dev/shm") else None
-    )
-    ckpt = tempfile.mkdtemp(prefix="etl_upc_ckpt_", dir=ckpt_base)
+    # exists AND has headroom (ephemeral_dir's free-space guard, r17),
+    # else the system temp dir (the previous behavior).
+    ckpt = ephemeral_dir("etl_upc_ckpt_")
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)

@@ -327,9 +327,13 @@ def test_summary_line_fits_tail_window():
     extended, summary = bench.build_artifact(
         timings, samples, warmups, [99.99, 99.99, 99.99],
         [99.99, 99.99, 99.99], True, 3, 0.1, cold, wobble,
+        cpus=32, parallelism=32,
     )
     line = json.dumps(summary)
     assert len(line) < 1800, f"summary line is {len(line)} chars"
+    # the self-evidencing core count (VERDICT r16 item 2) rides the
+    # summary so the driver's scaling check can read it from the tail
+    assert summary["cpus"] == 32 and summary["parallelism"] == 32
     # the bulky evidence must ride the extended line, never the summary
     for bulky in ("samples", "warmup", "cold_queries", "wobble_floors"):
         assert bulky not in summary

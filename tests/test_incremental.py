@@ -232,3 +232,61 @@ def test_windowed_watermark_restart(spark, tmp_path):
     # the late row really was dropped, not merged into 10:00's window
     w10 = [r for r in got if r["window_start"] == "2024-03-01 10:00:00"][0]
     assert (w10["n"], w10["total_value"]) == (2, 3.0)
+
+
+# --- ephemeral_dir: the tmpfs free-space guard (r17, VERDICT r16 #7) --------
+
+
+def test_ephemeral_dir_env_override_wins(tmp_path, monkeypatch):
+    from etl_upc_syllabus_spark.streaming import events as ev
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_CKPT_DIR", str(tmp_path))
+    d = ev.ephemeral_dir("etl_upc_test_")
+    try:
+        assert os.path.dirname(d) == str(tmp_path)
+    finally:
+        os.rmdir(d)
+
+
+def test_ephemeral_dir_falls_back_when_tmpfs_full(tmp_path, monkeypatch):
+    """A nearly-full /dev/shm must NOT be chosen: a larger-SF drain
+    writing state deltas into a small tmpfs would ENOSPC where the
+    system temp dir would cope."""
+    import tempfile
+
+    from etl_upc_syllabus_spark.streaming import events as ev
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_CKPT_DIR", raising=False)
+
+    class FullFS:
+        f_bavail = 16
+        f_frsize = 4096  # 64 KiB free: far under the 2 GiB bound
+
+    monkeypatch.setattr(os, "statvfs", lambda p: FullFS())
+    d = ev.ephemeral_dir("etl_upc_test_")
+    try:
+        assert os.path.dirname(d) == tempfile.gettempdir()
+        assert not d.startswith("/dev/shm")
+    finally:
+        os.rmdir(d)
+
+
+def test_ephemeral_dir_prefers_tmpfs_with_headroom(monkeypatch):
+    from etl_upc_syllabus_spark.streaming import events as ev
+
+    if not os.path.isdir("/dev/shm"):
+        import pytest
+
+        pytest.skip("host has no /dev/shm")
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_CKPT_DIR", raising=False)
+
+    class RoomyFS:
+        f_bavail = 1 << 30
+        f_frsize = 4096
+
+    monkeypatch.setattr(os, "statvfs", lambda p: RoomyFS())
+    d = ev.ephemeral_dir("etl_upc_test_")
+    try:
+        assert d.startswith("/dev/shm")
+    finally:
+        os.rmdir(d)
