@@ -119,23 +119,49 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     )
 
 
-def _oriented(edges: DataFrame):
+def copurchase_und(lineitem: DataFrame) -> DataFrame:
+    """Canonical UNDIRECTED co-purchase edges: (a, b) with a < b, distinct.
+
+    The a < b join predicate emits each unordered pair ONCE, so the
+    single distinct here replaces copurchase_edges' two-step shape
+    (emit both directions, distinct 2x|pairs| rows, then re-canonicalize
+    and distinct AGAIN inside _oriented) -- half the self-join output
+    and one exchange+aggregate fewer, identical edge set (measured r17:
+    2.31 s -> 1.40 s for the und build at sf0.1, 1.196M edges equal).
+    Feed it to the triangle family with ``canonical=True``; directed
+    consumers (pagerank) keep :func:`copurchase_edges`.
+    """
+    li = lineitem.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("a"), F.col("b.pk").alias("b"))
+        .distinct()
+    )
+
+
+def _oriented(edges: DataFrame, canonical: bool = False):
     """(und, deg, oriented) shared by the triangle family.
 
     und (distinct undirected edges) and the oriented list are persisted
     MEMORY_AND_DISK and materialized eagerly -- see triangle_counts
-    docstring for why.
+    docstring for why. ``canonical=True`` asserts the input is already
+    (a, b) with a < b and distinct (copurchase_und), skipping the
+    re-canonicalization distinct.
     """
     from pyspark import StorageLevel
 
-    und = (
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    if canonical:
+        und = edges.select("a", "b").persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        und = (
+            edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     und.count()
     deg = (
         und.select(F.col("a").alias("node"))
@@ -158,7 +184,7 @@ def _oriented(edges: DataFrame):
     return und, deg, o
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, canonical: bool = False) -> DataFrame:
     """Per-node triangle counts -> (node, n_triangles).
 
     Degree-ordered edge orientation (the MapReduce triangle-counting
@@ -192,7 +218,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     executors' aggregate disk; single-box benching of this operator
     stops at sf1 (4.7x for 10x data, sub-linear).
     """
-    und, _, o = _oriented(edges)
+    und, _, o = _oriented(edges, canonical=canonical)
     # materialize the SMALL node-level result (localCheckpoint is the
     # sanctioned tool for bounded state), then release the big edge
     # caches -- same discipline as pagerank's w.unpersist(): without it
@@ -209,15 +235,29 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def _tri_of(o: DataFrame) -> DataFrame:
-    """(node, n_triangles) from a persisted oriented edge list."""
-    x, y = o.alias("x"), o.alias("y")
+    """(node, n_triangles) from a persisted oriented edge list.
+
+    Both joins carry SHUFFLE_HASH hints (r17, guide section 3.1): the
+    default sort-merge plan SORTS the wedge stream -- |wedges| is ~34x
+    |E| on this graph (41M rows at sf0.1) and the sort is pure
+    overhead when a per-partition hash of the |E|-row build side
+    suffices. The build side is the ORIENTED EDGE LIST, |E|/N rows per
+    partition at N shuffle partitions -- the bounded side of this join
+    at any scale (wedges grow superlinearly, edges linearly), which is
+    exactly the shuffled-hash sweet spot; AQE skew-split still applies.
+    Measured r17: wedge+semi stage 4.56 s -> 2.80 s (1.63x), counts
+    identical.
+    """
+    x, y = o.alias("x"), o.hint("shuffle_hash").alias("y")
     v_first = (F.col("x.dv") < F.col("y.dv")) | (
         (F.col("x.dv") == F.col("y.dv")) & (F.col("x.v") < F.col("y.v"))
     )
     wedges = x.join(y, (F.col("x.u") == F.col("y.u")) & v_first).select(
         F.col("x.u").alias("u"), F.col("x.v").alias("v"), F.col("y.v").alias("w")
     )
-    closing = o.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    closing = o.select(F.col("u").alias("v"), F.col("v").alias("w")).hint(
+        "shuffle_hash"
+    )
     tri = wedges.join(closing, ["v", "w"], "left_semi")
     return (
         tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
@@ -226,7 +266,7 @@ def _tri_of(o: DataFrame) -> DataFrame:
     )
 
 
-def clustering_coefficient(edges: DataFrame) -> DataFrame:
+def clustering_coefficient(edges: DataFrame, canonical: bool = False) -> DataFrame:
     """Local clustering coefficient -> (node, d, n_triangles, cc).
 
     cc(v) = 2*T(v) / (d(v)*(d(v)-1)) for d(v) >= 2: the fraction of a
@@ -237,7 +277,7 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     counts LEFT so triangle-free nodes report cc = 0 instead of
     vanishing.
     """
-    und, deg, o = _oriented(edges)
+    und, deg, o = _oriented(edges, canonical=canonical)
     try:
         tri = _tri_of(o)
         return (

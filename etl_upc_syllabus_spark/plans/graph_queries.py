@@ -163,10 +163,14 @@ def copurchase_affinity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "triangles", "clustering"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import triangle_counts
+    from ..operators.graph import copurchase_und, triangle_counts
 
+    # copurchase_und + canonical=True (r17): the a < b self-join emits
+    # each unordered pair once, replacing the both-directions distinct
+    # + re-canonicalization distinct with ONE distinct -- same edge
+    # set, one exchange fewer (und build 2.31 s -> 1.40 s at sf0.1)
     li = load_table(spark, sf_dir, "lineitem")
-    return triangle_counts(copurchase_edges(li))
+    return triangle_counts(copurchase_und(li), canonical=True)
 
 
 def _build_triangle_pipeline(spark: SparkSession, sf_dir: str):
@@ -175,10 +179,10 @@ def _build_triangle_pipeline(spark: SparkSession, sf_dir: str):
     for the plan-invariant tests: triangle_counts localCheckpoints its
     bounded result and releases the edge caches, so the registry fn's
     plan is a bare scan and the real shape is only inspectable here."""
-    from ..operators.graph import _oriented, _tri_of
+    from ..operators.graph import _oriented, _tri_of, copurchase_und
 
     li = load_table(spark, sf_dir, "lineitem")
-    und, _, o = _oriented(copurchase_edges(li))
+    und, _, o = _oriented(copurchase_und(li), canonical=True)
     return _tri_of(o), und, o
 
 
@@ -226,7 +230,8 @@ def _build_triangle_pipeline(spark: SparkSession, sf_dir: str):
     tags=("graph", "triangles", "clustering"),
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import clustering_coefficient
+    from ..operators.graph import clustering_coefficient, copurchase_und
 
+    # canonical und input: see graph_triangle_count (r17)
     li = load_table(spark, sf_dir, "lineitem")
-    return clustering_coefficient(copurchase_edges(li))
+    return clustering_coefficient(copurchase_und(li), canonical=True)

@@ -275,7 +275,17 @@ def test_triangle_pipeline_shuffles_only_narrow_ids(spark, sf_dir):
             c.unpersist()
     bodies = _exchange_bodies(formatted)
     assert bodies, "triangle pipeline: no live exchanges found -- plan masked?"
-    assert len(bodies) <= 8, f"wedge pipeline exchange budget exceeded: {len(bodies)}"
+    # budget raised 8 -> 11 deliberately (r17): the SHUFFLE_HASH hints
+    # on the wedge and closing joins (operators/graph.py _tri_of --
+    # they stop the 41M-row wedge stream being SORTED for a sort-merge
+    # semi; measured 4.56 s -> 2.80 s, counts identical) defeat
+    # EXPLAIN's ReusedExchange detection for the formerly-shared
+    # sorted exchanges, so the FORMATTED plan prints the o-by-u and
+    # deg subtree exchanges per consumer instead of once. Runtime AQE
+    # stage reuse still dedupes identical exchanges; wall-clock and
+    # row equality were the promotion gates. The payload-narrowness
+    # assertion below is the load-bearing invariant and is unchanged.
+    assert len(bodies) <= 11, f"wedge pipeline exchange budget exceeded: {len(bodies)}"
     allowed = {
         "a", "b", "u", "v", "w", "dv", "da", "db", "d", "node",
         "n_triangles", "ok", "pk", "src", "dst", "count",
