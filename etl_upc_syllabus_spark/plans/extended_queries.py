@@ -791,13 +791,45 @@ def feature_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheap groupBy turns the percentile input into |distinct| rows
     # with identical semantics (frequency-weighted exact percentile).
     vc = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("cnt"))
-    q = vc.agg(
-        F.array(
-            *[
-                F.round(F.expr(f"percentile(l_extendedprice, {p}D, cnt)"), 6)
-                for p in (0.25, 0.5, 0.75)
-            ]
-        ).alias("b")
+    # Exact interpolated quartiles via SORT + running count instead of
+    # the percentile UDAF (r17): percentile(..., cnt) builds an
+    # OpenHashMap of the whole |distinct| domain per partial state and
+    # merges 32 of them serially in the final buffer -- measured 2.7 s
+    # of this query's 3.4 s at sf0.1 (583k distinct prices). The
+    # replacement sorts the distinct-value table once (single ordered
+    # window over |distinct| narrow rows -- the same final-buffer
+    # bound, but a sort that spills gracefully instead of a map merge)
+    # and reads each quartile as an order statistic of the expanded
+    # multiset: value_at(k) = min v with cum >= k+1. The interpolation
+    # replicates Percentile.getPercentile BIT-FOR-BIT:
+    # (higher - pos) * lower + (pos - lower) * higher, degenerate to
+    # the exact value when pos is integral -- verified element-equal
+    # against the UDAF at sf0.1 (2.8x on the boundary stage).
+    w = W.orderBy("l_extendedprice").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = vc.select(
+        F.col("l_extendedprice").alias("v"), F.sum("cnt").over(w).alias("cum")
+    )
+    total = vc.agg(F.sum("cnt").alias("N"))
+    boundary_exprs = []
+    for p in (0.25, 0.5, 0.75):
+        pos = F.lit(p) * (F.col("N").cast("double") - F.lit(1.0))
+        lo_i, hi_i = F.floor(pos), F.ceil(pos)
+        vlo = F.min(F.when(F.col("cum") >= lo_i + F.lit(1), F.col("v")))
+        vhi = F.min(F.when(F.col("cum") >= hi_i + F.lit(1), F.col("v")))
+        boundary_exprs.append(
+            F.round(
+                F.when(lo_i == hi_i, vlo).otherwise(
+                    (hi_i.cast("double") - pos) * vlo
+                    + (pos - lo_i.cast("double")) * vhi
+                ),
+                6,
+            )
+        )
+    q = (
+        cum.crossJoin(F.broadcast(total))
+        .groupBy("N")
+        .agg(F.array(*boundary_exprs).alias("b"))
+        .select("b")
     )
     # bucket the DISTINCT-value table and weight by frequency (r7): the
     # raw fact never flows through the bucket assignment or the final
