@@ -78,9 +78,22 @@ def _update_user_totals(
         # any production stream carries must not kill the query).
         # numpy path (r17): same fillna->x100->round->int64->sum
         # pipeline without five pandas Series allocations per key
-        # (np.rint == Series.round: both IEEE half-to-even).
+        # (np.rint == Series.round: both IEEE half-to-even). NaN/NULL
+        # maps to 0 cents exactly as fillna did; +-Inf must stay LOUD
+        # -- pandas astype("int64") raised on non-finite, and the
+        # documented poisoned-value posture (module docstring, pinned
+        # by test_quarantine_gate_keeps_stateful_stream_alive) depends
+        # on the ungated stream dying rather than wrapping Inf into
+        # garbage cents, so the explicit isfinite check replaces the
+        # astype raise (numpy's astype silently wraps).
         v = pdf["value"].values
-        cents += int(np.rint(np.nan_to_num(v, nan=0.0) * 100).astype(np.int64).sum())
+        scaled = np.where(np.isnan(v), 0.0, v) * 100
+        if not np.isfinite(scaled).all():
+            raise ValueError(
+                "Cannot convert non-finite values (inf) to integer cents; "
+                "gate the stream with quarantine_nonfinite (gated=True)"
+            )
+        cents += int(np.rint(scaled).astype(np.int64).sum())
     state.update((n, cents))
     out = _TOTALS_TMPL.copy()
     out.iat[0, 0] = key[0]
